@@ -1,0 +1,164 @@
+"""High-level alignment pipeline: batched banded Viterbi + traceback.
+
+Replaces the reference's QuaffAligner / QuaffAlignmentTask machinery
+(src/qmodel.cpp:2624-2813): instead of one thread per read pulling tasks
+from a mutex-guarded scheduler, each read's DP against all references is a
+single batched device computation, and reads are processed in deterministic
+order (the reference's single-thread output order, which its own
+distributed tests assert).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import IO, List, Optional
+
+import numpy as np
+
+from .dp.engine import PairBatch, device_batch, device_tables, dp_fill
+from .dp.scores import ScoreTables
+from .dp.traceback import viterbi_traceback
+from .envelope import (
+    DEFAULT_BAND_SIZE,
+    DEFAULT_KMER_LENGTH,
+    DEFAULT_KMER_THRESHOLD,
+    Envelope,
+    make_envelope,
+)
+from .formats.alignment import Alignment, AlignmentPrinter
+from .io.fastseq import FastSeq, KmerIndex
+from .model.params import QuaffNullParams, QuaffParams
+
+# DP storage cost per cell used for the memory-fitted envelope threshold:
+# 3 doubles for Viterbi, x2 for Forward-Backward (reference qmodel.h:384,
+# qmodel.cpp:2249,2769)
+VITERBI_CELL_SIZE = 24
+FWDBACK_CELL_SIZE = 48
+
+
+@dataclass
+class DPConfig:
+    """Execution configuration (the surviving subset of the reference's
+    QuaffDPConfig, qmodel.h:280-352: banding parameters and DP mode; the
+    socket/EC2/qsub fields are superseded by the device mesh)."""
+
+    local: bool = True
+    sparse: bool = True
+    kmer_len: int = DEFAULT_KMER_LENGTH
+    kmer_threshold: int = DEFAULT_KMER_THRESHOLD
+    band_size: int = DEFAULT_BAND_SIZE
+    max_size: int = 0
+    auto_mem_size: bool = False
+    threads: int = 1
+    dtype: Optional[object] = None  # None -> f64 if jax x64 enabled else f32
+
+    def effective_max_size(self) -> int:
+        return self.max_size // self.threads if self.auto_mem_size else self.max_size
+
+    def make_envelope(self, x: FastSeq, y_index: KmerIndex, cell_size: int) -> Envelope:
+        return make_envelope(
+            x,
+            y_index,
+            sparse=self.sparse,
+            band_size=self.band_size,
+            kmer_threshold=self.kmer_threshold,
+            cell_size=cell_size,
+            max_size=self.effective_max_size(),
+        )
+
+    def resolve_dtype(self):
+        if self.dtype is not None:
+            return self.dtype
+        import jax
+        import jax.numpy as jnp
+
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class QuaffAligner:
+    """Viterbi alignment of reads against references.
+
+    For each read, all (ref, read) band fills run as one batched device
+    call; the winner's band is walked back on the host.
+    """
+
+    def __init__(
+        self,
+        params: QuaffParams,
+        null_model: QuaffNullParams,
+        config: DPConfig,
+        print_all: bool = False,
+    ):
+        self.params = params
+        self.null_model = null_model
+        self.config = config
+        self.print_all = print_all
+        self.tables = ScoreTables.from_params(params)
+        self._tdev = device_tables(self.tables)
+
+    def align_read(self, refs: List[FastSeq], y: FastSeq) -> List[Alignment]:
+        """Align one read against all refs; returns the best alignment (or
+        all finite ones if print_all), null-model-adjusted, sorted by
+        descending score (ties keep reference order)."""
+        y_index = KmerIndex(y, self.config.kmer_len)
+        envs = [
+            self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE) for x in refs
+        ]
+        batch = PairBatch.build([(x, y, e) for x, e in zip(refs, envs)], self.tables)
+        res = dp_fill(
+            self._tdev,
+            device_batch(batch),
+            mode="viterbi",
+            local=self.config.local,
+            return_matrices=True,
+            dtype=self.config.resolve_dtype(),
+        )
+        scores = np.asarray(res["score"], dtype=np.float64)
+        null_ll = self.null_model.log_likelihood(y)
+
+        if self.print_all:
+            picks = [nx for nx in range(len(refs)) if math.isfinite(scores[nx])]
+        else:
+            best: Optional[int] = None
+            for nx in range(len(refs)):
+                if math.isfinite(scores[nx]) and (
+                    best is None or scores[nx] > scores[best]
+                ):
+                    best = nx
+            picks = [] if best is None else [best]
+
+        mats = np.asarray(res["mat"])
+        inss = np.asarray(res["ins"])
+        dels = np.asarray(res["del"])
+        out: List[Alignment] = []
+        for nx in picks:
+            a = viterbi_traceback(
+                refs[nx],
+                y,
+                envs[nx],
+                self.tables,
+                mats[nx],
+                inss[nx],
+                dels[nx],
+                float(scores[nx]),
+                local=self.config.local,
+            )
+            a.score -= null_ll
+            out.append(a)
+        out.sort(key=lambda a: -a.score)
+        return out
+
+    def align_all(
+        self,
+        out: IO[str],
+        refs: List[FastSeq],
+        reads: List[FastSeq],
+        printer: AlignmentPrinter,
+    ) -> None:
+        """The `quaff align` driver: header, then per-read best alignments
+        in read order (qmodel.cpp:2624-2646)."""
+        printer.write_header(out, refs, group_by_query=True)
+        for y in reads:
+            for a in self.align_read(refs, y):
+                printer.write_alignment(out, a)

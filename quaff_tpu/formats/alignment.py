@@ -1,0 +1,195 @@
+"""Pairwise alignment container and text output formats.
+
+Byte-parity reimplementation of the reference Alignment writers
+(src/qmodel.cpp:545-676): gapped FASTA, Stockholm (80-column blocks,
+#=GR quality rows, #=GC identity consensus), SAM (with revcomp
+normalisation and the reference's char-before-count CIGAR convention),
+and ungapped reference extraction.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+from typing import IO, List
+
+from ..io.fastseq import FastSeq
+from ..model.params import fmt
+
+GAP_CHAR = "-"
+MISMATCH_CHAR = ":"
+MAX_QUALITY_CHAR = "~"
+
+
+def is_gap_char(c: str) -> bool:
+    return c == "-" or c == "."
+
+
+@dataclass
+class Alignment:
+    gapped_seq: List[FastSeq] = field(default_factory=list)
+    score: float = -math.inf
+
+    @property
+    def rows(self) -> int:
+        return len(self.gapped_seq)
+
+    @property
+    def columns(self) -> int:
+        return len(self.gapped_seq[0].seq) if self.gapped_seq else 0
+
+    def write_gapped_fasta(self, out: IO[str]) -> None:
+        for s in self.gapped_seq:
+            s.write_fasta(out)
+
+    def write_stockholm(self, out: IO[str]) -> None:
+        row_name: List[str] = []
+        row_data: List[str] = []
+        row_index: List[int] = []
+        for s in self.gapped_seq:
+            row_index.append(len(row_name))
+            row_name.append(s.name)
+            row_data.append(s.seq)
+            if s.has_qual():
+                row_name.append(f"#=GR {s.name} QS")
+                row_data.append(s.qual)
+
+        if self.rows == 2:
+            cons = []
+            s0, s1 = self.gapped_seq[0].seq, self.gapped_seq[1].seq
+            for c0, c1 in zip(s0.upper(), s1.upper()):
+                if is_gap_char(c0) or is_gap_char(c1):
+                    cons.append(GAP_CHAR)
+                else:
+                    cons.append(c0 if c0 == c1 else MISMATCH_CHAR)
+            row_name.insert(row_index[1], "#=GC id")
+            row_data.insert(row_index[1], "".join(cons))
+            if self.gapped_seq[0].has_qual():
+                row_name[0], row_name[1] = row_name[1], row_name[0]
+                row_data[0], row_data[1] = row_data[1], row_data[0]
+
+        name_width = max(len(s) for s in row_name)
+        data_width = max(name_width, 79 - name_width)
+
+        out.write("# STOCKHOLM 1.0\n")
+        out.write(f"#=GF Score {fmt(self.score)}\n")
+        for s in self.gapped_seq:
+            if s.comment:
+                out.write(f"#=GS CC {s.name} {s.comment}\n")
+        for col in range(0, self.columns, data_width):
+            if col > 0:
+                out.write("\n")
+            for name, data in zip(row_name, row_data):
+                out.write(f"{name:<{name_width}} {data[col : col + data_width]}\n")
+        out.write("//\n")
+
+    def cigar_string(self) -> str:
+        assert self.rows == 2
+        last_char = ""
+        count = 0
+        cigar = []
+        for c0, c1 in zip(self.gapped_seq[0].seq, self.gapped_seq[1].seq):
+            gap0, gap1 = is_gap_char(c0), is_gap_char(c1)
+            if not gap0 and not gap1:
+                cc = "M"
+            elif not gap0 and gap1:
+                cc = "D"
+            elif gap0 and not gap1:
+                cc = "I"
+            else:
+                cc = ""
+            if cc:
+                if cc == last_char:
+                    count += 1
+                else:
+                    if count > 0:
+                        cigar.append(last_char + str(count))
+                    last_char = cc
+                    count = 1
+        if count > 0:
+            cigar.append(last_char + str(count))
+        return "".join(cigar)
+
+    def revcomp(self) -> "Alignment":
+        out = Alignment(
+            gapped_seq=[s.revcomp() for s in self.gapped_seq], score=self.score
+        )
+        return out
+
+    def write_sam(self, out: IO[str]) -> None:
+        assert self.rows == 2, "SAM output is for pairwise alignments"
+        if self.gapped_seq[0].source.rev:
+            self.revcomp().write_sam(out)
+            return
+        flag = 16 if self.gapped_seq[1].source.rev else 0
+        out.write(
+            f"{self.gapped_seq[1].source.name}\t{flag}\t"
+            f"{self.gapped_seq[0].source.name}\t{self.gapped_seq[0].source.start}"
+            f"\t0\t{self.cigar_string()}\t*\t0\t0\t*\t*\t"
+            f"AS:i:{int(_cpp_round(self.score))}\n"
+        )
+
+    @staticmethod
+    def write_sam_header(out: IO[str], seqs: List[FastSeq], go_so: str = "SO:unknown") -> None:
+        out.write(f"@HD\tVN:1.0\t{go_so}\n")
+        for s in seqs:
+            if s.source.is_null():
+                out.write(f"@SQ\tSN:{s.name}\tLN:{len(s.seq)}\n")
+
+    def get_ungapped(self, row: int) -> FastSeq:
+        g = self.gapped_seq[row]
+        s = FastSeq(name=g.name, comment=g.comment, source=g.source,
+                    filename=g.filename, filepos=g.filepos)
+        seq_chars, qual_chars = [], []
+        for pos, c in enumerate(g.seq):
+            if not is_gap_char(c):
+                seq_chars.append(c)
+                if g.has_qual():
+                    qual_chars.append(g.qual[pos])
+        s.seq = "".join(seq_chars)
+        s.qual = "".join(qual_chars)
+        return s
+
+
+def _cpp_round(x: float) -> float:
+    """C's round(): halfway cases away from zero (Python round is to-even)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+class OutputFormat(enum.Enum):
+    GAPPED_FASTA = "fasta"
+    STOCKHOLM = "stockholm"
+    SAM = "sam"
+    REFSEQ = "refseq"
+
+
+@dataclass
+class AlignmentPrinter:
+    """Format dispatch + log-odds threshold filter (reference
+    QuaffAlignmentPrinter, qmodel.cpp:2480-2600)."""
+
+    format: OutputFormat = OutputFormat.STOCKHOLM
+    log_odds_threshold: float = 0.0
+
+    def write_header(self, out: IO[str], refs: List[FastSeq], group_by_query: bool) -> None:
+        if self.format == OutputFormat.SAM:
+            Alignment.write_sam_header(
+                out, refs, "GO:query" if group_by_query else "SO:unknown"
+            )
+
+    def write_alignment(self, out: IO[str], align: Alignment) -> None:
+        if align.score < self.log_odds_threshold:
+            return
+        if self.format == OutputFormat.GAPPED_FASTA:
+            align.write_gapped_fasta(out)
+            out.write("\n")
+        elif self.format == OutputFormat.STOCKHOLM:
+            align.write_stockholm(out)
+        elif self.format == OutputFormat.SAM:
+            align.write_sam(out)
+        elif self.format == OutputFormat.REFSEQ:
+            assert align.rows == 2
+            ref = align.get_ungapped(0)
+            ref.comment = f"matches({align.gapped_seq[1].name}) {ref.comment}"
+            ref.write_fasta(out)
