@@ -1,0 +1,602 @@
+"""quaff-compatible command-line driver.
+
+Mirrors the reference CLI (t/quaff.cpp:104-326): commands train / align /
+overlap / count / server, the same flag surface (chain-parsed from an
+argument deque, with bare filenames becoming implicit -ref/-read switches,
+src/optparser.cpp:32-54), and load-or-derive semantics for params, null
+model and prior.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import deque
+from typing import List, Optional
+
+PROG = "quaff-tpu"
+VERSION = "0.1"
+
+DEFAULT_REFSEQ_KMER_THRESHOLD = 20  # align/train (t/quaff.cpp:15)
+
+
+def _fail(msg: str) -> "NoReturn":
+    sys.stderr.write(msg + "\n")
+    sys.exit(1)
+
+
+def _need_arg(args: deque, flag: str) -> str:
+    if len(args) < 2:
+        _fail(f"{flag} must have an argument")
+    args.popleft()
+    return args.popleft()
+
+
+class SeqListArgs:
+    """-ref/-read accumulation with -fwdstrand/-noquals (SeqList,
+    t/quaff.cpp:21-49)."""
+
+    def __init__(self, tag: str, want_quals: bool, want_revcomps: bool):
+        self.tag = tag
+        self.filenames: List[str] = []
+        self.filepos: List[int] = []
+        self.want_quals = want_quals
+        self.want_revcomps = want_revcomps
+
+    def parse(self, args: deque) -> bool:
+        if not args:
+            return False
+        arg = args[0]
+        if arg == self.tag:
+            self.filenames.append(_need_arg(args, arg))
+            self.filepos.append(-1)
+            return True
+        if arg == self.tag + "index":
+            if len(args) < 3:
+                _fail(f"{arg} needs two arguments")
+            args.popleft()
+            self.filenames.append(args.popleft())
+            self.filepos.append(int(args.popleft()))
+            return True
+        if arg == "-fwdstrand":
+            self.want_revcomps = False
+            args.popleft()
+            return True
+        return False
+
+    def parse_noquals(self, args: deque) -> bool:
+        if args and args[0] == "-noquals":
+            self.want_quals = False
+            args.popleft()
+            return True
+        return False
+
+    def load(self, require_quals_ok: bool = True):
+        from .io.fastseq import add_revcomps, read_fast_seqs, read_indexed_fast_seq
+
+        if not self.filenames:
+            _fail(f"Please specify at least one sequence file using {self.tag}")
+        seqs = []
+        for fn, pos in zip(self.filenames, self.filepos):
+            if pos < 0:
+                recs = read_fast_seqs(fn)
+            else:
+                recs = [read_indexed_fast_seq(fn, pos)]
+            for fs in recs:
+                if self.want_quals:
+                    if not fs.has_qual():
+                        _fail(
+                            f"Sequence {fs.name} in file {fn} does not have"
+                            " quality scores"
+                        )
+                else:
+                    fs.qual = ""
+                if len(fs.seq):
+                    seqs.append(fs)
+        n_originals = len(seqs)
+        if self.want_revcomps:
+            seqs = add_revcomps(seqs)
+        if not seqs:
+            _fail(f"Please specify a valid sequence file using {self.tag}")
+        return seqs, n_originals
+
+
+def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
+    """-kmatch*/-global/-threads parsing (QuaffDPConfig::parse*ConfigArgs,
+    qmodel.cpp:746-1012)."""
+    if not args:
+        return False
+    arg = args[0]
+    if arg == "-global" and not general_only:
+        config.local = False
+        args.popleft()
+        return True
+    if arg == "-kmatchband":
+        config.band_size = int(_need_arg(args, arg))
+        return True
+    if arg == "-kmatch":
+        k = int(_need_arg(args, arg))
+        if not (5 <= k <= 32):
+            _fail(f"-kmatch out of range ({k}). Try 5 to 32")
+        config.kmer_len = k
+        return True
+    if arg == "-kmatchn":
+        config.kmer_threshold = int(_need_arg(args, arg))
+        return True
+    if arg == "-kmatchmb":
+        config.max_size = int(_need_arg(args, arg)) << 20
+        config.kmer_threshold = -1
+        config.auto_mem_size = False
+        return True
+    if arg == "-kmatchmax":
+        import os
+
+        # physical RAM (memsize.cpp equivalent)
+        config.max_size = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        config.kmer_threshold = -1
+        config.auto_mem_size = True
+        args.popleft()
+        return True
+    if arg == "-kmatchoff":
+        config.sparse = False
+        args.popleft()
+        return True
+    if arg == "-threads":
+        config.threads = int(_need_arg(args, arg))
+        return True
+    if arg == "-maxthreads":
+        import os
+
+        config.threads = os.cpu_count() or 1
+        args.popleft()
+        return True
+    return False
+
+
+def _parse_printer(args: deque, printer, state) -> bool:
+    """-format/-threshold/-nothreshold/-savealign
+    (parseAlignmentPrinterArgs, qmodel.cpp:2485-2529)."""
+    from .formats.alignment import OutputFormat
+
+    if not args:
+        return False
+    arg = args[0]
+    if arg == "-format":
+        fmt = _need_arg(args, arg)
+        try:
+            printer.format = OutputFormat(fmt)
+        except ValueError:
+            _fail(f"Unknown format: {fmt}")
+        return True
+    if arg == "-threshold":
+        printer.log_odds_threshold = float(_need_arg(args, arg))
+        return True
+    if arg == "-nothreshold":
+        printer.log_odds_threshold = float("-inf")
+        args.popleft()
+        return True
+    if arg == "-savealign":
+        state["align_file"] = _need_arg(args, arg)
+        return True
+    return False
+
+
+def _parse_verbosity(args: deque, state) -> bool:
+    import re
+
+    if not args:
+        return False
+    arg = args[0]
+    m = re.fullmatch(r"-v(\d+)", arg)
+    if arg == "-verbose":
+        state["verbosity"] = state.get("verbosity", 0) + 1
+        args.popleft()
+        return True
+    if re.fullmatch(r"-v+", arg):
+        state["verbosity"] = state.get("verbosity", 0) + len(arg) - 1
+        args.popleft()
+        return True
+    if m:
+        state["verbosity"] = int(m.group(1))
+        args.popleft()
+        return True
+    if arg in ("-log", "-nocolor"):
+        if arg == "-log":
+            _need_arg(args, arg)
+        else:
+            args.popleft()
+        return True
+    return False
+
+
+def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
+    """Bare filenames become implicit switches (optparser.cpp:32-54)."""
+    if not args:
+        return False
+    arg = args[0]
+    if arg.startswith("-") or not implicit:
+        _fail(f"Unknown option: {arg}")
+    args.appendleft(implicit[0])
+    if len(implicit) > 1 or not unlimited:
+        implicit.pop(0)
+    return True
+
+
+def _setup_jax_precision():
+    """Golden parity needs f64; TPU runs f32.  Enable x64 when the backend
+    is CPU (or when explicitly requested via QUAFF_TPU_X64=1)."""
+    import os
+
+    import jax
+
+    want = os.environ.get("QUAFF_TPU_X64")
+    if want is not None:
+        jax.config.update("jax_enable_x64", want not in ("0", "false"))
+        return
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        jax.config.update("jax_enable_x64", True)
+    import os as _os
+
+    cache = _os.environ.get("QUAFF_TPU_COMPILE_CACHE", "/tmp/jax_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _load_params(args_state, prior=None):
+    from .model.params import QuaffParams, default_params
+
+    fn = args_state.get("params_file")
+    if fn:
+        return QuaffParams.from_json(open(fn).read())
+    if prior is not None:
+        return prior.fit()
+    return default_params()
+
+
+def _load_or_fit_null(args_state, reads):
+    from .model.params import QuaffNullParams
+
+    fn = args_state.get("null_file")
+    if fn:
+        null = QuaffNullParams.from_json(open(fn).read())
+    else:
+        null = QuaffNullParams.fit(reads)
+    sf = args_state.get("savenull_file")
+    if sf:
+        with open(sf, "w") as f:
+            null.write_json(f)
+    return null
+
+
+def _parse_model_files(args: deque, state) -> bool:
+    if not args:
+        return False
+    arg = args[0]
+    if arg == "-params":
+        state["params_file"] = _need_arg(args, arg)
+        return True
+    if arg == "-null":
+        state["null_file"] = _need_arg(args, arg)
+        return True
+    if arg == "-savenull":
+        state["savenull_file"] = _need_arg(args, arg)
+        return True
+    return False
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    args = deque(argv)
+    if not args:
+        sys.stderr.write(f"Usage: {PROG} {{help,train,align,overlap,count}} [options]\n")
+        return 1
+    command = args.popleft()
+
+    if command in ("help", "-help", "--help", "-h"):
+        sys.stdout.write(USAGE)
+        return 0
+    if command in ("version", "-version", "--version", "-V"):
+        sys.stdout.write(f"{PROG} {VERSION}\n")
+        return 0
+
+    _setup_jax_precision()
+    from .aligner import DPConfig
+
+    config = DPConfig()
+    state: dict = {}
+
+    if command == "align":
+        return _cmd_align(args, config, state)
+    if command == "train":
+        return _cmd_train(args, config, state)
+    if command == "count":
+        return _cmd_count(args, config, state)
+    if command == "overlap":
+        return _cmd_overlap(args, config, state)
+    if command == "server":
+        from .server import cmd_server
+
+        return cmd_server(args, config, state)
+    sys.stderr.write(f"Unrecognized command: {command}\n")
+    return 1
+
+
+def _out_stream(state):
+    fn = state.get("align_file")
+    return open(fn, "w") if fn else sys.stdout
+
+
+def _cmd_align(args: deque, config, state) -> int:
+    from .aligner import QuaffAligner
+    from .formats.alignment import AlignmentPrinter
+
+    printer = AlignmentPrinter()
+    refs_args = SeqListArgs("-ref", want_quals=False, want_revcomps=True)
+    reads_args = SeqListArgs("-read", want_quals=True, want_revcomps=False)
+    config.kmer_threshold = DEFAULT_REFSEQ_KMER_THRESHOLD
+    implicit = ["-ref", "-read"]
+    print_all = False
+    while args:
+        if args[0] == "-printall":
+            print_all = True
+            args.popleft()
+            continue
+        if (
+            _parse_verbosity(args, state)
+            or _parse_printer(args, printer, state)
+            or _parse_dp_config(args, config)
+            or _parse_model_files(args, state)
+            or refs_args.parse(args)
+            or reads_args.parse(args)
+            or reads_args.parse_noquals(args)
+        ):
+            continue
+        if not _parse_unknown(args, implicit, True):
+            break
+
+    reads, _ = reads_args.load()
+    refs, _ = refs_args.load()
+    params = _load_params(state)
+    null = _load_or_fit_null(state, reads)
+    aligner = QuaffAligner(params, null, config, print_all=print_all)
+    out = _out_stream(state)
+    aligner.align_all(out, refs, reads, printer)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _cmd_count(args: deque, config, state) -> int:
+    from .trainer import QuaffCounter
+
+    refs_args = SeqListArgs("-ref", want_quals=False, want_revcomps=True)
+    reads_args = SeqListArgs("-read", want_quals=True, want_revcomps=False)
+    config.kmer_threshold = DEFAULT_REFSEQ_KMER_THRESHOLD
+    implicit = ["-ref", "-read"]
+    allow_null = True
+    save_counts = None
+    while args:
+        if args[0] == "-force":
+            allow_null = False
+            args.popleft()
+            continue
+        if args[0] == "-savecounts":
+            save_counts = _need_arg(args, args[0])
+            continue
+        if (
+            _parse_verbosity(args, state)
+            or _parse_dp_config(args, config)
+            or _parse_model_files(args, state)
+            or refs_args.parse(args)
+            or reads_args.parse(args)
+        ):
+            continue
+        if not _parse_unknown(args, implicit, True):
+            break
+
+    reads, _ = reads_args.load()
+    refs, _ = refs_args.load()
+    params = _load_params(state)
+    null = _load_or_fit_null(state, reads)
+    counter = QuaffCounter(params, null, config, use_null_model=allow_null)
+    counts, loglike, _ = counter.get_counts(refs, reads)
+    if save_counts:
+        with open(save_counts, "w") as f:
+            counts.write_json(f)
+            f.write("\n")
+    else:
+        counts.write_json(sys.stdout)
+    return 0
+
+
+def _cmd_train(args: deque, config, state) -> int:
+    from .model.params import QuaffParamCounts, QuaffParams
+    from .trainer import QuaffTrainer
+
+    refs_args = SeqListArgs("-ref", want_quals=False, want_revcomps=True)
+    reads_args = SeqListArgs("-read", want_quals=True, want_revcomps=False)
+    config.kmer_threshold = DEFAULT_REFSEQ_KMER_THRESHOLD
+    implicit = ["-ref", "-read"]
+    trainer = QuaffTrainer()
+    match_order, gap_order = 1, 0
+    order_specified = False
+    prior_file = None
+    save_prior = None
+    while args:
+        arg = args[0]
+        if arg == "-maxiter":
+            trainer.max_iterations = int(_need_arg(args, arg))
+            continue
+        if arg == "-mininc":
+            trainer.min_fractional_loglike_increment = float(_need_arg(args, arg))
+            continue
+        if arg == "-maxreadmb":
+            trainer.max_read_bases = int(0.5 + 1e6 * float(_need_arg(args, arg)))
+            continue
+        if arg == "-force":
+            trainer.allow_null_model = False
+            args.popleft()
+            continue
+        if arg == "-saveparams":
+            trainer.save_params_filename = _need_arg(args, arg)
+            continue
+        if arg == "-savecounts":
+            trainer.raw_counts_filename = _need_arg(args, arg)
+            continue
+        if arg == "-savecountswithprior":
+            trainer.counts_with_prior_filename = _need_arg(args, arg)
+            continue
+        if arg == "-order":
+            k = int(_need_arg(args, arg))
+            match_order, gap_order = 1 + k, k
+            order_specified = True
+            continue
+        if arg == "-suborder":
+            match_order = 1 + int(_need_arg(args, arg))
+            order_specified = True
+            continue
+        if arg == "-gaporder":
+            gap_order = int(_need_arg(args, arg))
+            order_specified = True
+            continue
+        if arg == "-prior":
+            prior_file = _need_arg(args, arg)
+            continue
+        if arg == "-saveprior":
+            save_prior = _need_arg(args, arg)
+            continue
+        if (
+            _parse_verbosity(args, state)
+            or _parse_dp_config(args, config)
+            or _parse_model_files(args, state)
+            or refs_args.parse(args)
+            or reads_args.parse(args)
+        ):
+            continue
+        if not _parse_unknown(args, implicit, True):
+            break
+
+    reads, _ = reads_args.load()
+    refs, _ = refs_args.load()
+    null = _load_or_fit_null(state, reads)
+
+    params_file = state.get("params_file")
+    if prior_file:
+        prior = QuaffParamCounts.from_json(open(prior_file).read())
+    else:
+        # auto-set prior from null model (requirePriorOrUseNullModel,
+        # t/quaff.cpp:490-515: initCounts(9, 9, 5, 1, &null))
+        if params_file and not order_specified:
+            seed_probe = QuaffParams.from_json(open(params_file).read())
+            match_order = seed_probe.match_kmer_len
+            gap_order = seed_probe.indel_kmer_len
+        prior = QuaffParamCounts.zero(match_order, gap_order)
+        prior.init_counts(9, 9, 5, 1, null)
+    if save_prior:
+        with open(save_prior, "w") as f:
+            prior.write_json(f)
+            f.write("\n")
+
+    params = _load_params(state, prior=prior)
+    new_params = trainer.fit(
+        refs,
+        reads,
+        params,
+        null,
+        prior,
+        config,
+        log=lambda msg: sys.stderr.write(msg + "\n"),
+    )
+    if not trainer.save_params_filename:
+        new_params.write_json(sys.stdout)
+    return 0
+
+
+def _cmd_overlap(args: deque, config, state) -> int:
+    from .formats.alignment import AlignmentPrinter
+    from .overlap import QuaffOverlapAligner
+
+    printer = AlignmentPrinter()
+    reads_args = SeqListArgs("-read", want_quals=True, want_revcomps=True)
+    implicit = ["-read"]
+    while args:
+        if (
+            _parse_verbosity(args, state)
+            or _parse_printer(args, printer, state)
+            or _parse_dp_config(args, config, general_only=True)
+            or _parse_model_files(args, state)
+            or reads_args.parse(args)
+            or reads_args.parse_noquals(args)
+        ):
+            continue
+        if not _parse_unknown(args, implicit, True):
+            break
+
+    seqs, n_originals = reads_args.load()
+    params = _load_params(state)
+    null = _load_or_fit_null(state, seqs)
+    aligner = QuaffOverlapAligner(params, null, config)
+    out = _out_stream(state)
+    aligner.align_all(out, seqs, n_originals, printer)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+USAGE = f"""Usage: {PROG} {{help,train,align,overlap}} [options]
+
+Commands:
+
+TRAINING
+
+ {PROG} train refs.fasta reads.fastq  >params.json
+  (to fit a model to unaligned sequences, using EM/Forward-Backward)
+
+   -maxiter <n>    Max number of EM iterations (default is 100)
+   -mininc <n>     EM convergence threshold as relative log-likelihood increase
+   -maxreadmb <n>  Use only the first n megabases of the read training set
+   -force          Force each read to match a refseq, i.e. disallow null model
+   -suborder <k>   Allow substitutions to depend on k-mer contexts
+   -gaporder <k>   Allow gap open probabilities to depend on k-mer contexts
+   -order <k>      Shorthand for '-suborder <k> -gaporder <k>'
+   -prior <file>, -saveprior <file>   Load/save prior pseudocounts
+   -saveparams <file>, -savecounts <file>, -savecountswithprior <file>
+
+ALIGNMENT
+
+ {PROG} align refs.fasta reads.fastq
+  (to align FASTQ reads to FASTA reference sequences, using Viterbi)
+
+   -printall       Print all pairwise alignments, not just best for each read
+
+ {PROG} overlap reads.fastq
+  (to find overlaps between FASTQ reads, using Viterbi)
+
+Alignment options:
+   -threshold <n>, -nothreshold    Log-odds score threshold
+   -noquals        Ignore read quality scores during alignment
+   -savealign <file>               Stream alignments to file
+   -format {{fasta,stockholm,sam,refseq}}
+
+GENERAL
+
+   -params <file>  Load model parameters from file
+   -ref <file>     Load additional FASTA reference sequences
+   -read <file>    Load additional FASTQ read sequences
+   -fwdstrand      Do not include reverse-complemented sequences
+   -global         Force all of refseq to be aligned (align/train only)
+   -null <file>, -savenull <file>  Load/save null model
+   -kmatch <k>     Length of kmers for pre-filtering heuristic (default 6)
+   -kmatchn <n>    Threshold# of kmer matches to seed a diagonal
+   -kmatchband <n> Size of DP band around kmer-matching diagonals (default 64)
+   -kmatchmb <M>   Set kmer threshold to use M megabytes of memory
+   -kmatchoff      No kmer threshold, do full DP
+"""
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,357 @@
+"""Read-vs-read overlap detection pipeline.
+
+Replaces the reference's QuaffOverlapAligner / QuaffOverlapTask /
+QuaffOverlapScheduler (src/qoverlap.cpp:304-613): the pair-emission score
+tables are built once per (params, strand) — fixing the reference's
+per-task rebuild — pairs are enumerated in the reference's order
+(ordered pairs over original reads vs everything later, including
+reverse-complement copies), and each pair's banded Viterbi runs on device
+with host traceback (including the adjacent-insert/delete squashing of
+qoverlap.cpp:231-267).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import IO, List, Optional, Tuple
+
+import numpy as np
+
+from .aligner import DPConfig, VITERBI_CELL_SIZE
+from .dp.engine import PairBatch, device_batch
+from .dp.overlap import OverlapScoreTables, overlap_device_tables, overlap_fill
+from .dp.scores import ScoreTables
+from .envelope import Envelope
+from .formats.alignment import GAP_CHAR, Alignment, AlignmentPrinter
+from .io.fastseq import FastSeq, KmerIndex, SeqIntervalCoords
+from .model.params import QuaffNullParams, QuaffParams
+
+NEG_INF = -math.inf
+MATCH, INSERT, DELETE, START = 0, 1, 2, 3
+
+
+def _y_strand_arrays(y: FastSeq, tables: OverlapScoreTables):
+    """Per-position token/k-mer arrays for the second read.
+
+    For reverse-strand pairs the reference scores the stored revcomp copy
+    with arrays from the double-revcomp (= original) sequence, reversed
+    back into the stored copy's coordinates (qoverlap.cpp:91-103); the
+    quality array stays in stored coordinates.
+    """
+    if tables.y_complemented:
+        y2 = y.revcomp()
+        y_tok = y2.tokens()[::-1].copy()
+        y_mk = y2.kmers(tables.match_kmer_len)[::-1].copy()
+        y_ik = y2.kmers(tables.indel_kmer_len)[::-1].copy()
+    else:
+        y_tok = y.tokens()
+        y_mk = y.kmers(tables.match_kmer_len)
+        y_ik = y.kmers(tables.indel_kmer_len)
+    y_q = y.qual_scores() if y.has_qual() else None
+    return y_tok, y_mk, y_ik, y_q
+
+
+def _insert_score_sum(tables: OverlapScoreTables, tok, qual) -> float:
+    if qual is not None and len(qual) == len(tok):
+        return float(np.sum(tables.insert_score[tok, qual]))
+    return float(np.sum(tables.insert_score_noq[tok]))
+
+
+class OverlapBatch:
+    """Extends PairBatch with the x-side context arrays the overlap model
+    needs (both sequences carry k-mer contexts and quality scores)."""
+
+    def __init__(self, pairs: List[Tuple[FastSeq, FastSeq, Envelope]],
+                 tables: OverlapScoreTables):
+        st = ScoreTables.__new__(ScoreTables)  # only kmer lens used by build
+        st.match_kmer_len = tables.match_kmer_len
+        st.indel_kmer_len = tables.indel_kmer_len
+        self.base = PairBatch.build(pairs, st)
+        B = len(pairs)
+        Lx = self.base.x_tok.shape[1]
+        self.x_match_kmer = np.zeros((B, Lx), dtype=np.int32)
+        self.x_indel_kmer_pad = np.zeros((B, Lx + 1), dtype=np.int32)
+        self.x_qual = np.zeros((B, Lx), dtype=np.int32)
+        self.x_has_qual = np.zeros(B, dtype=bool)
+        self.x_insert_score = np.zeros(B)
+        self.y_insert_score = np.zeros(B)
+        self.y_arrays = []
+        for b, (x, y, env) in enumerate(pairs):
+            lx = len(x.seq)
+            x_tok = x.tokens()
+            self.x_match_kmer[b, :lx] = x.kmers(tables.match_kmer_len)
+            self.x_indel_kmer_pad[b, 1 : lx + 1] = x.kmers(tables.indel_kmer_len)
+            xq = x.qual_scores() if x.has_qual() else None
+            if xq is not None:
+                self.x_qual[b, :lx] = xq
+                self.x_has_qual[b] = True
+            self.x_insert_score[b] = _insert_score_sum(tables, x_tok, xq)
+            y_tok, y_mk, y_ik, y_q = _y_strand_arrays(y, tables)
+            ly = len(y.seq)
+            self.base.y_tok[b, :ly] = y_tok
+            self.base.y_match_kmer[b, :ly] = y_mk
+            self.base.y_indel_kmer_pad[b, 1 : ly + 1] = y_ik
+            self.y_insert_score[b] = _insert_score_sum(tables, y_tok, y_q)
+            self.y_arrays.append((y_tok, y_mk, y_ik, y_q))
+
+    def device(self) -> dict:
+        import jax.numpy as jnp
+
+        d = device_batch(self.base)
+        d.update(
+            {
+                "x_match_kmer": jnp.asarray(self.x_match_kmer),
+                "x_indel_kmer_pad": jnp.asarray(self.x_indel_kmer_pad),
+                "x_qual": jnp.asarray(self.x_qual),
+                "x_has_qual": jnp.asarray(self.x_has_qual),
+                "x_insert_score": jnp.asarray(self.x_insert_score),
+                "y_insert_score": jnp.asarray(self.y_insert_score),
+            }
+        )
+        return d
+
+
+def overlap_traceback(
+    x: FastSeq,
+    y: FastSeq,
+    env: Envelope,
+    tables: OverlapScoreTables,
+    mat: np.ndarray,
+    ins: np.ndarray,
+    dele: np.ndarray,
+    result: float,
+) -> Alignment:
+    """QuaffOverlapViterbiMatrix::alignment (qoverlap.cpp:162-290)."""
+    x_len, y_len = len(x.seq), len(y.seq)
+    x_tok = x.tokens()
+    x_mk = x.kmers(tables.match_kmer_len)
+    x_ik = np.concatenate([[0], x.kmers(tables.indel_kmer_len)])
+    x_q = x.qual_scores() if x.has_qual() else None
+    y_tok, y_mk, y_ik_raw, y_q = _y_strand_arrays(y, tables)
+    y_ik = np.concatenate([[0], y_ik_raw])
+
+    d_lo, W = env.band_lo, env.band_width
+
+    def cell(arr, i, j):
+        if j < 0 or j > y_len or i < 0 or i > x_len:
+            return NEG_INF
+        w = i - j - d_lo
+        if w < 0 or w >= W:
+            return NEG_INF
+        return float(arr[j, w])
+
+    def match_emit(i, j):
+        xi, yj = x_mk[i - 1], y_mk[j - 1]
+        if x_q is not None and y_q is not None:
+            return float(tables.pair_qq[xi, yj, x_q[i - 1], y_q[j - 1]])
+        if x_q is not None:
+            return float(tables.pair_xq[xi, yj, x_q[i - 1]])
+        if y_q is not None:
+            return float(tables.pair_yq[xi, yj, y_q[j - 1]])
+        return float(tables.pair_nn[xi, yj])
+
+    def m2m(i, j):
+        return float(tables.m2m[x_ik[i], y_ik[j]])
+
+    def m2i(i, j):
+        return float(tables.m2i[x_ik[i], y_ik[j]])
+
+    def m2d(i, j):
+        return float(tables.m2d[x_ik[i], y_ik[j]])
+
+    # end cell: best over the last row and last column (qoverlap.cpp:164-182)
+    x_end, y_end = x_len, y_len
+    best = cell(mat, x_len, y_len)
+    for i_end in range(x_len, 0, -1):
+        sc = cell(mat, i_end, y_len)
+        if sc > best:
+            best, x_end, y_end = sc, i_end, y_len
+    for j_end in range(y_len, 0, -1):
+        sc = cell(mat, x_len, j_end)
+        if sc > best:
+            best, x_end, y_end = sc, x_len, j_end
+
+    i, j = x_end, y_end
+    x_row: List[str] = []
+    y_row: List[str] = []
+    xq_row: List[str] = []
+    yq_row: List[str] = []
+    x_del: List[str] = []
+    xq_del: List[str] = []
+    y_ins: List[str] = []
+    yq_ins: List[str] = []
+    state = MATCH
+
+    def prepend(dst, items):
+        dst[:0] = items
+
+    while state != START:
+        if state == MATCH:
+            emit = match_emit(i, j)
+            i -= 1
+            j -= 1
+            new_x, new_y = [x.seq[i]], [y.seq[j]]
+            new_xq = [x.qual[i]] if x_q is not None else []
+            new_yq = [y.qual[j]] if y_q is not None else []
+            cands = [
+                (cell(mat, i, j) + m2m(i, j) + emit, MATCH),
+                (cell(ins, i, j) + tables.i2m_eff + emit, INSERT),
+                (cell(dele, i, j) + tables.d2m_eff + emit, DELETE),
+            ]
+            if j == 0 or i == 0:
+                cands.append((emit, START))
+            prepend(x_row, new_x)
+            prepend(y_row, new_y)
+            prepend(xq_row, new_xq)
+            prepend(yq_row, new_yq)
+        elif state == INSERT:
+            j -= 1
+            prepend(y_ins, [y.seq[j]])
+            if y_q is not None:
+                prepend(yq_ins, [y.qual[j]])
+            cands = [
+                (cell(mat, i, j) + m2i(i, j), MATCH),
+                (cell(ins, i, j) + tables.i2i_eff, INSERT),
+                (cell(dele, i, j) + tables.d2i_eff, DELETE),
+            ]
+        else:  # DELETE
+            i -= 1
+            prepend(x_del, [x.seq[i]])
+            if x_q is not None:
+                prepend(xq_del, [x.qual[i]])
+            cands = [
+                (cell(mat, i, j) + m2d(i, j), MATCH),
+                (cell(ins, i, j) + tables.i2d_eff, INSERT),
+                (cell(dele, i, j) + tables.d2d_eff, DELETE),
+            ]
+        src, state = NEG_INF, None
+        for sc, st in cands:
+            if sc > src:
+                src, state = sc, st
+        if state is None:
+            raise RuntimeError("Overlap traceback error: no finite source")
+
+        if state == MATCH:
+            # squash adjacent insertions & deletions (qoverlap.cpp:231-267)
+            ins_len, del_len = len(y_ins), len(x_del)
+            shared = min(ins_len, del_len)
+            extra_ins, extra_del = ins_len - shared, del_len - shared
+            # gap-over-y columns (the unshared tail of the insert run)
+            prepend(x_row, [GAP_CHAR] * extra_ins)
+            prepend(y_row, y_ins[shared:])
+            if x_q is not None:
+                prepend(xq_row, ["~"] * extra_ins)
+            if y_q is not None:
+                prepend(yq_row, yq_ins[shared:])
+            # x-over-gap columns
+            prepend(x_row, x_del[shared:])
+            prepend(y_row, [GAP_CHAR] * extra_del)
+            if x_q is not None:
+                prepend(xq_row, xq_del[shared:])
+            if y_q is not None:
+                prepend(yq_row, ["~"] * extra_del)
+            # shared columns become aligned pairs
+            prepend(x_row, x_del[:shared])
+            prepend(y_row, y_ins[:shared])
+            if x_q is not None:
+                prepend(xq_row, xq_del[:shared])
+            if y_q is not None:
+                prepend(yq_row, yq_ins[:shared])
+            x_del, xq_del, y_ins, yq_ins = [], [], [], []
+
+    x_start, y_start = i + 1, j + 1
+    row_x = FastSeq(
+        name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
+    )
+    row_y = FastSeq(
+        name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
+    )
+    row_x.seq = "".join(x_row)
+    row_y.seq = "".join(y_row)
+    row_x.qual = "".join(xq_row)
+    row_y.qual = "".join(yq_row)
+    row_x.source = SeqIntervalCoords(x.name, x_start, x_end, False).compose(x.source)
+    row_y.source = SeqIntervalCoords(y.name, y_start, y_end, False).compose(y.source)
+    return Alignment(gapped_seq=[row_x, row_y], score=result)
+
+
+class QuaffOverlapAligner:
+    def __init__(
+        self,
+        params: QuaffParams,
+        null_model: QuaffNullParams,
+        config: DPConfig,
+    ):
+        self.params = params
+        self.null_model = null_model
+        self.config = config
+        base = ScoreTables.from_params(params)
+        self.tables_fwd = OverlapScoreTables.from_params(params, False, base)
+        self.tables_rev: Optional[OverlapScoreTables] = None
+        self._tdev_fwd = overlap_device_tables(self.tables_fwd)
+        self._tdev_rev = None
+        self._base = base
+
+    def _tables(self, y_complemented: bool):
+        if not y_complemented:
+            return self.tables_fwd, self._tdev_fwd
+        if self.tables_rev is None:
+            self.tables_rev = OverlapScoreTables.from_params(
+                self.params, True, self._base
+            )
+            self._tdev_rev = overlap_device_tables(self.tables_rev)
+        return self.tables_rev, self._tdev_rev
+
+    def enumerate_pairs(self, seqs: List[FastSeq], n_originals: int):
+        """The reference scheduler's pair order (qoverlap.cpp:475-547):
+        (nx, ny) ascending with nx < ny, stopping once nx+1 >= nOriginals;
+        ny >= nOriginals means the second read is a revcomp copy."""
+        for nx in range(len(seqs)):
+            if nx + 1 >= n_originals:
+                break
+            for ny in range(nx + 1, len(seqs)):
+                yield nx, ny, ny >= n_originals
+
+    def overlap_pair(
+        self, x: FastSeq, y: FastSeq, y_complemented: bool
+    ) -> Optional[Alignment]:
+        tables, tdev = self._tables(y_complemented)
+        y_index = KmerIndex(y, self.config.kmer_len)
+        env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
+        batch = OverlapBatch([(x, y, env)], tables)
+        res = overlap_fill(
+            tdev,
+            batch.device(),
+            return_matrices=True,
+            dtype=self.config.resolve_dtype(),
+        )
+        score = float(np.asarray(res["score"])[0])
+        if not math.isfinite(score):
+            return None
+        a = overlap_traceback(
+            x,
+            y,
+            env,
+            tables,
+            np.asarray(res["mat"])[0],
+            np.asarray(res["ins"])[0],
+            np.asarray(res["del"])[0],
+            score,
+        )
+        x_null = self.null_model.log_likelihood(x)
+        y_null = self.null_model.log_likelihood(y.revcomp() if y_complemented else y)
+        a.score -= x_null + y_null
+        return a
+
+    def align_all(
+        self,
+        out: IO[str],
+        seqs: List[FastSeq],
+        n_originals: int,
+        printer: AlignmentPrinter,
+    ) -> None:
+        printer.write_header(out, seqs, group_by_query=False)
+        for nx, ny, y_comp in self.enumerate_pairs(seqs, n_originals):
+            a = self.overlap_pair(seqs[nx], seqs[ny], y_comp)
+            if a is not None:
+                printer.write_alignment(out, a)

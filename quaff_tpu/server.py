@@ -1,0 +1,348 @@
+"""JSON-over-TCP worker protocol (server mode + remote client).
+
+Wire-compatible reimplementation of the reference's socket layer
+(src/qmodel.cpp:2043-2166, 2648-2756; framing src/jsonutil.h:17,
+jsonutil.cpp:116-131): requests and replies are framed by a literal
+"# EOF" line; a listening server prints "# READY" on stdout (the ssh
+bootstrap handshake, qmodel.h:54); {"quit":1} shuts a worker down.
+Count jobs carry the full params+null model and return counts JSON with
+{"yName","xSort","loglike","counts"}; align/overlap jobs carry sequence
+names and return formatted alignment text.
+
+On TPU pods the native scale-out path is the device mesh (parallel/);
+this protocol exists for reference-parity deployments and loopback tests.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import sys
+import threading
+from collections import deque
+from typing import IO, List, Optional
+
+TERMINATOR = "# EOF"
+READY = "# READY"
+
+
+# ---------------------------------------------------------------------------
+# framing
+
+
+def send_framed(sock: socket.socket, payload: str) -> None:
+    sock.sendall((payload + TERMINATOR + "\n").encode())
+
+
+def recv_framed(f) -> Optional[str]:
+    """Read lines until the terminator line; returns payload or None on EOF."""
+    lines: List[str] = []
+    while True:
+        line = f.readline()
+        if not line:
+            return None
+        text = line.decode("latin-1", "replace")
+        if text.rstrip("\r\n").startswith(TERMINATOR):
+            return "".join(lines)
+        lines.append(text)
+
+
+def json_escape(s: str) -> str:
+    return json.dumps(s)
+
+
+# ---------------------------------------------------------------------------
+# job handlers (server side)
+
+
+def _counts_reply(name: str, sort_order: List[int], loglike: float, counts) -> str:
+    """writeJsonWithMeta (qmodel.cpp:472-478)."""
+    from .model.params import fmt
+
+    out = io.StringIO()
+    out.write(f'{{"yName": {json_escape(name)},\n')
+    out.write(f' "xSort": [ {", ".join(str(i) for i in sort_order)} ],\n')
+    out.write(f' "loglike": {fmt(loglike)},\n')
+    out.write(' "counts": ')
+    counts.write_json(out)
+    out.write(" }\n")
+    return out.getvalue()
+
+
+class QuaffServer:
+    """One worker process serving count / align / overlap jobs."""
+
+    def __init__(self, mode: str, config, refs, reads, n_originals: int,
+                 printer=None, params=None, null_model=None, print_all=False,
+                 use_null_model=True):
+        self.mode = mode
+        self.config = config
+        self.refs = refs
+        self.reads = reads
+        self.n_originals = n_originals
+        self.printer = printer
+        self.params = params
+        self.null_model = null_model
+        self.print_all = print_all
+        self.use_null_model = use_null_model
+        self.read_index = {s.name: i for i, s in enumerate(reads)}
+
+    def handle_job(self, job: dict) -> Optional[str]:
+        if "quit" in job:
+            return None
+        if self.mode == "count":
+            return self._count_job(job)
+        if self.mode == "align":
+            return self._align_job(job)
+        if self.mode == "overlap":
+            return self._overlap_job(job)
+        raise ValueError(self.mode)
+
+    def _count_job(self, job: dict) -> str:
+        from .model.params import QuaffNullParams, QuaffParams
+        from .trainer import QuaffCounter
+
+        name = job["yName"]
+        y = self.reads[self.read_index[name]]
+        params = QuaffParams.from_json(job["params"])
+        null = QuaffNullParams.from_json(job["null"])
+        sort_order = [int(v) for v in job["xSort"]]
+        counter = QuaffCounter(params, null, self.config, self.use_null_model)
+        counts, loglike, new_order = counter.count_read(self.refs, y, sort_order)
+        return _counts_reply(name, new_order, loglike, counts)
+
+    def _align_job(self, job: dict) -> str:
+        from .aligner import QuaffAligner
+
+        name = job["yName"]
+        y = self.reads[self.read_index[name]]
+        aligner = QuaffAligner(
+            self.params, self.null_model, self.config, print_all=self.print_all
+        )
+        out = io.StringIO()
+        for a in aligner.align_read(self.refs, y):
+            self.printer.write_alignment(out, a)
+        return out.getvalue()
+
+    def _overlap_job(self, job: dict) -> str:
+        from .overlap import QuaffOverlapAligner
+
+        x = self.reads[self.read_index[job["xName"]]]
+        y = self.reads[self.read_index[job["yName"]]]
+        y_comp = bool(job.get("yComplemented", 0))
+        aligner = QuaffOverlapAligner(self.params, self.null_model, self.config)
+        a = aligner.overlap_pair(x, y, y_comp)
+        out = io.StringIO()
+        if a is not None:
+            self.printer.write_alignment(out, a)
+        return out.getvalue()
+
+    # -- socket loop ------------------------------------------------------
+
+    def serve(self, port: int, n_ports: int = 1) -> None:
+        """Listen on ports port..port+n_ports-1 (one thread each), print
+        the READY sentinel, serve until {"quit":1}."""
+        quit_event = threading.Event()
+        threads = []
+        socks = []
+        for p in range(port, port + n_ports):
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind(("", p))
+            srv.listen(8)
+            srv.settimeout(0.5)
+            socks.append(srv)
+            t = threading.Thread(target=self._port_loop, args=(srv, quit_event))
+            t.daemon = True
+            threads.append(t)
+        for t in threads:
+            t.start()
+        print(READY, flush=True)
+        for t in threads:
+            t.join()
+
+    def _port_loop(self, srv: socket.socket, quit_event: threading.Event) -> None:
+        while not quit_event.is_set():
+            try:
+                sock, _ = srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            with sock:
+                f = sock.makefile("rb")
+                while True:
+                    payload = recv_framed(f)
+                    if payload is None:
+                        break
+                    try:
+                        job = json.loads(payload)
+                    except json.JSONDecodeError:
+                        continue
+                    result = self.handle_job(job)
+                    if result is None:
+                        quit_event.set()
+                        srv.close()
+                        return
+                    send_framed(sock, result)
+
+    def run_job_file(self, filename: str, out: IO[str]) -> None:
+        """Single-shot -job mode (qmodel.cpp:2043-2050): run one task from
+        a job file and print the result to stdout."""
+        job = json.loads(open(filename).read())
+        result = self.handle_job(job)
+        if result is not None:
+            out.write(result)
+
+
+# ---------------------------------------------------------------------------
+# remote client
+
+
+class RemoteWorker:
+    """Client connection to one remote worker (RemoteServer,
+    qmodel.cpp:678-705)."""
+
+    def __init__(self, addr: str, port: int, timeout: float = 3600.0):
+        self.addr = addr
+        self.port = port
+        self.timeout = timeout
+        self._sock: Optional[socket.socket] = None
+        self._file = None
+
+    def _connect(self):
+        if self._sock is None:
+            self._sock = socket.create_connection(
+                (self.addr, self.port), timeout=self.timeout
+            )
+            self._file = self._sock.makefile("rb")
+        return self._sock
+
+    def request(self, payload: str) -> str:
+        sock = self._connect()
+        send_framed(sock, payload)
+        reply = recv_framed(self._file)
+        if reply is None:
+            raise ConnectionError(f"Connection to {self.addr}:{self.port} lost")
+        return reply
+
+    def quit(self) -> None:
+        try:
+            sock = self._connect()
+            send_framed(sock, '{"quit": 1}')
+        except OSError:
+            pass
+        self.close()
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+                self._file = None
+
+
+# ---------------------------------------------------------------------------
+# CLI entry
+
+
+def cmd_server(args: deque, config, state) -> int:
+    from .cli import (
+        SeqListArgs,
+        _load_or_fit_null,
+        _load_params,
+        _need_arg,
+        _parse_dp_config,
+        _parse_model_files,
+        _parse_printer,
+        _parse_unknown,
+        _parse_verbosity,
+        DEFAULT_REFSEQ_KMER_THRESHOLD,
+    )
+    from .formats.alignment import AlignmentPrinter
+
+    if not args:
+        sys.stderr.write("server needs a command\n")
+        return 1
+    mode = args.popleft()
+    if mode not in ("align", "count", "overlap"):
+        sys.stderr.write(f"Unrecognized server command: {mode}\n")
+        return 1
+
+    printer = AlignmentPrinter()
+    port = 8000
+    job_file = None
+    n_ports = 1
+    print_all = False
+    use_null = True
+    if mode in ("align", "count"):
+        config.kmer_threshold = DEFAULT_REFSEQ_KMER_THRESHOLD
+        refs_args = SeqListArgs("-ref", want_quals=False, want_revcomps=True)
+        reads_args = SeqListArgs(
+            "-read", want_quals=(mode == "align"), want_revcomps=False
+        )
+        implicit = ["-ref", "-read"]
+    else:
+        refs_args = None
+        reads_args = SeqListArgs("-read", want_quals=True, want_revcomps=True)
+        implicit = ["-read"]
+
+    while args:
+        arg = args[0]
+        if arg == "-port":
+            port = int(_need_arg(args, arg))
+            continue
+        if arg == "-job":
+            job_file = _need_arg(args, arg)
+            continue
+        if arg == "-printall":
+            print_all = True
+            args.popleft()
+            continue
+        if arg == "-force":
+            use_null = False
+            args.popleft()
+            continue
+        if (
+            _parse_verbosity(args, state)
+            or _parse_printer(args, printer, state)
+            or _parse_dp_config(args, config)
+            or _parse_model_files(args, state)
+            or (refs_args is not None and refs_args.parse(args))
+            or reads_args.parse(args)
+            or reads_args.parse_noquals(args)
+        ):
+            continue
+        if not _parse_unknown(args, implicit, True):
+            break
+
+    reads, n_originals = reads_args.load()
+    refs = reads
+    if refs_args is not None:
+        refs, _ = refs_args.load()
+
+    params = null = None
+    if mode in ("align", "overlap"):
+        params = _load_params(state)
+        null = _load_or_fit_null(state, reads)
+
+    n_ports = max(1, config.threads)
+    server = QuaffServer(
+        mode,
+        config,
+        refs,
+        reads,
+        n_originals,
+        printer=printer,
+        params=params,
+        null_model=null,
+        print_all=print_all,
+        use_null_model=use_null,
+    )
+    if job_file:
+        server.run_job_file(job_file, sys.stdout)
+    else:
+        server.serve(port, n_ports)
+    return 0

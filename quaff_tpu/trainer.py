@@ -1,0 +1,232 @@
+"""Baum-Welch EM training and E-step counting.
+
+Replaces the reference's QuaffTrainer / QuaffCountingScheduler / counting
+tasks (src/qmodel.cpp:1909-2478): the per-(read, ref) Forward-Backward
+fills run as batched device computations (dp_forward_backward); the
+reference's per-read bookkeeping — null-model baseline, running
+log-likelihood, the Δ=20 backward-pass skip, posterior count weighting,
+and best-first ref ordering with pruning (qmodel.cpp:2238-2271) — is kept
+exactly so EM trajectories match.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import IO, List, Optional, Tuple
+
+import numpy as np
+
+from .aligner import DPConfig, FWDBACK_CELL_SIZE
+from .dp.counts import dp_forward_backward
+from .dp.engine import PairBatch, device_batch, device_tables
+from .dp.scores import ScoreTables
+from .io.fastseq import FastSeq, KmerIndex
+from .model.params import QuaffCounts, QuaffNullParams, QuaffParamCounts, QuaffParams
+
+# EM convergence parameters (reference qmodel.h:19-20)
+MAX_EM_ITERATIONS = 100
+MIN_EM_LOGLIKE_INC = 0.01
+
+# drop refs whose log-likelihood trails the total by more than this
+# (MAX_TRAINING_LOG_DELTA, qmodel.cpp:23)
+MAX_TRAINING_LOG_DELTA = 20.0
+
+
+def _log_sum_exp(a: float, b: float) -> float:
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    m = max(a, b)
+    return m + math.log1p(math.exp(-abs(a - b)))
+
+
+def _extract_pair_counts(res: dict, b: int, mk: int, ik: int) -> QuaffCounts:
+    return QuaffCounts(
+        match_kmer_len=mk,
+        indel_kmer_len=ik,
+        insert=np.asarray(res["insert_counts"][b], dtype=np.float64),
+        match=np.asarray(res["match_counts"][b], dtype=np.float64),
+        m2m=np.asarray(res["m2m"][b], dtype=np.float64),
+        m2i=np.asarray(res["m2i"][b], dtype=np.float64),
+        m2d=np.asarray(res["m2d"][b], dtype=np.float64),
+        m2e=np.asarray(res["m2e"][b], dtype=np.float64),
+        i2i=float(res["i2i"][b]),
+        i2m=float(res["i2m"][b]),
+        d2d=float(res["d2d"][b]),
+        d2m=float(res["d2m"][b]),
+    )
+
+
+class QuaffCounter:
+    """E-step count computation for reads against references."""
+
+    def __init__(
+        self,
+        params: QuaffParams,
+        null_model: QuaffNullParams,
+        config: DPConfig,
+        use_null_model: bool = True,
+    ):
+        self.params = params
+        self.null_model = null_model
+        self.config = config
+        self.use_null_model = use_null_model
+        self.tables = ScoreTables.from_params(params)
+        self._tdev = device_tables(self.tables)
+
+    def count_read(
+        self, refs: List[FastSeq], y: FastSeq, sort_order: List[int]
+    ) -> Tuple[QuaffParamCounts, float, List[int]]:
+        """One read's posterior-weighted counts against all refs
+        (QuaffCountingTask::run, qmodel.cpp:2238-2271).
+
+        Returns (counts, log-likelihood, updated ref sort order).
+        """
+        mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
+        y_counts = QuaffParamCounts.zero(mk, ik)
+        y_null_ll = (
+            self.null_model.log_likelihood(y) if self.use_null_model else -math.inf
+        )
+        if not sort_order:
+            return y_counts, y_null_ll, sort_order
+
+        y_index = KmerIndex(y, self.config.kmer_len)
+        envs = {
+            nx: self.config.make_envelope(refs[nx], y_index, FWDBACK_CELL_SIZE)
+            for nx in sort_order
+        }
+        pairs = [(refs[nx], y, envs[nx]) for nx in sort_order]
+        batch = PairBatch.build(pairs, self.tables)
+        res = dp_forward_backward(
+            self._tdev,
+            device_batch(batch),
+            local=self.config.local,
+            dtype=self.config.resolve_dtype(),
+            num_match_kmers=self.params.num_match_kmers,
+            num_indel_kmers=self.params.num_indel_kmers,
+        )
+        fwd = np.asarray(res["fwd_score"], dtype=np.float64)
+
+        # replicate the reference's running-loglike backward-skip logic
+        xy_loglike = np.full(len(refs), -math.inf)
+        took_backward = np.zeros(len(refs), dtype=bool)
+        y_loglike = y_null_ll
+        for pos, nx in enumerate(sort_order):
+            xy_loglike[nx] = fwd[pos]
+            if xy_loglike[nx] >= y_loglike - MAX_TRAINING_LOG_DELTA:
+                took_backward[nx] = True
+            y_loglike = _log_sum_exp(y_loglike, xy_loglike[nx])
+
+        for pos, nx in enumerate(sort_order):
+            if not took_backward[nx] or not math.isfinite(xy_loglike[nx]):
+                continue
+            post = math.exp(xy_loglike[nx] - y_loglike)
+            qc = _extract_pair_counts(res, pos, mk, ik)
+            y_counts.add_weighted(QuaffParamCounts.from_counts(qc), post)
+
+        # best-first resort, pruning unproductive refs (qmodel.cpp:2264-2270)
+        new_order = sorted(range(len(refs)), key=lambda nx: -xy_loglike[nx])
+        new_order = [
+            nx
+            for nx in new_order
+            if xy_loglike[nx] >= y_loglike - MAX_TRAINING_LOG_DELTA
+        ]
+        return y_counts, y_loglike, new_order
+
+    def get_counts(
+        self,
+        refs: List[FastSeq],
+        reads: List[FastSeq],
+        sort_order: Optional[List[List[int]]] = None,
+    ) -> Tuple[QuaffParamCounts, float, List[List[int]]]:
+        """Counts summed over all reads (QuaffTrainer::getCounts)."""
+        mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
+        if sort_order is None:
+            sort_order = [list(range(len(refs))) for _ in reads]
+        total = QuaffParamCounts.zero(mk, ik)
+        loglike = 0.0
+        new_orders: List[List[int]] = []
+        for ny, y in enumerate(reads):
+            y_counts, y_ll, order = self.count_read(refs, y, sort_order[ny])
+            total.add_weighted(y_counts, 1.0)
+            loglike += y_ll
+            new_orders.append(order)
+        return total, loglike, new_orders
+
+
+@dataclass
+class QuaffTrainer:
+    """EM driver (QuaffTrainer::fit, qmodel.cpp:2169-2231)."""
+
+    max_iterations: int = MAX_EM_ITERATIONS
+    min_fractional_loglike_increment: float = MIN_EM_LOGLIKE_INC
+    max_read_bases: int = 0
+    allow_null_model: bool = True
+    save_params_filename: str = ""
+    raw_counts_filename: str = ""
+    counts_with_prior_filename: str = ""
+
+    def fit(
+        self,
+        refs: List[FastSeq],
+        reads: List[FastSeq],
+        seed: QuaffParams,
+        null_model: QuaffNullParams,
+        pseudocounts: QuaffParamCounts,
+        config: DPConfig,
+        log=lambda *a: None,
+    ) -> QuaffParams:
+        if self.max_read_bases > 0:
+            limited = []
+            bases = 0
+            for y in reads:
+                limited.append(y)
+                bases += len(y.seq)
+                if bases >= self.max_read_bases:
+                    break
+            reads = limited
+        assert pseudocounts.match_kmer_len == seed.match_kmer_len
+        assert pseudocounts.indel_kmer_len == seed.indel_kmer_len
+
+        qp = seed
+        prev_ll_with_prior = -math.inf
+        sort_order = [list(range(len(refs))) for _ in reads]
+        for it in range(self.max_iterations):
+            counter = QuaffCounter(qp, null_model, config, self.allow_null_model)
+            counts, loglike, sort_order = counter.get_counts(refs, reads, sort_order)
+            if self.raw_counts_filename:
+                with open(self.raw_counts_filename, "w") as f:
+                    counts.write_json(f)
+                    f.write("\n")
+            log_prior = pseudocounts.log_prior(qp)
+            ll_with_prior = loglike + log_prior
+            log(
+                f"EM iteration {it + 1}: log-likelihood ({loglike:g}) + "
+                f"log-prior ({log_prior:g}) = {ll_with_prior:g}"
+            )
+            if it > 0 and ll_with_prior < prev_ll_with_prior + abs(
+                prev_ll_with_prior
+            ) * self.min_fractional_loglike_increment:
+                break
+            prev_ll_with_prior = ll_with_prior
+
+            counts_with_prior = QuaffParamCounts.zero(
+                qp.match_kmer_len, qp.indel_kmer_len
+            )
+            counts_with_prior.add_weighted(counts, 1.0)
+            counts_with_prior.add_weighted(pseudocounts, 1.0)
+            if self.counts_with_prior_filename:
+                with open(self.counts_with_prior_filename, "w") as f:
+                    counts_with_prior.write_json(f)
+                    f.write("\n")
+
+            qp = counts_with_prior.fit()
+            qp.fit_ref_seqs(refs)
+
+            if self.save_params_filename:
+                with open(self.save_params_filename, "w") as f:
+                    qp.write_json(f)
+                    f.write("\n")
+        return qp

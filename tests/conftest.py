@@ -17,7 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; force the CPU
+# backend through the config instead
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the big banded-DP scans compile slowly on
+# the CPU backend; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pathlib
 
