@@ -52,6 +52,7 @@ class DPConfig:
     auto_mem_size: bool = False
     threads: int = 1
     dtype: Optional[object] = None  # None -> f64 if jax x64 enabled else f32
+    remotes: list = field(default_factory=list)  # [(addr, port), ...]
 
     def effective_max_size(self) -> int:
         return self.max_size // self.threads if self.auto_mem_size else self.max_size

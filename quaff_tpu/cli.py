@@ -143,6 +143,19 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
     if arg == "-threads":
         config.threads = int(_need_arg(args, arg))
         return True
+    if arg == "-remote":
+        import re
+
+        spec = _need_arg(args, arg)
+        m = re.fullmatch(r"(?:([^@]+)@)?([-A-Za-z0-9.]+)(?::(\d+)(?:-(\d+))?)?", spec)
+        if not m:
+            _fail(f"Can't parse server address: {spec}")
+        addr = m.group(2)
+        lo = int(m.group(3)) if m.group(3) else 8000
+        hi = int(m.group(4)) if m.group(4) else lo
+        for port in range(lo, hi + 1):
+            config.remotes.append((addr, port))
+        return True
     if arg == "-maxthreads":
         import os
 
@@ -362,9 +375,17 @@ def _cmd_align(args: deque, config, state) -> int:
     refs, _ = refs_args.load()
     params = _load_params(state)
     null = _load_or_fit_null(state, reads)
-    aligner = QuaffAligner(params, null, config, print_all=print_all)
     out = _out_stream(state)
-    aligner.align_all(out, refs, reads, printer)
+    if config.remotes:
+        from .server import RemoteWorker, remote_align_all
+
+        workers = [RemoteWorker(a, p) for a, p in config.remotes]
+        remote_align_all(out, workers, reads, refs, printer)
+        for w in workers:
+            w.close()
+    else:
+        aligner = QuaffAligner(params, null, config, print_all=print_all)
+        aligner.align_all(out, refs, reads, printer)
     if out is not sys.stdout:
         out.close()
     return 0
@@ -402,8 +423,16 @@ def _cmd_count(args: deque, config, state) -> int:
     refs, _ = refs_args.load()
     params = _load_params(state)
     null = _load_or_fit_null(state, reads)
-    counter = QuaffCounter(params, null, config, use_null_model=allow_null)
-    counts, loglike, _ = counter.get_counts(refs, reads)
+    if config.remotes:
+        from .server import RemoteWorker, remote_get_counts
+
+        workers = [RemoteWorker(a, p) for a, p in config.remotes]
+        counts, loglike, _ = remote_get_counts(workers, refs, reads, params, null)
+        for w in workers:
+            w.close()
+    else:
+        counter = QuaffCounter(params, null, config, use_null_model=allow_null)
+        counts, loglike, _ = counter.get_counts(refs, reads)
     if save_counts:
         with open(save_counts, "w") as f:
             counts.write_json(f)
@@ -539,9 +568,20 @@ def _cmd_overlap(args: deque, config, state) -> int:
     seqs, n_originals = reads_args.load()
     params = _load_params(state)
     null = _load_or_fit_null(state, seqs)
-    aligner = QuaffOverlapAligner(params, null, config)
     out = _out_stream(state)
-    aligner.align_all(out, seqs, n_originals, printer)
+    if config.remotes:
+        from .server import RemoteWorker, remote_overlap_all
+
+        workers = [RemoteWorker(a, p) for a, p in config.remotes]
+        aligner = QuaffOverlapAligner.__new__(QuaffOverlapAligner)
+        remote_overlap_all(
+            out, workers, seqs, n_originals, printer, aligner.enumerate_pairs
+        )
+        for w in workers:
+            w.close()
+    else:
+        aligner = QuaffOverlapAligner(params, null, config)
+        aligner.align_all(out, seqs, n_originals, printer)
     if out is not sys.stdout:
         out.close()
     return 0

@@ -66,6 +66,7 @@ def sharded_viterbi_scores(
         mesh=mesh,
         in_specs=(P(), pspec),
         out_specs=P("dp", "mp"),
+        check_vma=False,
     )
     return f(tables_dev, pair_arrays)
 
@@ -139,6 +140,7 @@ def sharded_estep(
         mesh=mesh,
         in_specs=(P(), pspec, P("dp")),
         out_specs=(P(), P(), P("dp")),
+        check_vma=False,
     )
     return f(tables_dev, pair_arrays, null_loglike)
 

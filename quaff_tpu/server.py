@@ -32,18 +32,26 @@ READY = "# READY"
 
 
 def send_framed(sock: socket.socket, payload: str) -> None:
+    if payload and not payload.endswith("\n"):
+        payload += "\n"
     sock.sendall((payload + TERMINATOR + "\n").encode())
 
 
 def recv_framed(f) -> Optional[str]:
-    """Read lines until the terminator line; returns payload or None on EOF."""
+    """Read until the terminator; returns payload or None on EOF.
+
+    Like the reference's readStringFromSocket (jsonutil.cpp:116-131), the
+    terminator is matched anywhere in the stream, not just at line start.
+    """
     lines: List[str] = []
     while True:
         line = f.readline()
         if not line:
             return None
         text = line.decode("latin-1", "replace")
-        if text.rstrip("\r\n").startswith(TERMINATOR):
+        pos = text.find(TERMINATOR)
+        if pos >= 0:
+            lines.append(text[:pos])
             return "".join(lines)
         lines.append(text)
 
@@ -346,3 +354,124 @@ def cmd_server(args: deque, config, state) -> int:
     else:
         server.serve(port, n_ports)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# remote task orchestration (client side)
+#
+# Replaces remoteRunQuaff*Tasks (qmodel.cpp:2450-2478, 2884-2929;
+# qoverlap.cpp:583-613): one worker thread per remote connection pulls
+# tasks from a shared queue and prints replies under an output lock.
+
+
+def _run_remote_workers(workers, task_iter, handle_reply):
+    import queue
+
+    q: "queue.Queue" = queue.Queue()
+    for item in task_iter:
+        q.put(item)
+    out_lock = threading.Lock()
+    errors: List[BaseException] = []
+
+    def loop(worker: RemoteWorker):
+        while True:
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                reply = worker.request(item[0])
+            except BaseException as e:  # requeue and quit this worker
+                q.put(item)
+                errors.append(e)
+                return
+            with out_lock:
+                handle_reply(item, reply)
+
+    threads = [threading.Thread(target=loop, args=(w,)) for w in workers]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if not q.empty():
+        raise ConnectionError(f"remote workers failed with {len(errors)} errors: {errors[:1]}")
+
+
+def remote_align_all(out, workers, reads, refs, printer) -> None:
+    """Delegate per-read alignment tasks to remote workers
+    (QuaffAlignmentTask::toJson carries just the read name,
+    qmodel.cpp:2809-2813)."""
+    printer.write_header(out, refs, group_by_query=True)
+    tasks = [(json.dumps({"yName": y.name}), y.name) for y in reads]
+    if len(workers) == 1:
+        # deterministic read order with a single worker
+        for payload, _ in tasks:
+            out.write(workers[0].request(payload))
+    else:
+        _run_remote_workers(workers, tasks, lambda item, reply: out.write(reply))
+
+
+def remote_overlap_all(out, workers, seqs, n_originals, printer, enumerate_pairs) -> None:
+    printer.write_header(out, seqs, group_by_query=False)
+    tasks = []
+    for nx, ny, y_comp in enumerate_pairs(seqs, n_originals):
+        payload = json.dumps(
+            {"xName": seqs[nx].name, "yName": seqs[ny].name,
+             "yComplemented": 1 if y_comp else 0}
+        )
+        tasks.append((payload, (nx, ny)))
+    if len(workers) == 1:
+        for payload, _ in tasks:
+            out.write(workers[0].request(payload))
+    else:
+        _run_remote_workers(workers, tasks, lambda item, reply: out.write(reply))
+
+
+def remote_get_counts(workers, refs, reads, params, null_model, sort_order=None):
+    """Delegate counting tasks; merge per-read counts client-side
+    (remoteRunQuaffCountingTasks + finalCounts, qmodel.cpp:2416-2478)."""
+    import io as _io
+
+    from .model.params import QuaffParamCounts
+
+    mk, ik = params.match_kmer_len, params.indel_kmer_len
+    if sort_order is None:
+        sort_order = [list(range(len(refs))) for _ in reads]
+    params_json = _io.StringIO()
+    params.write_json(params_json)
+    null_json = _io.StringIO()
+    null_model.write_json(null_json)
+
+    total = QuaffParamCounts.zero(mk, ik)
+    loglike = 0.0
+    new_orders: List[List[int]] = [list(o) for o in sort_order]
+
+    tasks = []
+    for ny, y in enumerate(reads):
+        payload = (
+            f'{{"yName": {json_escape(y.name)},\n'
+            f' "xSort": [ {", ".join(str(i) for i in sort_order[ny])} ],\n'
+            f' "null": {null_json.getvalue()},\n'
+            f' "params": {params_json.getvalue()} }}'
+        )
+        tasks.append((payload, ny))
+
+    results = {}
+
+    def handle(item, reply):
+        data = json.loads(reply)
+        results[item[1]] = data
+
+    if len(workers) == 1:
+        for payload, ny in tasks:
+            handle((payload, ny), workers[0].request(payload))
+    else:
+        _run_remote_workers(workers, tasks, handle)
+
+    for ny in range(len(reads)):
+        data = results[ny]
+        loglike += float(data["loglike"])
+        new_orders[ny] = [int(v) for v in data["xSort"]]
+        counts = QuaffParamCounts.from_json(data["counts"])
+        total.add_weighted(counts, 1.0)
+    return total, loglike, new_orders

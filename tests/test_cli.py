@@ -1,0 +1,120 @@
+"""CLI end-to-end tests against the golden files (the reference's
+quaff-tests, Makefile:146-156), exercising the full command surface
+in-process."""
+
+import contextlib
+import io
+
+import pytest
+
+from quaff_tpu.cli import main
+
+
+def _run(argv):
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(argv)
+    return rc, out.getvalue()
+
+
+def test_cli_align_golden(data_dir):
+    rc, out = _run(
+        [
+            "align",
+            str(data_dir / "c8f30.fastq.gz"),
+            str(data_dir / "c8f30.fastq.gz"),
+            "-kmatchmb",
+            "10",
+            "-fwdstrand",
+        ]
+    )
+    assert rc == 0
+    assert out == (data_dir / "c8f30-self-align.json").read_text()
+
+
+def test_cli_count_golden(data_dir):
+    rc, out = _run(
+        [
+            "count",
+            str(data_dir / "c8f30.fastq.gz"),
+            str(data_dir / "c8f30.fastq.gz"),
+            "-kmatchmb",
+            "10",
+            "-fwdstrand",
+        ]
+    )
+    assert rc == 0
+    assert out == (data_dir / "c8f30-self-counts.json").read_text().rstrip("\n")
+
+
+def test_cli_overlap_golden(data_dir):
+    copy = data_dir / "copy-of-c8f30.fastq"
+    if not copy.exists():
+        import gzip
+
+        text = gzip.open(data_dir / "c8f30.fastq.gz", "rt").read()
+        copy.write_text(text.replace("channel", "copy"))
+    rc, out = _run(
+        [
+            "overlap",
+            str(data_dir / "c8f30.fastq.gz"),
+            str(copy),
+            "-kmatchmb",
+            "10",
+            "-fwdstrand",
+        ]
+    )
+    assert rc == 0
+    assert out == (data_dir / "c8f30-self-overlap.json").read_text()
+
+
+def test_cli_align_sam_format(data_dir):
+    rc, out = _run(
+        [
+            "align",
+            str(data_dir / "tiny.fasta"),
+            str(data_dir / "tiny.fastq"),
+            "-format",
+            "sam",
+            "-nothreshold",
+        ]
+    )
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0].startswith("@HD")
+    assert lines[1] == "@SQ\tSN:tiny\tLN:4"
+    assert lines[2].split("\t")[0] == "tiny"
+
+
+def test_cli_help_and_version(capsys):
+    assert main(["help"]) == 0
+    assert main(["--version"]) == 0
+
+
+def test_cli_train_tiny(data_dir, tmp_path):
+    """Train smoke test: two EM iterations on the tiny data must produce a
+    valid params JSON that round-trips."""
+    params_file = tmp_path / "params.json"
+    rc, out = _run(
+        [
+            "train",
+            str(data_dir / "tiny.fasta"),
+            str(data_dir / "tiny.fastq"),
+            "-maxiter",
+            "2",
+            "-force",
+            "-saveparams",
+            str(params_file),
+        ]
+    )
+    assert rc == 0
+    from quaff_tpu.model.params import QuaffParams
+
+    qp = QuaffParams.from_json(params_file.read_text())
+    assert 0 < qp.extend_insert < 1
+    assert 0 < qp.extend_delete < 1
+    import numpy as np
+
+    assert np.all(qp.match_prob > 0)
+    # ref base composition fitted from tiny.fasta (ACGT -> uniform)
+    np.testing.assert_allclose(qp.ref_base, 0.25)
