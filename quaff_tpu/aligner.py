@@ -53,6 +53,13 @@ class DPConfig:
     threads: int = 1
     dtype: Optional[object] = None  # None -> f64 if jax x64 enabled else f32
     remotes: list = field(default_factory=list)  # [(addr, port), ...]
+    # qsub/NFS batch backend (component #24)
+    qsub_jobs: int = 0
+    qsub_path: str = "qsub"
+    qsub_opts: str = ""
+    qsub_header: str = "#!/bin/sh\n"
+    qsub_dir: str = ""
+    worker_path: str = ""  # remote/batch worker command (-remotepath)
 
     def effective_max_size(self) -> int:
         return self.max_size // self.threads if self.auto_mem_size else self.max_size

@@ -162,6 +162,24 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
         config.threads = os.cpu_count() or 1
         args.popleft()
         return True
+    if arg == "-qsubjobs":
+        config.qsub_jobs = int(_need_arg(args, arg))
+        return True
+    if arg in ("-qsubpath", "-qsub"):
+        config.qsub_path = _need_arg(args, arg)
+        return True
+    if arg == "-qsubopts":
+        config.qsub_opts += _need_arg(args, arg)
+        return True
+    if arg == "-qsubdir":
+        config.qsub_dir = _need_arg(args, arg)
+        return True
+    if arg == "-qsubheader":
+        config.qsub_header = open(_need_arg(args, arg)).read()
+        return True
+    if arg == "-remotepath":
+        config.worker_path = _need_arg(args, arg)
+        return True
     return False
 
 
@@ -241,6 +259,9 @@ def _setup_jax_precision():
 
     import jax
 
+    platform = os.environ.get("QUAFF_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     want = os.environ.get("QUAFF_TPU_X64")
     if want is not None:
         jax.config.update("jax_enable_x64", want not in ("0", "false"))
@@ -299,6 +320,72 @@ def _parse_model_files(args: deque, state) -> bool:
         state["savenull_file"] = _need_arg(args, arg)
         return True
     return False
+
+
+def _server_args(
+    mode: str,
+    config,
+    state,
+    printer=None,
+    force: bool = False,
+    fwdstrand: bool = False,
+    noquals: bool = False,
+    ref_files: Optional[List[str]] = None,
+) -> str:
+    """Serialise the client's config into worker CLI flags — the
+    flags-as-wire-format scheme of setServerArgs (qmodel.cpp:993-1006)."""
+    parts = [mode]
+    if force:
+        parts.append("-force")
+    if printer is not None:
+        parts.append(f"-format {printer.format.value}")
+        if printer.log_odds_threshold > float("-inf"):
+            parts.append(f"-threshold {printer.log_odds_threshold:g}")
+        else:
+            parts.append("-nothreshold")
+    if fwdstrand:
+        parts.append("-fwdstrand")
+    if noquals:
+        parts.append("-noquals")
+    if config.sparse:
+        parts.append(f"-kmatchband {config.band_size} -kmatch {config.kmer_len}")
+        if config.kmer_threshold >= 0:
+            parts.append(f"-kmatchn {config.kmer_threshold}")
+        else:
+            parts.append(f"-kmatchmb {config.max_size >> 20}")
+    else:
+        parts.append("-kmatchoff")
+    if state.get("params_file"):
+        parts.append(f"-params {state['params_file']}")
+    if state.get("null_file"):
+        parts.append(f"-null {state['null_file']}")
+    for f in ref_files or []:
+        parts.append(f"-ref {f}")
+    return " ".join(parts)
+
+
+def _default_worker_command() -> str:
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    return f"PYTHONPATH={root} {sys.executable} -m quaff_tpu.cli"
+
+
+def _make_qsub_runner(config, server_args: str):
+    from .batch import QsubConfig, QsubRunner
+
+    worker = config.worker_path or _default_worker_command()
+    return QsubRunner(
+        QsubConfig(
+            jobs=config.qsub_jobs,
+            qsub_path=config.qsub_path,
+            qsub_opts=config.qsub_opts,
+            header=config.qsub_header,
+            temp_dir=config.qsub_dir,
+            worker_command=worker,
+            server_args=server_args,
+        )
+    )
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -383,6 +470,19 @@ def _cmd_align(args: deque, config, state) -> int:
         remote_align_all(out, workers, reads, refs, printer)
         for w in workers:
             w.close()
+    elif config.qsub_jobs > 0:
+        from .batch import qsub_align_all
+
+        sargs = _server_args(
+            "align",
+            config,
+            state,
+            printer=printer,
+            fwdstrand=not refs_args.want_revcomps,
+            noquals=not reads_args.want_quals,
+            ref_files=refs_args.filenames,
+        )
+        qsub_align_all(out, _make_qsub_runner(config, sargs), reads, refs, printer)
     else:
         aligner = QuaffAligner(params, null, config, print_all=print_all)
         aligner.align_all(out, refs, reads, printer)
@@ -430,6 +530,20 @@ def _cmd_count(args: deque, config, state) -> int:
         counts, loglike, _ = remote_get_counts(workers, refs, reads, params, null)
         for w in workers:
             w.close()
+    elif config.qsub_jobs > 0:
+        from .batch import qsub_get_counts
+
+        sargs = _server_args(
+            "count",
+            config,
+            state,
+            force=not allow_null,
+            fwdstrand=not refs_args.want_revcomps,
+            ref_files=refs_args.filenames,
+        )
+        counts, loglike, _ = qsub_get_counts(
+            _make_qsub_runner(config, sargs), refs, reads, params, null
+        )
     else:
         counter = QuaffCounter(params, null, config, use_null_model=allow_null)
         counts, loglike, _ = counter.get_counts(refs, reads)
@@ -579,6 +693,26 @@ def _cmd_overlap(args: deque, config, state) -> int:
         )
         for w in workers:
             w.close()
+    elif config.qsub_jobs > 0:
+        from .batch import qsub_overlap_all
+
+        sargs = _server_args(
+            "overlap",
+            config,
+            state,
+            printer=printer,
+            fwdstrand=not reads_args.want_revcomps,
+            noquals=not reads_args.want_quals,
+        )
+        aligner = QuaffOverlapAligner.__new__(QuaffOverlapAligner)
+        qsub_overlap_all(
+            out,
+            _make_qsub_runner(config, sargs),
+            seqs,
+            n_originals,
+            printer,
+            aligner.enumerate_pairs,
+        )
     else:
         aligner = QuaffOverlapAligner(params, null, config)
         aligner.align_all(out, seqs, n_originals, printer)
