@@ -166,7 +166,13 @@ class QuaffAligner:
     ) -> None:
         """The `quaff align` driver: header, then per-read best alignments
         in read order (qmodel.cpp:2624-2646)."""
+        from .logger import ProgressLogger
+
+        plog = ProgressLogger(level=2)
+        plog.init_progress("Alignment")
         printer.write_header(out, refs, group_by_query=True)
-        for y in reads:
+        for ny, y in enumerate(reads):
+            plog.log_progress(ny / max(len(reads), 1), f"read {ny + 1}/{len(reads)}")
             for a in self.align_read(refs, y):
                 printer.write_alignment(out, a)
+        plog.done()

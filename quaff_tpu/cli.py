@@ -212,31 +212,9 @@ def _parse_printer(args: deque, printer, state) -> bool:
 
 
 def _parse_verbosity(args: deque, state) -> bool:
-    import re
+    from .logger import logger
 
-    if not args:
-        return False
-    arg = args[0]
-    m = re.fullmatch(r"-v(\d+)", arg)
-    if arg == "-verbose":
-        state["verbosity"] = state.get("verbosity", 0) + 1
-        args.popleft()
-        return True
-    if re.fullmatch(r"-v+", arg):
-        state["verbosity"] = state.get("verbosity", 0) + len(arg) - 1
-        args.popleft()
-        return True
-    if m:
-        state["verbosity"] = int(m.group(1))
-        args.popleft()
-        return True
-    if arg in ("-log", "-nocolor"):
-        if arg == "-log":
-            _need_arg(args, arg)
-        else:
-            args.popleft()
-        return True
-    return False
+    return logger.parse_args(args)
 
 
 def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
@@ -644,6 +622,8 @@ def _cmd_train(args: deque, config, state) -> int:
             prior.write_json(f)
             f.write("\n")
 
+    from .logger import logger
+
     params = _load_params(state, prior=prior)
     new_params = trainer.fit(
         refs,
@@ -652,7 +632,7 @@ def _cmd_train(args: deque, config, state) -> int:
         null,
         prior,
         config,
-        log=lambda msg: sys.stderr.write(msg + "\n"),
+        log=lambda msg: logger.log(1, msg),
     )
     if not trainer.save_params_filename:
         new_params.write_json(sys.stdout)

@@ -145,14 +145,20 @@ class QuaffCounter:
         mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
         if sort_order is None:
             sort_order = [list(range(len(refs))) for _ in reads]
+        from .logger import ProgressLogger
+
+        plog = ProgressLogger(level=2)
+        plog.init_progress("Expected counts (E-step)")
         total = QuaffParamCounts.zero(mk, ik)
         loglike = 0.0
         new_orders: List[List[int]] = []
         for ny, y in enumerate(reads):
+            plog.log_progress(ny / max(len(reads), 1), f"read {ny + 1}/{len(reads)}")
             y_counts, y_ll, order = self.count_read(refs, y, sort_order[ny])
             total.add_weighted(y_counts, 1.0)
             loglike += y_ll
             new_orders.append(order)
+        plog.done()
         return total, loglike, new_orders
 
 
