@@ -215,6 +215,15 @@ class _RecordParser:
 
 
 def read_fast_seqs(filename: str) -> List[FastSeq]:
+    import os
+
+    if os.environ.get("QUAFF_TPU_NATIVE", "1") != "0":
+        from .. import native
+
+        if native.available():
+            recs = native.read_fast_seqs_native(filename)
+            if recs is not None:
+                return recs
     seqs: List[FastSeq] = []
     with _open_maybe_gz(filename) as f:
         parser = _RecordParser(f)
