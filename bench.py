@@ -1,20 +1,22 @@
 """Benchmark: banded Viterbi DP throughput on the c8f30 align config.
 
-Measures steady-state in-envelope DP cells/s for the flagship kernel
-(batched banded Viterbi fill, float32) on whatever accelerator JAX
-exposes.  Prints ONE JSON line.
+Measures steady-state in-envelope DP cells/s of the production fill path
+(Pallas row kernel, float32: device-side per-row constant stream assembly
++ VMEM-resident banded fill) on whatever accelerator JAX exposes, using
+the reference's integration-test workload: the 6,604-base nanopore read
+c8f30 aligned against itself with k-mer seeding (k=6, threshold 14,
+band 64 — the reference's default align banding, diagenv.h:12-18).
 
-vs_baseline is computed against an estimated 2.5e7 cells/s for the
-reference's single-threaded scalar C++ DP loop (3-state log-space
-recursion with lookup-table log-sum-exp; the reference publishes no
-numbers, see BASELINE.md — this is a documented engineering estimate of
-qmodel.cpp:1512-1560 on one modern core).
+Prints ONE JSON line.  vs_baseline is computed against an estimated
+2.5e7 cells/s for the reference's single-threaded scalar C++ DP loop
+(3-state log-space recursion with lookup-table log-sum-exp; the reference
+publishes no numbers, see BASELINE.md — this is a documented engineering
+estimate of qmodel.cpp:1512-1560 on one modern core).
 """
 
 import json
 import os
 import pathlib
-import sys
 import time
 
 import numpy as np
@@ -26,36 +28,41 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from quaff_tpu.dp.engine import PairBatch, device_batch, device_tables, dp_fill
+    from quaff_tpu.dp.engine import PairBatch, device_batch, device_tables
+    from quaff_tpu.dp.pallas_kernel import (
+        build_row_stream_device,
+        pallas_fill_scores,
+    )
     from quaff_tpu.dp.scores import ScoreTables
     from quaff_tpu.envelope import make_envelope
     from quaff_tpu.io.fastseq import KmerIndex, read_fast_seqs
     from quaff_tpu.model.params import default_params
 
     data = pathlib.Path(__file__).parent / "tests" / "data"
-    reads = read_fast_seqs(str(data / "c8f30.fastq.gz"))
-    y = reads[0]
+    y = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
     x = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
     x.qual = ""
 
     params = default_params()
     tables = ScoreTables.from_params(params)
-    y_index = KmerIndex(y, 6)
-    env = make_envelope(x, y_index, kmer_threshold=-1, cell_size=24, max_size=10 << 20)
+    env = make_envelope(x, KmerIndex(y, 6), kmer_threshold=14, cell_size=24)
 
-    batch_size = int(os.environ.get("QUAFF_BENCH_BATCH", "32"))
-    pairs = [(x, y, env)] * batch_size
-    batch = PairBatch.build(pairs, tables)
+    batch_size = int(os.environ.get("QUAFF_BENCH_BATCH", "256"))
+    batch = PairBatch.build([(x, y, env)] * batch_size, tables)
     tdev = device_tables(tables)
     bdev = device_batch(batch)
 
     cells_per_pair = env.num_cells
 
     def run():
-        return dp_fill(
-            tdev, bdev, mode="viterbi", local=True,
-            return_matrices=False, dtype=jnp.float32,
-        )["score"]
+        stream = build_row_stream_device(tables, tdev, bdev)
+        out = pallas_fill_scores(
+            stream["rows"], stream["member"], stream["xs0"], stream["vs0"],
+            width=stream["width"], b_pad=stream["b_pad"],
+            n_rows=stream["n_rows"], mode="viterbi", local=True,
+            trans=stream["trans"],
+        )
+        return jnp.max(out[: stream["batch"]], axis=1)
 
     # warmup/compile
     scores = run()
