@@ -571,6 +571,9 @@ def _cmd_train(args: deque, config, state) -> int:
         if arg == "-savecountswithprior":
             trainer.counts_with_prior_filename = _need_arg(args, arg)
             continue
+        if arg == "-checkpoint":
+            trainer.checkpoint_dir = _need_arg(args, arg)
+            continue
         if arg == "-order":
             k = int(_need_arg(args, arg))
             match_order, gap_order = 1 + k, k

@@ -173,6 +173,7 @@ class QuaffTrainer:
     save_params_filename: str = ""
     raw_counts_filename: str = ""
     counts_with_prior_filename: str = ""
+    checkpoint_dir: str = ""  # preemption-safe EM state checkpointing
 
     def fit(
         self,
@@ -199,7 +200,18 @@ class QuaffTrainer:
         qp = seed
         prev_ll_with_prior = -math.inf
         sort_order = [list(range(len(refs))) for _ in reads]
-        for it in range(self.max_iterations):
+        start_iter = 0
+        if self.checkpoint_dir:
+            from .checkpoint import TrainState, load_checkpoint, save_checkpoint
+
+            ckpt = load_checkpoint(self.checkpoint_dir)
+            if ckpt is not None and len(ckpt.sort_order) == len(reads):
+                qp = ckpt.params
+                prev_ll_with_prior = ckpt.prev_loglike_with_prior
+                sort_order = ckpt.sort_order
+                start_iter = ckpt.iteration
+                log(f"Resuming from checkpoint at EM iteration {start_iter}")
+        for it in range(start_iter, self.max_iterations):
             counter = QuaffCounter(qp, null_model, config, self.allow_null_model)
             counts, loglike, sort_order = counter.get_counts(refs, reads, sort_order)
             if self.raw_counts_filename:
@@ -235,4 +247,14 @@ class QuaffTrainer:
                 with open(self.save_params_filename, "w") as f:
                     qp.write_json(f)
                     f.write("\n")
+            if self.checkpoint_dir:
+                save_checkpoint(
+                    self.checkpoint_dir,
+                    TrainState(
+                        params=qp,
+                        iteration=it + 1,
+                        prev_loglike_with_prior=prev_ll_with_prior,
+                        sort_order=sort_order,
+                    ),
+                )
         return qp
