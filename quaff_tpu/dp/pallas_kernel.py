@@ -173,73 +173,82 @@ def _round_up(x: int, m: int) -> int:
 def _build_rows_device(tables_dev: dict, batch: dict, width: int, b_pad: int):
     """Device-side assembly of the streamed per-row constants and the
     rolling-window initialisation (jitted; the numpy builder below is the
-    reference implementation used by tests)."""
+    reference implementation used by tests).
+
+    Everything is computed directly in the kernel's [rows, B] orientation:
+    the int source arrays are transposed once, all emission/transition
+    lookups are flat gathers in that layout, and per-row scalars broadcast
+    — no per-channel relayouts."""
     x_tok = batch["x_tok"]
     x_len = batch["x_len"]
-    y_tok = batch["y_tok"]
-    y_mk = batch["y_match_kmer"]
-    ik_pad = batch["y_indel_kmer_pad"]
-    y_qual = batch["y_qual"]
-    y_has_qual = batch["y_has_qual"]
     y_len = batch["y_len"]
     d_lo = batch["d_lo"]
     member = batch["member"]
 
     B, W0 = member.shape
-    Ly = y_tok.shape[1]
+    Ly = batch["y_tok"].shape[1]
     W = width
     Bp = b_pad
     f32 = jnp.float32
+    Q = tables_dev["insert_score"].shape[1]
 
-    ms = tables_dev["match_score"].astype(f32)
+    # transpose the int sources once: [Ly(+1), B]
+    y_tok_t = batch["y_tok"].T
+    y_mk_t = batch["y_match_kmer"].T
+    y_qual_t = batch["y_qual"].T
+    ik_t = batch["y_indel_kmer_pad"].T  # [Ly+1, B]
+    hq = batch["y_has_qual"][None, :]  # [1, B]
+
+    ms = tables_dev["match_score"].astype(f32)  # [4, Km, Q]
     msn = tables_dev["match_score_noq"].astype(f32)
     ins = tables_dev["insert_score"].astype(f32)
     insn = tables_dev["insert_score_noq"].astype(f32)
 
-    def padB(a):  # [B, Ly] -> [Ly, Bp]
-        a = a.T.astype(f32)
-        return jnp.pad(a, ((0, 0), (0, Bp - B)))
+    kq_t = y_mk_t * Q + y_qual_t  # [Ly, B] flat (kmer, qual) key
+    tq_t = y_tok_t * Q + y_qual_t
+
+    def padB(a):  # [Ly, B] -> [Ly, Bp] f32
+        return jnp.pad(a.astype(f32), ((0, 0), (0, Bp - B)))
 
     chans = [None] * NUM_CHANNELS
-    hq = y_has_qual[:, None]
     for a in range(4):
-        chans[C_EMIT0 + a] = padB(jnp.where(hq, ms[a, y_mk, y_qual], msn[a, y_mk]))
-    chans[C_INS_EMIT] = padB(jnp.where(hq, ins[y_tok, y_qual], insn[y_tok]))
-    chans[C_M2M] = padB(tables_dev["m2m"].astype(f32)[ik_pad[:, :-1]])
-    chans[C_M2I] = padB(tables_dev["m2i"].astype(f32)[ik_pad[:, :-1]])
-    chans[C_M2D] = padB(tables_dev["m2d"].astype(f32)[ik_pad[:, 1:]])
-    chans[C_M2E] = padB(tables_dev["m2e"].astype(f32)[ik_pad[:, 1:]])
+        vals = jnp.where(hq, ms[a].reshape(-1)[kq_t], msn[a][y_mk_t])
+        chans[C_EMIT0 + a] = padB(vals)
+    chans[C_INS_EMIT] = padB(jnp.where(hq, ins.reshape(-1)[tq_t], insn[y_tok_t]))
+    chans[C_M2M] = padB(tables_dev["m2m"].astype(f32)[ik_t[:-1]])
+    chans[C_M2I] = padB(tables_dev["m2i"].astype(f32)[ik_t[:-1]])
+    chans[C_M2D] = padB(tables_dev["m2d"].astype(f32)[ik_t[1:]])
+    chans[C_M2E] = padB(tables_dev["m2e"].astype(f32)[ik_t[1:]])
 
-    t = jnp.arange(Ly + W)
-    idx = d_lo[:, None] + t[None, :]
-    in_range = (idx >= 0) & (idx < x_len[:, None])
-    xs = jnp.where(
-        in_range,
-        jnp.take_along_axis(x_tok, jnp.clip(idx, 0, x_tok.shape[1] - 1), axis=1),
-        0,
+    # x tokens in band coordinates: xs[b, t] = x_tok[b, d_lo[b] + t]
+    x_tok_t = x_tok.T  # [Lx, B]
+    t_new = jnp.arange(Ly)[:, None] + (W - 1) + d_lo[None, :]  # [Ly, B]
+    new_ok = (t_new >= 0) & (t_new < x_len[None, :])
+    newtok = jnp.take_along_axis(
+        x_tok_t, jnp.clip(t_new, 0, x_tok_t.shape[0] - 1), axis=0
     )
-    chans[C_NEWTOK] = padB(xs[:, W - 1 : W - 1 + Ly])
-    chans[C_NEWVALID] = padB(in_range[:, W - 1 : W - 1 + Ly])
+    chans[C_NEWTOK] = padB(jnp.where(new_ok, newtok, 0))
+    chans[C_NEWVALID] = padB(new_ok)
 
-    j = jnp.arange(1, Ly + 1)
-    chans[C_ROWVALID] = padB(jnp.broadcast_to(j[None, :], (B, Ly)) <= y_len[:, None])
-    chans[C_ENDROW] = padB(jnp.broadcast_to(j[None, :], (B, Ly)) == y_len[:, None])
-    chans[C_STARTROW] = jnp.broadcast_to(
-        (j[:, None] == 1).astype(f32), (Ly, Bp)
-    )
-    chans[C_WEND] = padB(
-        jnp.broadcast_to(
-            (x_len[:, None] - 1 - d_lo[:, None]) - (j[None, :] - 1), (B, Ly)
-        )
-    )
-    chans[C_WSTART] = padB(
-        jnp.broadcast_to(-d_lo[:, None] - (j[None, :] - 1), (B, Ly))
-    )
+    j = jnp.arange(1, Ly + 1)[:, None]  # [Ly, 1]
+    chans[C_ROWVALID] = padB(j <= y_len[None, :])
+    chans[C_ENDROW] = padB(j == y_len[None, :])
+    chans[C_STARTROW] = jnp.broadcast_to((j == 1).astype(f32), (Ly, Bp))
+    chans[C_WEND] = padB((x_len[None, :] - 1 - d_lo[None, :]) - (j - 1))
+    chans[C_WSTART] = padB(-d_lo[None, :] - (j - 1))
     rows = jnp.stack(chans, axis=1)  # [Ly, NUM_CHANNELS, Bp]
 
+    # initial window (rows j=1's view needs xs[:, 0:W])
+    t0 = jnp.arange(W)[None, :] + d_lo[:, None]  # [B, W]
+    ok0 = (t0 >= 0) & (t0 < x_len[:, None])
+    xs0_b = jnp.where(
+        ok0,
+        jnp.take_along_axis(x_tok, jnp.clip(t0, 0, x_tok.shape[1] - 1), axis=1),
+        0,
+    )
     member_f = jnp.zeros((Bp, W), f32).at[:B, :W0].set(member.astype(f32))
-    xs0 = jnp.zeros((Bp, W), f32).at[:B].set(xs[:, :W].astype(f32))
-    vs0 = jnp.zeros((Bp, W), f32).at[:B].set(in_range[:, :W].astype(f32))
+    xs0 = jnp.zeros((Bp, W), f32).at[:B].set(xs0_b.astype(f32))
+    vs0 = jnp.zeros((Bp, W), f32).at[:B].set(ok0.astype(f32))
     return rows, member_f, xs0, vs0
 
 
