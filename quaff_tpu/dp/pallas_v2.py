@@ -1,0 +1,349 @@
+"""Pallas banded fill, v2: self-contained kernel with in-kernel emission
+lookup.
+
+v1 (pallas_kernel.py) streams precomputed per-row emission values, whose
+XLA gather-based assembly costs ~2x the kernel itself and minutes of
+compile time.  v2 eliminates that: the stream carries only small integer
+keys per row (read (kmer,qual) key, insert key, indel-context ids), and
+the kernel resolves emissions with a one-hot matmul against the
+VMEM-resident score tables — MXU work overlapping the VPU recursion:
+
+  emit4[b, a] = onehot(kq[b]) . match_table[:, a]     ([B,KmQ] @ [KmQ,4])
+
+The x-token window is a resident int array sliced one column per row; all
+validity masks (band membership aside) are computed in-kernel from
+per-pair scalars (d_lo, x_len, y_len).  Host-side batch prep is pure
+integer arithmetic — no gathers, no big f32 tensors.
+
+State/dependency mapping is identical to v1 and dp/engine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..alphabet import QUAL_SCORE_RANGE
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+# per-row streamed int32 channels
+K_KQ = 0  # y_match_kmer * Q + y_qual (emission key)
+K_TQ = 1  # y_tok * Q + y_qual (insert-emission key)
+K_IK_PREV = 2  # indel k-mer context of row j-1 (padded)
+K_IK_CUR = 3  # indel k-mer context of row j
+K_NEWTOK = 4  # x token entering the rolling window this row (-1 = none)
+NUM_KEYS = 8
+
+
+def _row_kernel(
+    keys_ref,  # [1, NUM_KEYS, B] int32 streamed
+    emis_ref,  # [KmQ, 8] f32: match emissions (4 cols) + pad
+    insv_ref,  # [4*Q, 8] f32: insert emissions (col 0) + pad
+    ik_ref,  # [Ki, 8] f32: m2m/m2i/m2d/m2e in cols 0..3
+    member_ref,  # [B, W] f32 0/1
+    xs0_ref,  # [B, W] f32: initial token window (row 1's view)
+    meta_ref,  # [8, B] f32: d_lo, x_len, y_len rows
+    out_ref,  # [B, W] f32 accumulator
+    mat_ref,
+    ins_ref,
+    del_ref,
+    win_ref,
+    *,
+    width: int,
+    mode: str,
+    local: bool,
+    trans: Tuple[float, float, float, float],
+):
+    j0 = pl.program_id(0)
+    d2d, d2m, i2i, i2m = trans
+    B = member_ref.shape[0]
+    W = width
+    combine = jnp.maximum if mode == "viterbi" else jnp.logaddexp
+
+    @pl.when(j0 == 0)
+    def _init():
+        neg = jnp.full((B, W), NEG_INF, jnp.float32)
+        mat_ref[:] = neg
+        ins_ref[:] = neg
+        del_ref[:] = neg
+        out_ref[:] = neg
+        win_ref[:] = xs0_ref[:]
+
+    @pl.when(j0 > 0)
+    def _advance():
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        newcol = keys_ref[0, K_NEWTOK, :][:, None].astype(jnp.float32)
+        win_ref[:] = jnp.where(
+            lane_ == W - 1, newcol, pltpu.roll(win_ref[:], W - 1, 1)
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    d_lo = meta_ref[0, :][:, None]  # [B, 1] f32
+    x_len = meta_ref[1, :][:, None]
+    y_len = meta_ref[2, :][:, None]
+
+    jf = (j0 + 1).astype(jnp.float32)  # row number j
+    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)  # i - 1 per lane
+    valid = (
+        (member_ref[:] > 0.5)
+        & (idx >= 0.0)
+        & (idx < x_len)
+        & (jf <= y_len)
+    )
+
+    # ---- in-kernel emission resolution (one-hot matmuls on the MXU) ----
+    kq = keys_ref[0, K_KQ, :]  # [B] int32
+    tq = keys_ref[0, K_TQ, :]
+    kmq = emis_ref.shape[0]
+    onehot_kq = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, kmq), 1) == kq[:, None]
+    ).astype(jnp.float32)
+    emit4 = jnp.dot(onehot_kq, emis_ref[:], preferred_element_type=jnp.float32)
+    # emit4: [B, 8]; cols 0..3 = emission given ref symbol a
+    tql = insv_ref.shape[0]
+    onehot_tq = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, tql), 1) == tq[:, None]
+    ).astype(jnp.float32)
+    ins_emit = jnp.dot(
+        onehot_tq, insv_ref[:], preferred_element_type=jnp.float32
+    )[:, 0][:, None]
+
+    ki = ik_ref.shape[0]
+    ik_prev = keys_ref[0, K_IK_PREV, :]
+    ik_cur = keys_ref[0, K_IK_CUR, :]
+    oh_prev = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_prev[:, None]
+    ).astype(jnp.float32)
+    oh_cur = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
+    ).astype(jnp.float32)
+    tr_prev = jnp.dot(oh_prev, ik_ref[:], preferred_element_type=jnp.float32)
+    tr_cur = jnp.dot(oh_cur, ik_ref[:], preferred_element_type=jnp.float32)
+    m2m_j = tr_prev[:, 0][:, None]
+    m2i_j = tr_prev[:, 1][:, None]
+    m2d_j = tr_cur[:, 2][:, None]
+    m2e_j = tr_cur[:, 3][:, None]
+
+    # emission select on the token window
+    tok = win_ref[:]
+    emit = jnp.where(tok == 0.0, emit4[:, 0][:, None], NEG_INF)
+    for a in (1, 2, 3):
+        emit = jnp.where(tok == float(a), emit4[:, a][:, None], emit)
+
+    mat_p = mat_ref[:]
+    ins_p = ins_ref[:]
+    del_p = del_ref[:]
+
+    mat_c = combine(combine(mat_p + m2m_j, del_p + d2m), ins_p + i2m)
+    is_first_row = jf == 1.0
+    if local:
+        start_ok = jnp.broadcast_to(is_first_row, (B, W))
+    else:
+        start_ok = is_first_row & (idx == 0.0)
+    mat_c = combine(mat_c, jnp.where(start_ok, 0.0, NEG_INF))
+    mat_c = jnp.where(valid, mat_c + emit, NEG_INF)
+
+    def shift_hi(v):
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+
+    def shift_lo(v):
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+
+    ins_c = ins_emit + combine(shift_hi(ins_p) + i2i, shift_hi(mat_p) + m2i_j)
+    ins_c = jnp.where(valid, ins_c, NEG_INF)
+
+    c_vec = jnp.where(valid, d2d, NEG_INF)
+    b_vec = jnp.where(valid, shift_lo(mat_c) + m2d_j, NEG_INF)
+    s = 1
+    while s < W:
+        c_s = jnp.where(lane >= s, pltpu.roll(c_vec, s, 1), 0.0)
+        b_s = jnp.where(lane >= s, pltpu.roll(b_vec, s, 1), NEG_INF)
+        b_vec = combine(b_s + c_vec, b_vec)
+        c_vec = c_s + c_vec
+        s *= 2
+    del_c = jnp.where(valid, b_vec, NEG_INF)
+
+    end_row = jf == y_len
+    if local:
+        end_ok = valid & end_row
+    else:
+        end_ok = valid & end_row & (idx == x_len - 1.0)
+    out_ref[:] = combine(out_ref[:], jnp.where(end_ok, mat_c + m2e_j, NEG_INF))
+
+    mat_ref[:] = mat_c
+    ins_ref[:] = ins_c
+    del_ref[:] = del_c
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def prepare_inputs(tables, batch: dict) -> dict:
+    """Pure-integer host prep: keys, band-coordinate tokens, metadata."""
+    Q = QUAL_SCORE_RANGE
+    x_tok = np.asarray(batch["x_tok"])
+    x_len = np.asarray(batch["x_len"])
+    y_tok = np.asarray(batch["y_tok"])
+    y_mk = np.asarray(batch["y_match_kmer"])
+    ik_pad = np.asarray(batch["y_indel_kmer_pad"])
+    y_qual = np.asarray(batch["y_qual"])
+    y_has_qual = np.asarray(batch["y_has_qual"])
+    y_len = np.asarray(batch["y_len"])
+    d_lo = np.asarray(batch["d_lo"])
+    member = np.asarray(batch["member"])
+
+    B, W0 = member.shape
+    Ly = y_tok.shape[1]
+    W = _round_up(max(W0, 128), 128)
+    Bp = _round_up(B, 8)
+    Km = np.asarray(tables.match_score).shape[1]
+
+    assert bool(np.all(y_has_qual)) or not bool(np.any(y_has_qual)), (
+        "v2 kernel batches must be homogeneous in quality presence"
+    )
+    has_q = bool(np.all(y_has_qual))
+
+    keys = np.zeros((Ly, NUM_KEYS, Bp), np.int32)
+    keys[:, K_KQ, :B] = (y_mk * Q + y_qual).T
+    keys[:, K_TQ, :B] = (y_tok * Q + y_qual).T
+    keys[:, K_IK_PREV, :B] = ik_pad[:, :-1].T
+    keys[:, K_IK_CUR, :B] = ik_pad[:, 1:].T
+
+    # emission tables in matmul layout
+    ms = np.asarray(tables.match_score, np.float32)  # [4, Km, Q]
+    msn = np.asarray(tables.match_score_noq, np.float32)
+    if has_q:
+        emis = ms.reshape(4, Km * Q).T  # [KmQ, 4]
+    else:
+        # no-qual: key reduces to kmer * Q + 0..; replicate per qual slot
+        emis = np.repeat(msn.reshape(4, Km).T, Q, axis=0)
+    emis = np.pad(emis, ((0, _round_up(emis.shape[0], 8) - emis.shape[0]), (0, 4)))
+    ins = np.asarray(tables.insert_score, np.float32)
+    insn = np.asarray(tables.insert_score_noq, np.float32)
+    if has_q:
+        insv = ins.reshape(4 * Q, 1)
+    else:
+        insv = np.repeat(insn.reshape(4, 1), Q, axis=0)
+    insv = np.pad(insv, ((0, _round_up(insv.shape[0], 8) - insv.shape[0]), (0, 7)))
+
+    ik_tab = np.stack(
+        [
+            np.asarray(tables.m2m, np.float32),
+            np.asarray(tables.m2i, np.float32),
+            np.asarray(tables.m2d, np.float32),
+            np.asarray(tables.m2e, np.float32),
+        ],
+        axis=1,
+    )  # [Ki, 4]
+    ik_tab = np.pad(
+        ik_tab, ((0, _round_up(ik_tab.shape[0], 8) - ik_tab.shape[0]), (0, 4))
+    )
+
+    # x tokens in band coordinates (out-of-range -> -1 so no symbol matches
+    # and the emission resolves to NEG_INF, masking the lane)
+    t = np.arange(Ly + W)
+    idx = d_lo[:, None] + t[None, :]
+    in_range = (idx >= 0) & (idx < x_len[:, None])
+    xs = np.where(
+        in_range,
+        x_tok[np.arange(B)[:, None], np.clip(idx, 0, x_tok.shape[1] - 1)],
+        -1,
+    ).astype(np.int32)
+    keys[:, K_NEWTOK, :B] = xs[:, W - 1 : W - 1 + Ly].T
+    xs0 = np.full((Bp, W), -1.0, np.float32)
+    xs0[:B] = xs[:, :W].astype(np.float32)
+
+    meta = np.zeros((8, Bp), np.float32)
+    meta[0, :B] = d_lo
+    meta[1, :B] = x_len
+    meta[2, :B] = y_len
+    member_f = np.zeros((Bp, W), np.float32)
+    member_f[:B, :W0] = member.astype(np.float32)
+
+    return {
+        "keys": jnp.asarray(keys),
+        "emis": jnp.asarray(emis),
+        "insv": jnp.asarray(insv),
+        "ik": jnp.asarray(ik_tab),
+        "member": jnp.asarray(member_f),
+        "xs0": jnp.asarray(xs0),
+        "meta": jnp.asarray(meta),
+        "width": W,
+        "batch": B,
+        "b_pad": Bp,
+        "n_rows": Ly,
+        "trans": (
+            float(tables.d2d),
+            float(tables.d2m),
+            float(tables.i2i),
+            float(tables.i2m),
+        ),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "b_pad", "n_rows", "mode", "local", "trans", "interpret"),
+)
+def fill_v2(
+    keys, emis, insv, ik, member, xs0, meta,
+    width, b_pad, n_rows, mode="viterbi", local=True,
+    trans=(0.0, 0.0, 0.0, 0.0), interpret=False,
+):
+    kernel = functools.partial(
+        _row_kernel, width=width, mode=mode, local=local, trans=trans
+    )
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, NUM_KEYS, b_pad), lambda j: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            resident(emis.shape),
+            resident(insv.shape),
+            resident(ik.shape),
+            resident((b_pad, width)),
+            resident(xs0.shape),
+            resident(meta.shape),
+        ],
+        out_specs=resident((b_pad, width)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, width), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(keys, emis, insv, ik, member, xs0, meta)
+    return out
+
+
+def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
+              interpret: bool = False):
+    prep = prepare_inputs(tables, batch)
+    out = fill_v2(
+        prep["keys"], prep["emis"], prep["insv"], prep["ik"], prep["member"],
+        prep["xs0"], prep["meta"],
+        width=prep["width"], b_pad=prep["b_pad"], n_rows=prep["n_rows"],
+        mode=mode, local=local, trans=prep["trans"], interpret=interpret,
+    )
+    B = prep["batch"]
+    if mode == "viterbi":
+        s = jnp.max(out[:B], axis=1)
+    else:
+        s = jax.nn.logsumexp(out[:B], axis=1)
+    return jnp.where(s <= NEG_INF / 2, -jnp.inf, s)
