@@ -1,8 +1,9 @@
 """Benchmark: banded Viterbi DP throughput on the c8f30 align config.
 
 Measures steady-state in-envelope DP cells/s of the production fill path
-(Pallas row kernel, float32: device-side per-row constant stream assembly
-+ VMEM-resident banded fill) on whatever accelerator JAX exposes, using
+(Pallas v2 row kernel, float32: device-side integer key prep + in-kernel
+emission lookup + VMEM-resident banded fill) on whatever accelerator JAX
+exposes, using
 the reference's integration-test workload: the 6,604-base nanopore read
 c8f30 aligned against itself with k-mer seeding (k=6, threshold 14,
 band 64 — the reference's default align banding, diagenv.h:12-18).
@@ -29,10 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from quaff_tpu.dp.engine import PairBatch, device_batch, device_tables
-    from quaff_tpu.dp.pallas_kernel import (
-        build_row_stream_device,
-        pallas_fill_scores,
-    )
+    from quaff_tpu.dp.pallas_v2 import V2Tables, scores_v2_device
     from quaff_tpu.dp.scores import ScoreTables
     from quaff_tpu.envelope import make_envelope
     from quaff_tpu.io.fastseq import KmerIndex, read_fast_seqs
@@ -54,15 +52,10 @@ def main():
 
     cells_per_pair = env.num_cells
 
+    v2tab = V2Tables(tables)
+
     def run():
-        stream = build_row_stream_device(tables, tdev, bdev)
-        out = pallas_fill_scores(
-            stream["rows"], stream["member"], stream["xs0"], stream["vs0"],
-            width=stream["width"], b_pad=stream["b_pad"],
-            n_rows=stream["n_rows"], mode="viterbi", local=True,
-            trans=stream["trans"],
-        )
-        return jnp.max(out[: stream["batch"]], axis=1)
+        return scores_v2_device(tables, v2tab, bdev)
 
     # warmup/compile
     scores = run()
@@ -71,8 +64,9 @@ def main():
     n_iters = int(os.environ.get("QUAFF_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        scores = run()
-    scores.block_until_ready()
+        # fence every iteration: async dispatch over a tunnelled device can
+        # otherwise overlap in ways that break the timing
+        run().block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
 
     total_cells = cells_per_pair * batch_size

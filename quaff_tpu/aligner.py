@@ -105,24 +105,50 @@ class QuaffAligner:
         self.tables = ScoreTables.from_params(params)
         self._tdev = device_tables(self.tables)
 
+    def _use_fast_scores(self) -> bool:
+        """On TPU backends, rank candidate refs with the Pallas kernel and
+        compute only the winners' tracebacks with the (CPU, f64) XLA fill;
+        on CPU backends the XLA fill is both fast and the parity path."""
+        import jax
+
+        return jax.default_backend() == "tpu"
+
     def align_read(self, refs: List[FastSeq], y: FastSeq) -> List[Alignment]:
         """Align one read against all refs; returns the best alignment (or
         all finite ones if print_all), null-model-adjusted, sorted by
         descending score (ties keep reference order)."""
+        import jax
+
         y_index = KmerIndex(y, self.config.kmer_len)
         envs = [
             self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE) for x in refs
         ]
         batch = PairBatch.build([(x, y, e) for x, e in zip(refs, envs)], self.tables)
-        res = dp_fill(
-            self._tdev,
-            device_batch(batch),
-            mode="viterbi",
-            local=self.config.local,
-            return_matrices=True,
-            dtype=self.config.resolve_dtype(),
-        )
-        scores = np.asarray(res["score"], dtype=np.float64)
+
+        fast = self._use_fast_scores() and y.has_qual()
+        if fast:
+            from .dp.pallas_v2 import V2Tables, scores_v2_device
+
+            if not hasattr(self, "_v2tab"):
+                self._v2tab = V2Tables(self.tables)
+            scores = np.asarray(
+                scores_v2_device(
+                    self.tables, self._v2tab, device_batch(batch),
+                    mode="viterbi", local=self.config.local,
+                ),
+                dtype=np.float64,
+            )
+        else:
+            res = dp_fill(
+                self._tdev,
+                device_batch(batch),
+                mode="viterbi",
+                local=self.config.local,
+                return_matrices=True,
+                dtype=self.config.resolve_dtype(),
+            )
+            scores = np.asarray(res["score"], dtype=np.float64)
+
         null_ll = self.null_model.log_likelihood(y)
 
         if self.print_all:
@@ -136,20 +162,54 @@ class QuaffAligner:
                     best = nx
             picks = [] if best is None else [best]
 
-        mats = np.asarray(res["mat"])
-        inss = np.asarray(res["ins"])
-        dels = np.asarray(res["del"])
+        if fast:
+            # winners only: banded fill with matrices on the CPU backend
+            if not picks:
+                return []
+            cpu = jax.devices("cpu")[0]
+            wbatch = PairBatch.build(
+                [(refs[nx], y, envs[nx]) for nx in picks], self.tables
+            )
+            with jax.default_device(cpu):
+                wdev = {
+                    k: jax.device_put(v, cpu)
+                    for k, v in device_batch(wbatch).items()
+                }
+                wtab = {
+                    k: jax.device_put(v, cpu) for k, v in self._tdev.items()
+                }
+                res = dp_fill(
+                    wtab,
+                    wdev,
+                    mode="viterbi",
+                    local=self.config.local,
+                    return_matrices=True,
+                    dtype=self.config.resolve_dtype(),
+                )
+            scores_w = np.asarray(res["score"], dtype=np.float64)
+            mats = np.asarray(res["mat"])
+            inss = np.asarray(res["ins"])
+            dels = np.asarray(res["del"])
+            index_of = {nx: i for i, nx in enumerate(picks)}
+        else:
+            mats = np.asarray(res["mat"])
+            inss = np.asarray(res["ins"])
+            dels = np.asarray(res["del"])
+            scores_w = scores
+            index_of = {nx: nx for nx in picks}
+
         out: List[Alignment] = []
         for nx in picks:
+            i = index_of[nx]
             a = viterbi_traceback(
                 refs[nx],
                 y,
                 envs[nx],
                 self.tables,
-                mats[nx],
-                inss[nx],
-                dels[nx],
-                float(scores[nx]),
+                mats[i],
+                inss[i],
+                dels[i],
+                float(scores_w[i]),
                 local=self.config.local,
             )
             a.score -= null_ll

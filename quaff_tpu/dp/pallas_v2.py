@@ -105,14 +105,16 @@ def _row_kernel(
     onehot_kq = (
         jax.lax.broadcasted_iota(jnp.int32, (B, kmq), 1) == kq[:, None]
     ).astype(jnp.float32)
-    emit4 = jnp.dot(onehot_kq, emis_ref[:], preferred_element_type=jnp.float32)
+    emit4 = jnp.dot(onehot_kq, emis_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     # emit4: [B, 8]; cols 0..3 = emission given ref symbol a
     tql = insv_ref.shape[0]
     onehot_tq = (
         jax.lax.broadcasted_iota(jnp.int32, (B, tql), 1) == tq[:, None]
     ).astype(jnp.float32)
     ins_emit = jnp.dot(
-        onehot_tq, insv_ref[:], preferred_element_type=jnp.float32
+        onehot_tq, insv_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )[:, 0][:, None]
 
     ki = ik_ref.shape[0]
@@ -124,8 +126,10 @@ def _row_kernel(
     oh_cur = (
         jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
     ).astype(jnp.float32)
-    tr_prev = jnp.dot(oh_prev, ik_ref[:], preferred_element_type=jnp.float32)
-    tr_cur = jnp.dot(oh_cur, ik_ref[:], preferred_element_type=jnp.float32)
+    tr_prev = jnp.dot(oh_prev, ik_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    tr_cur = jnp.dot(oh_cur, ik_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     m2m_j = tr_prev[:, 0][:, None]
     m2i_j = tr_prev[:, 1][:, None]
     m2d_j = tr_cur[:, 2][:, None]
@@ -342,6 +346,133 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
         mode=mode, local=local, trans=prep["trans"], interpret=interpret,
     )
     B = prep["batch"]
+    if mode == "viterbi":
+        s = jnp.max(out[:B], axis=1)
+    else:
+        s = jax.nn.logsumexp(out[:B], axis=1)
+    return jnp.where(s <= NEG_INF / 2, -jnp.inf, s)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "b_pad"))
+def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
+    """Device-side input prep from an already-transferred batch dict —
+    integer transposes and arithmetic only, so nothing large crosses the
+    host-device link per call (critical when the accelerator is attached
+    over a network tunnel)."""
+    Q = QUAL_SCORE_RANGE
+    x_tok = batch["x_tok"]
+    x_len = batch["x_len"]
+    y_len = batch["y_len"]
+    d_lo = batch["d_lo"]
+    member = batch["member"]
+    B, W0 = member.shape
+    Ly = batch["y_tok"].shape[1]
+    W, Bp = width, b_pad
+
+    def padB(a):  # [Ly, B] int -> [Ly, Bp] int32
+        return jnp.pad(a.astype(jnp.int32), ((0, 0), (0, Bp - B)))
+
+    kq = padB((batch["y_match_kmer"] * Q + batch["y_qual"]).T)
+    tq = padB((batch["y_tok"] * Q + batch["y_qual"]).T)
+    ik_t = batch["y_indel_kmer_pad"].T
+    ik_prev = padB(ik_t[:-1])
+    ik_cur = padB(ik_t[1:])
+
+    t_new = jnp.arange(Ly)[:, None] + (W - 1) + d_lo[None, :]
+    ok_new = (t_new >= 0) & (t_new < x_len[None, :])
+    newtok = jnp.where(
+        ok_new,
+        jnp.take_along_axis(
+            x_tok.T, jnp.clip(t_new, 0, x_tok.shape[1] - 1), axis=0
+        ),
+        -1,
+    )
+    newtok = padB(newtok)
+    zeros = jnp.zeros_like(kq)
+    keys = jnp.stack(
+        [kq, tq, ik_prev, ik_cur, newtok, zeros, zeros, zeros], axis=1
+    )
+
+    t0 = jnp.arange(W)[None, :] + d_lo[:, None]
+    ok0 = (t0 >= 0) & (t0 < x_len[:, None])
+    xs0_b = jnp.where(
+        ok0,
+        jnp.take_along_axis(x_tok, jnp.clip(t0, 0, x_tok.shape[1] - 1), axis=1),
+        -1,
+    )
+    xs0 = jnp.full((Bp, W), -1.0, jnp.float32).at[:B].set(xs0_b.astype(jnp.float32))
+
+    meta = jnp.zeros((8, Bp), jnp.float32)
+    meta = meta.at[0, :B].set(d_lo.astype(jnp.float32))
+    meta = meta.at[1, :B].set(x_len.astype(jnp.float32))
+    meta = meta.at[2, :B].set(y_len.astype(jnp.float32))
+    member_f = jnp.zeros((Bp, W), jnp.float32).at[:B, :W0].set(
+        member.astype(jnp.float32)
+    )
+    return keys, xs0, meta, member_f
+
+
+class V2Tables:
+    """Small per-params device tables for the v2 kernel."""
+
+    def __init__(self, tables, has_qual: bool = True):
+        Q = QUAL_SCORE_RANGE
+        Km = np.asarray(tables.match_score).shape[1]
+        ms = np.asarray(tables.match_score, np.float32)
+        msn = np.asarray(tables.match_score_noq, np.float32)
+        if has_qual:
+            emis = ms.reshape(4, Km * Q).T
+        else:
+            emis = np.repeat(msn.reshape(4, Km).T, Q, axis=0)
+        emis = np.pad(
+            emis, ((0, _round_up(emis.shape[0], 8) - emis.shape[0]), (0, 4))
+        )
+        ins = np.asarray(tables.insert_score, np.float32)
+        insn = np.asarray(tables.insert_score_noq, np.float32)
+        if has_qual:
+            insv = ins.reshape(4 * Q, 1)
+        else:
+            insv = np.repeat(insn.reshape(4, 1), Q, axis=0)
+        insv = np.pad(
+            insv, ((0, _round_up(insv.shape[0], 8) - insv.shape[0]), (0, 7))
+        )
+        ik_tab = np.stack(
+            [
+                np.asarray(tables.m2m, np.float32),
+                np.asarray(tables.m2i, np.float32),
+                np.asarray(tables.m2d, np.float32),
+                np.asarray(tables.m2e, np.float32),
+            ],
+            axis=1,
+        )
+        ik_tab = np.pad(
+            ik_tab, ((0, _round_up(ik_tab.shape[0], 8) - ik_tab.shape[0]), (0, 4))
+        )
+        self.emis = jnp.asarray(emis)
+        self.insv = jnp.asarray(insv)
+        self.ik = jnp.asarray(ik_tab)
+        self.trans = (
+            float(tables.d2d),
+            float(tables.d2m),
+            float(tables.i2i),
+            float(tables.i2m),
+        )
+
+
+def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
+                     mode: str = "viterbi", local: bool = True):
+    """Production path: all prep on device; batch dict already on device."""
+    member = batch["member"]
+    B, W0 = member.shape
+    Ly = int(batch["y_tok"].shape[1])
+    W = _round_up(max(W0, 128), 128)
+    Bp = _round_up(B, 8)
+    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
+    out = fill_v2(
+        keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
+        width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
+        trans=v2tab.trans,
+    )
     if mode == "viterbi":
         s = jnp.max(out[:B], axis=1)
     else:
