@@ -142,7 +142,7 @@ def _linear_recurrence(combine, c_vec, b_vec):
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "local", "return_matrices", "dtype"),
+    static_argnames=("mode", "local", "return_matrices", "dtype", "neg_inf_value"),
 )
 def dp_fill(
     tables_dev: dict,
@@ -151,6 +151,7 @@ def dp_fill(
     local: bool = True,
     return_matrices: bool = False,
     dtype=jnp.float32,
+    neg_inf_value=None,
 ):
     """Fill the banded DP for a batch of pairs.
 
@@ -174,7 +175,11 @@ def dp_fill(
 
     B, W = member.shape
     Ly = y_tok.shape[1]
-    neg_inf = jnp.array(NEG_INF, dtype=dtype)
+    # neg_inf_value: a finite stand-in (e.g. -1e30) keeps the fill
+    # differentiable — jax.grad through -inf arithmetic yields NaNs
+    neg_inf = jnp.array(
+        NEG_INF if neg_inf_value is None else neg_inf_value, dtype=dtype
+    )
 
     match_score = tables_dev["match_score"].astype(dtype)
     match_score_noq = tables_dev["match_score_noq"].astype(dtype)
