@@ -69,12 +69,14 @@ def main():
     def run(b):
         return scores_v2_device(tables, v2tab, b)
 
-    # warmup/compile
-    run(bdev).block_until_ready()
+    # warmup/compile; np.asarray forces a device->host fetch, which is the
+    # only reliable completion fence on tunnelled-device runtimes (their
+    # block_until_ready can resolve before execution finishes)
+    np.asarray(run(bdev))
 
     t0 = time.perf_counter()
     for i in range(n_iters):
-        run(variants[i]).block_until_ready()
+        np.asarray(run(variants[i]))
     dt = (time.perf_counter() - t0) / n_iters
 
     total_cells = cells_per_pair * batch_size

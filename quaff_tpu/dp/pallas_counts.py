@@ -1,0 +1,581 @@
+"""Pallas training E-step: forward + backward-with-counts kernels.
+
+The XLA forward-backward (dp/counts.py) is the f64 parity path; this is
+the TPU production E-step.  Two kernels:
+
+1. forward: the v2 banded fill, additionally streaming each row's three
+   state vectors to HBM ([Ly, B, W] each — the checkpoint the backward
+   pass reads; ~4 bytes/cell, well within HBM for training batch sizes).
+2. backward: runs the band in reverse row order, carrying the backward
+   state in VMEM, re-resolving emissions with the same one-hot MXU dots,
+   computing per-cell posterior transition weights
+   exp(fwd_src + trans + back_dest - fwd_total)  (transCount,
+   qmodel.cpp:1505-1510), weighting each pair by a caller-provided
+   posterior (the read-level responsibility exp(fwd_b - y_loglike), which
+   subsumes the reference's Δ=20 skip), and accumulating the results
+   directly into small VMEM count tables:
+     d_emis [KmQ, 8]  (cols 0-3: match counts per ref symbol)
+     d_insv [TQ, 8]   (col 0: insert counts)
+     d_ik   [Ki, 8]   (cols 0-3: m2m / m2i / m2d / m2e)
+     d_sc   [8, B]    (rows 0-3: i2i / i2m / d2d / d2m, per pair;
+                       row 4: back-score contribution at j=1)
+   The cross-pair reduction uses transposed one-hot matmuls — the same
+   restructuring of the reference's per-cell scatter as dp/counts.py, but
+   fused into the backward sweep.
+
+The returned count tables equal
+  sum_b w[b] * counts_pair(b)
+to f32 accuracy, where counts_pair matches dp_forward_backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..alphabet import QUAL_SCORE_RANGE
+from .pallas_v2 import (
+    K_IK_CUR,
+    K_IK_PREV,
+    K_KQ,
+    K_NEWTOK,
+    K_TQ,
+    NEG_INF,
+    NUM_KEYS,
+    V2Tables,
+    _prepare_device,
+    _round_up,
+)
+
+K_OLDTOK = 5  # x token entering the window when sweeping backward
+
+_DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
+def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B):
+    """Shared one-hot emission/transition resolution; returns
+    (emit4 [B,8], ins_emit [B,1], tr_prev [B,8], tr_cur [B,8])."""
+    kq = keys_ref[0, K_KQ, :]
+    tq = keys_ref[0, K_TQ, :]
+    kmq = emis_ref.shape[0]
+    oh_kq = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, kmq), 1) == kq[:, None]
+    ).astype(jnp.float32)
+    emit4 = jnp.dot(oh_kq, emis_ref[:], **_DOT)
+    tql = insv_ref.shape[0]
+    oh_tq = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, tql), 1) == tq[:, None]
+    ).astype(jnp.float32)
+    ins_emit = jnp.dot(oh_tq, insv_ref[:], **_DOT)[:, 0][:, None]
+    ki = ik_ref.shape[0]
+    ik_prev = keys_ref[0, K_IK_PREV, :]
+    ik_cur = keys_ref[0, K_IK_CUR, :]
+    oh_prev = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_prev[:, None]
+    ).astype(jnp.float32)
+    oh_cur = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
+    ).astype(jnp.float32)
+    tr_prev = jnp.dot(oh_prev, ik_ref[:], **_DOT)
+    tr_cur = jnp.dot(oh_cur, ik_ref[:], **_DOT)
+    return emit4, ins_emit, tr_prev, tr_cur, oh_kq, oh_tq, oh_prev, oh_cur
+
+
+def _select_emit(win, emit4, B, W):
+    emit = jnp.where(win == 0.0, emit4[:, 0][:, None], NEG_INF)
+    for a in (1, 2, 3):
+        emit = jnp.where(win == float(a), emit4[:, a][:, None], emit)
+    return emit
+
+
+def _fwd_kernel(
+    keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
+    out_ref, mrow_ref, irow_ref, drow_ref,
+    mat_ref, ins_ref, del_ref, win_ref,
+    *, width: int, local: bool, trans: Tuple[float, float, float, float],
+):
+    j0 = pl.program_id(0)
+    d2d, d2m, i2i, i2m = trans
+    B = member_ref.shape[0]
+    W = width
+    lse = jnp.logaddexp
+
+    @pl.when(j0 == 0)
+    def _init():
+        neg = jnp.full((B, W), NEG_INF, jnp.float32)
+        mat_ref[:] = neg
+        ins_ref[:] = neg
+        del_ref[:] = neg
+        out_ref[:] = neg
+        win_ref[:] = xs0_ref[:]
+
+    @pl.when(j0 > 0)
+    def _advance():
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        newcol = keys_ref[0, K_NEWTOK, :][:, None].astype(jnp.float32)
+        win_ref[:] = jnp.where(
+            lane_ == W - 1, newcol, pltpu.roll(win_ref[:], W - 1, 1)
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    d_lo = meta_ref[0, :][:, None]
+    x_len = meta_ref[1, :][:, None]
+    y_len = meta_ref[2, :][:, None]
+    jf = (j0 + 1).astype(jnp.float32)
+    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)
+    valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
+
+    emit4, ins_emit, tr_prev, tr_cur, *_ = _emission_lookup(
+        keys_ref, emis_ref, insv_ref, ik_ref, B
+    )
+    m2m_j = tr_prev[:, 0][:, None]
+    m2i_j = tr_prev[:, 1][:, None]
+    m2d_j = tr_cur[:, 2][:, None]
+    m2e_j = tr_cur[:, 3][:, None]
+    emit = _select_emit(win_ref[:], emit4, B, W)
+
+    mat_p = mat_ref[:]
+    ins_p = ins_ref[:]
+    del_p = del_ref[:]
+
+    mat_c = lse(lse(mat_p + m2m_j, del_p + d2m), ins_p + i2m)
+    is_first = jf == 1.0
+    start_ok = (
+        jnp.broadcast_to(is_first, (B, W)) if local else (is_first & (idx == 0.0))
+    )
+    mat_c = lse(mat_c, jnp.where(start_ok, 0.0, NEG_INF))
+    mat_c = jnp.where(valid, mat_c + emit, NEG_INF)
+
+    def shift_hi(v):
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+
+    def shift_lo(v):
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+
+    ins_c = ins_emit + lse(shift_hi(ins_p) + i2i, shift_hi(mat_p) + m2i_j)
+    ins_c = jnp.where(valid, ins_c, NEG_INF)
+
+    c_vec = jnp.where(valid, d2d, NEG_INF)
+    b_vec = jnp.where(valid, shift_lo(mat_c) + m2d_j, NEG_INF)
+    s = 1
+    while s < W:
+        c_s = jnp.where(lane >= s, pltpu.roll(c_vec, s, 1), 0.0)
+        b_s = jnp.where(lane >= s, pltpu.roll(b_vec, s, 1), NEG_INF)
+        b_vec = lse(b_s + c_vec, b_vec)
+        c_vec = c_s + c_vec
+        s *= 2
+    del_c = jnp.where(valid, b_vec, NEG_INF)
+
+    end_row = jf == y_len
+    end_ok = valid & end_row if local else (valid & end_row & (idx == x_len - 1.0))
+    out_ref[:] = lse(out_ref[:], jnp.where(end_ok, mat_c + m2e_j, NEG_INF))
+
+    mat_ref[:] = mat_c
+    ins_ref[:] = ins_c
+    del_ref[:] = del_c
+    mrow_ref[0] = mat_c
+    irow_ref[0] = ins_c
+    drow_ref[0] = del_c
+
+
+def _bwd_kernel(
+    keys_ref,  # [1, NUM_KEYS, B] for row j (reversed stream)
+    emis_ref, insv_ref, ik_ref, member_ref, xsl_ref, meta_ref,
+    wrow_ref,  # [8, B]: row 0 = pair weight w_b; row 1 = fwd_total (norm)
+    fm_cur_ref, fi_cur_ref, fd_cur_ref,  # fwd rows j
+    fm_prev_ref, fi_prev_ref, fd_prev_ref,  # fwd rows j-1
+    d_emis_ref, d_insv_ref, d_ik_ref, d_sc_ref,  # outputs (accumulated)
+    bm_ref, bi_ref, bd_ref, win_ref, menext_ref, ienext_ref,
+    *, width: int, n_rows: int, local: bool,
+    trans: Tuple[float, float, float, float],
+):
+    g = pl.program_id(0)
+    j = n_rows - g  # row index, Ly..1
+    d2d, d2m, i2i, i2m = trans
+    B = member_ref.shape[0]
+    W = width
+    lse = jnp.logaddexp
+
+    @pl.when(g == 0)
+    def _init():
+        neg = jnp.full((B, W), NEG_INF, jnp.float32)
+        bm_ref[:] = neg
+        bi_ref[:] = neg
+        bd_ref[:] = neg
+        win_ref[:] = xsl_ref[:]
+        menext_ref[:] = jnp.zeros((B, W), jnp.float32)
+        ienext_ref[:] = jnp.zeros((B, W), jnp.float32)
+        d_emis_ref[:] = jnp.zeros_like(d_emis_ref)
+        d_insv_ref[:] = jnp.zeros_like(d_insv_ref)
+        d_ik_ref[:] = jnp.zeros_like(d_ik_ref)
+        d_sc_ref[:] = jnp.zeros_like(d_sc_ref)
+
+    @pl.when(g > 0)
+    def _advance():
+        # window slides one lane toward lower t: new element at lane 0
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        oldcol = keys_ref[0, K_OLDTOK, :][:, None].astype(jnp.float32)
+        win_ref[:] = jnp.where(lane_ == 0, oldcol, pltpu.roll(win_ref[:], 1, 1))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    d_lo = meta_ref[0, :][:, None]
+    x_len = meta_ref[1, :][:, None]
+    y_len = meta_ref[2, :][:, None]
+    jf = j.astype(jnp.float32)
+    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)
+    valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
+
+    (emit4, ins_emit, tr_prev, tr_cur, oh_kq, oh_tq, oh_prev, oh_cur) = (
+        _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B)
+    )
+    # back recursion uses row-j transitions (ik_cur context)
+    m2m_c = tr_cur[:, 0][:, None]
+    m2i_c = tr_cur[:, 1][:, None]
+    m2d_c = tr_cur[:, 2][:, None]
+    m2e_c = tr_cur[:, 3][:, None]
+    # count weights use the row's own (prev-context) transitions
+    m2m_p = tr_prev[:, 0][:, None]
+    m2i_p = tr_prev[:, 1][:, None]
+
+    me_cur = _select_emit(win_ref[:], emit4, B, W)
+    ie_cur = ins_emit
+
+    def shift_hi(v):
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+
+    def shift_lo(v):
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+
+    bm_next = bm_ref[:]
+    bi_next = bi_ref[:]
+    bd_next = bd_ref[:]
+    from_match = menext_ref[:] + bm_next
+
+    # back del: reverse in-row recurrence
+    b_vec = jnp.where(valid, d2m + from_match, NEG_INF)
+    c_vec = jnp.where(valid, d2d, NEG_INF)
+    # reverse scan: mirror lanes
+    rlane = (W - 1) - lane
+    s = 1
+    while s < W:
+        c_s = jnp.where(rlane >= s, pltpu.roll(c_vec, W - s, 1), 0.0)
+        b_s = jnp.where(rlane >= s, pltpu.roll(b_vec, W - s, 1), NEG_INF)
+        b_vec = lse(b_s + c_vec, b_vec)
+        c_vec = c_s + c_vec
+        s *= 2
+    bd_cur = jnp.where(valid, b_vec, NEG_INF)
+
+    end_row = jf == y_len
+    end_ok = valid & end_row if local else (valid & end_row & (idx == x_len - 1.0))
+    bm_cur = lse(
+        lse(jnp.where(end_ok, m2e_c, NEG_INF), m2m_c + from_match),
+        lse(
+            m2i_c + _ie_next_col(ienext_ref) + shift_lo(bi_next),
+            m2d_c + shift_hi(bd_cur),
+        ),
+    )
+    bm_cur = jnp.where(valid, bm_cur, NEG_INF)
+
+    bi_cur = lse(i2m + from_match, i2i + _ie_next_col(ienext_ref) + shift_lo(bi_next))
+    bi_cur = jnp.where(valid, bi_cur, NEG_INF)
+
+    # ---- posterior counts ----
+    w_pair = wrow_ref[0, :][:, None]  # [B, 1]
+    f_norm = wrow_ref[1, :][:, None]
+
+    fm_cur = fm_cur_ref[0]
+    fi_cur = fi_cur_ref[0]
+    fd_cur = fd_cur_ref[0]
+    is_first = jf == 1.0
+    neg = jnp.full((B, W), NEG_INF, jnp.float32)
+    fm_prev = jnp.where(is_first, neg, fm_prev_ref[0])
+    fi_prev = jnp.where(is_first, neg, fi_prev_ref[0])
+    fd_prev = jnp.where(is_first, neg, fd_prev_ref[0])
+
+    def post(logw):
+        return w_pair * jnp.exp(jnp.minimum(logw - f_norm, 40.0))
+
+    w_m2m = post(fm_prev + m2m_p + me_cur + bm_cur)
+    w_d2m = post(fd_prev + d2m + me_cur + bm_cur)
+    w_i2m = post(fi_prev + i2m + me_cur + bm_cur)
+    start_ok = (
+        jnp.broadcast_to(is_first, (B, W)) if local else (is_first & (idx == 0.0))
+    )
+    w_s2m = jnp.where(start_ok, post(me_cur + bm_cur), 0.0)
+    mc = w_m2m + w_d2m + w_i2m + w_s2m
+
+    w_m2i = post(shift_hi(fm_prev) + m2i_p + ie_cur + bi_cur)
+    w_i2i = post(shift_hi(fi_prev) + i2i + ie_cur + bi_cur)
+    ic_row = jnp.sum(w_m2i + w_i2i, axis=1)  # [B]
+
+    w_m2d = post(shift_lo(fm_cur) + m2d_c + bd_cur)
+    w_d2d = post(shift_lo(fd_cur) + d2d + bd_cur)
+    w_m2e = jnp.where(end_ok, post(fm_cur + m2e_c), 0.0)
+
+    # per-symbol match-count reduction over the window
+    tok = win_ref[:]
+    mc4 = jnp.stack(
+        [jnp.sum(jnp.where(tok == float(a), mc, 0.0), axis=1) for a in range(4)],
+        axis=1,
+    )  # [B, 4]
+    mc8 = jnp.pad(mc4, ((0, 0), (0, 4)))
+    d_emis_ref[:] += jax.lax.dot_general(oh_kq, mc8, (((0,), (0,)), ((), ())), **_DOT)
+    ic8 = jnp.pad(ic_row[:, None], ((0, 0), (0, 7)))
+    d_insv_ref[:] += jax.lax.dot_general(oh_tq, ic8, (((0,), (0,)), ((), ())), **_DOT)
+
+    t_m2m = jnp.sum(w_m2m, axis=1)
+    t_m2i = jnp.sum(w_m2i, axis=1)
+    t_m2d = jnp.sum(w_m2d, axis=1)
+    t_m2e = jnp.sum(w_m2e, axis=1)
+    prev_pack = jnp.stack(
+        [t_m2m, t_m2i, jnp.zeros_like(t_m2m), jnp.zeros_like(t_m2m)], axis=1
+    )
+    cur_pack = jnp.stack(
+        [jnp.zeros_like(t_m2m), jnp.zeros_like(t_m2m), t_m2d, t_m2e], axis=1
+    )
+    prev_pack = jnp.pad(prev_pack, ((0, 0), (0, 4)))
+    cur_pack = jnp.pad(cur_pack, ((0, 0), (0, 4)))
+    d_ik_ref[:] += jax.lax.dot_general(
+        oh_prev, prev_pack, (((0,), (0,)), ((), ())), **_DOT
+    ) + jax.lax.dot_general(oh_cur, cur_pack, (((0,), (0,)), ((), ())), **_DOT)
+
+    d_sc_ref[0, :] += jnp.sum(w_i2i, axis=1)
+    d_sc_ref[1, :] += jnp.sum(w_i2m, axis=1)
+    d_sc_ref[2, :] += jnp.sum(w_d2d, axis=1)
+    d_sc_ref[3, :] += jnp.sum(w_d2m, axis=1)
+    # back score contribution (j == 1)
+    sb = jnp.where(
+        valid & (jnp.broadcast_to(is_first, (B, W)) if local else (is_first & (idx == 0.0))),
+        jnp.exp(jnp.minimum(me_cur + bm_cur - f_norm, 40.0)),
+        0.0,
+    )
+    d_sc_ref[4, :] += jnp.sum(sb, axis=1)
+
+    bm_ref[:] = bm_cur
+    bi_ref[:] = bi_cur
+    bd_ref[:] = bd_cur
+    menext_ref[:] = me_cur
+    ienext_ref[:] = jnp.broadcast_to(ie_cur, (B, W))
+
+
+def _ie_next_col(ienext_ref):
+    return ienext_ref[:, 0:1]
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+
+
+@functools.partial(jax.jit, static_argnames=("width", "b_pad"))
+def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
+    """K_OLDTOK channel and the last-row window for the backward sweep."""
+    x_tok = batch["x_tok"]
+    x_len = batch["x_len"]
+    d_lo = batch["d_lo"]
+    B = x_tok.shape[0]
+    Ly = batch["y_tok"].shape[1]
+    W, Bp = width, b_pad
+
+    # oldtok for backward row j: the window at row j covers t = j-1 ..
+    # j-1+W-1, so sliding from row j+1 down to j inserts t = j-1 at lane 0
+    # (0-based row r: t = r)
+    t_old = jnp.arange(Ly)[:, None]
+    idx_old = d_lo[None, :] + t_old
+    ok = (idx_old >= 0) & (idx_old < x_len[None, :])
+    oldtok = jnp.where(
+        ok,
+        jnp.take_along_axis(
+            x_tok.T, jnp.clip(idx_old, 0, x_tok.shape[1] - 1), axis=0
+        ),
+        -1,
+    )
+    oldtok = jnp.pad(oldtok.astype(jnp.int32), ((0, 0), (0, Bp - B)))
+
+    # window for the last row Ly: t = Ly-1 .. Ly-1+W-1
+    tL = jnp.arange(W)[None, :] + (Ly - 1) + d_lo[:, None]
+    okL = (tL >= 0) & (tL < x_len[:, None])
+    xsl_b = jnp.where(
+        okL,
+        jnp.take_along_axis(x_tok, jnp.clip(tL, 0, x_tok.shape[1] - 1), axis=1),
+        -1,
+    )
+    xsl = jnp.full((Bp, W), -1.0, jnp.float32).at[:B].set(xsl_b.astype(jnp.float32))
+    return oldtok, xsl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "b_pad", "n_rows", "local", "trans", "interpret"),
+)
+def _fwd_store(keys, emis, insv, ik, member, xs0, meta,
+               width, b_pad, n_rows, local, trans, interpret=False):
+    kernel = functools.partial(
+        _fwd_kernel, width=width, local=local, trans=trans
+    )
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    row_out = pl.BlockSpec(
+        (1, b_pad, width), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out, mrows, irows, drows = pl.pallas_call(
+        kernel,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((1, NUM_KEYS, b_pad), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            resident(emis.shape),
+            resident(insv.shape),
+            resident(ik.shape),
+            resident((b_pad, width)),
+            resident((b_pad, width)),
+            resident(meta.shape),
+        ],
+        out_specs=(resident((b_pad, width)), row_out, row_out, row_out),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, b_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, b_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, b_pad, width), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(keys, emis, insv, ik, member, xs0, meta)
+    return out, mrows, irows, drows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "b_pad", "n_rows", "local", "trans", "interpret"),
+)
+def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, wrow,
+                mrows, irows, drows,
+                width, b_pad, n_rows, local, trans, interpret=False):
+    kernel = functools.partial(
+        _bwd_kernel, width=width, n_rows=n_rows, local=local, trans=trans
+    )
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda g: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    # backward step g handles row j = n_rows - g: fwd row block (j-1 zero-
+    # based) = n_rows - 1 - g; prev row block = max(j-2, 0)
+    cur_spec = pl.BlockSpec(
+        (1, b_pad, width), lambda g: (n_rows - 1 - g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    prev_spec = pl.BlockSpec(
+        (1, b_pad, width),
+        lambda g: (jnp.maximum(n_rows - 2 - g, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    keys_spec = pl.BlockSpec(
+        (1, NUM_KEYS, b_pad), lambda g: (n_rows - 1 - g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    d_emis, d_insv, d_ik, d_sc = pl.pallas_call(
+        kernel,
+        grid=(n_rows,),
+        in_specs=[
+            keys_spec,
+            resident(emis.shape),
+            resident(insv.shape),
+            resident(ik.shape),
+            resident((b_pad, width)),
+            resident((b_pad, width)),
+            resident(meta.shape),
+            resident(wrow.shape),
+            cur_spec, cur_spec, cur_spec,
+            prev_spec, prev_spec, prev_spec,
+        ],
+        out_specs=(
+            resident(emis.shape),
+            resident(insv.shape),
+            resident(ik.shape),
+            resident(wrow.shape),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(emis.shape, jnp.float32),
+            jax.ShapeDtypeStruct(insv.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ik.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wrow.shape, jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+            pltpu.VMEM((b_pad, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(keys, emis, insv, ik, member, xsl, meta, wrow,
+      mrows, irows, drows, mrows, irows, drows)
+    return d_emis, d_insv, d_ik, d_sc
+
+
+def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
+                 f_norm, local: bool = True, interpret: bool = False):
+    """Run the Pallas E-step for one batch.
+
+    weights: [B] posterior weight per pair (e.g. exp(fwd_b - y_loglike)).
+    f_norm: [B] normaliser per pair (each pair's own forward score).
+    Returns (fwd_scores [B], counts dict with reference-shaped arrays).
+    """
+    Q = QUAL_SCORE_RANGE
+    member = batch["member"]
+    B, W0 = member.shape
+    Ly = int(batch["y_tok"].shape[1])
+    W = _round_up(max(W0, 128), 128)
+    Bp = _round_up(B, 8)
+    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
+    oldtok, xsl = _prepare_bwd_extras(batch, W, Bp)
+    keys = keys.at[:, K_OLDTOK, :].set(oldtok)
+
+    out, mrows, irows, drows = _fwd_store(
+        keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
+        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
+        interpret=interpret,
+    )
+    fwd = jax.nn.logsumexp(out[:B], axis=1)
+    fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
+
+    wrow = jnp.zeros((8, Bp), jnp.float32)
+    wrow = wrow.at[0, :B].set(jnp.asarray(weights, jnp.float32))
+    wrow = wrow.at[1, :B].set(
+        jnp.where(jnp.isfinite(jnp.asarray(f_norm)), jnp.asarray(f_norm), 0.0)
+    )
+    d_emis, d_insv, d_ik, d_sc = _bwd_counts(
+        keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xsl, meta, wrow,
+        mrows, irows, drows,
+        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
+        interpret=interpret,
+    )
+    Km = np.asarray(tables.match_score).shape[1]
+    Ki = len(np.asarray(tables.m2m))
+    counts = {
+        "match_counts": d_emis[: Km * Q, :4]
+        .reshape(Km, Q, 4)
+        .transpose(2, 0, 1),  # [4, Km, Q]
+        "insert_counts": d_insv[: 4 * Q, 0].reshape(4, Q),
+        "m2m": d_ik[:Ki, 0],
+        "m2i": d_ik[:Ki, 1],
+        "m2d": d_ik[:Ki, 2],
+        "m2e": d_ik[:Ki, 3],
+        "i2i": d_sc[0, :B],
+        "i2m": d_sc[1, :B],
+        "d2d": d_sc[2, :B],
+        "d2m": d_sc[3, :B],
+        "back_start_post": d_sc[4, :B],
+    }
+    return fwd, counts
