@@ -76,6 +76,77 @@ class QuaffCounter:
         self.tables = ScoreTables.from_params(params)
         self._tdev = device_tables(self.tables)
 
+    def _use_kernel(self, y: FastSeq) -> bool:
+        import jax
+
+        return jax.default_backend() == "tpu" and y.has_qual()
+
+    def _count_read_kernel(
+        self, refs, y, sort_order, y_null_ll
+    ) -> Tuple[QuaffParamCounts, float, List[int]]:
+        """TPU fast path: fused Pallas forward+backward E-step.  Counts are
+        mathematically the reference's posterior-weighted totals; the Δ=20
+        backward-skip becomes an exact (negligible-weight) contribution."""
+        from .dp.pallas_counts import estep_kernel
+        from .dp.pallas_v2 import V2Tables
+
+        mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
+        if not hasattr(self, "_v2tab"):
+            self._v2tab = V2Tables(self.tables)
+        y_index = KmerIndex(y, self.config.kmer_len)
+        envs = {
+            nx: self.config.make_envelope(refs[nx], y_index, FWDBACK_CELL_SIZE)
+            for nx in sort_order
+        }
+        pairs = [(refs[nx], y, envs[nx]) for nx in sort_order]
+        batch = PairBatch.build(pairs, self.tables)
+        bdev = device_batch(batch)
+        # phase 1: forward scores -> posterior weights
+        from .dp.pallas_v2 import scores_v2_device
+
+        fwd = np.asarray(
+            scores_v2_device(
+                self.tables, self._v2tab, bdev, mode="forward",
+                local=self.config.local,
+            ),
+            dtype=np.float64,
+        )
+        y_loglike = y_null_ll
+        for f in fwd:
+            y_loglike = _log_sum_exp(y_loglike, float(f))
+        weights = np.where(
+            np.isfinite(fwd), np.exp(fwd - y_loglike), 0.0
+        ).astype(np.float32)
+        # phase 2: backward counts, weighted and summed on device
+        _, totals = estep_kernel(
+            self.tables, self._v2tab, bdev, weights, fwd,
+            local=self.config.local,
+        )
+        qc = QuaffCounts(
+            match_kmer_len=mk,
+            indel_kmer_len=ik,
+            insert=np.asarray(totals["insert_counts"], dtype=np.float64),
+            match=np.asarray(totals["match_counts"], dtype=np.float64),
+            m2m=np.asarray(totals["m2m"], dtype=np.float64),
+            m2i=np.asarray(totals["m2i"], dtype=np.float64),
+            m2d=np.asarray(totals["m2d"], dtype=np.float64),
+            m2e=np.asarray(totals["m2e"], dtype=np.float64),
+            i2i=float(np.sum(np.asarray(totals["i2i"]))),
+            i2m=float(np.sum(np.asarray(totals["i2m"]))),
+            d2d=float(np.sum(np.asarray(totals["d2d"]))),
+            d2m=float(np.sum(np.asarray(totals["d2m"]))),
+        )
+        y_counts = QuaffParamCounts.from_counts(qc)
+        xy_loglike = np.full(len(refs), -math.inf)
+        for pos, nx in enumerate(sort_order):
+            xy_loglike[nx] = fwd[pos]
+        new_order = sorted(range(len(refs)), key=lambda nx: -xy_loglike[nx])
+        new_order = [
+            nx for nx in new_order
+            if xy_loglike[nx] >= y_loglike - MAX_TRAINING_LOG_DELTA
+        ]
+        return y_counts, y_loglike, new_order
+
     def count_read(
         self, refs: List[FastSeq], y: FastSeq, sort_order: List[int]
     ) -> Tuple[QuaffParamCounts, float, List[int]]:
@@ -91,6 +162,9 @@ class QuaffCounter:
         )
         if not sort_order:
             return y_counts, y_null_ll, sort_order
+
+        if self._use_kernel(y):
+            return self._count_read_kernel(refs, y, sort_order, y_null_ll)
 
         y_index = KmerIndex(y, self.config.kmer_len)
         envs = {
