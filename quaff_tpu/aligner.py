@@ -225,14 +225,148 @@ class QuaffAligner:
         printer: AlignmentPrinter,
     ) -> None:
         """The `quaff align` driver: header, then per-read best alignments
-        in read order (qmodel.cpp:2624-2646)."""
+        in read order (qmodel.cpp:2624-2646).
+
+        Multiple reads are scored in large cross-read device batches
+        (bucketed by padded band width and read length to bound
+        recompilations); only the winning pairs are re-filled with
+        matrices for traceback."""
         from .logger import ProgressLogger
 
         plog = ProgressLogger(level=2)
         plog.init_progress("Alignment")
         printer.write_header(out, refs, group_by_query=True)
-        for ny, y in enumerate(reads):
-            plog.log_progress(ny / max(len(reads), 1), f"read {ny + 1}/{len(reads)}")
-            for a in self.align_read(refs, y):
+        if len(reads) <= 1:
+            for y in reads:
+                for a in self.align_read(refs, y):
+                    printer.write_alignment(out, a)
+            plog.done()
+            return
+
+        per_read = self._align_batched(refs, reads, plog)
+        for ny in range(len(reads)):
+            for a in per_read.get(ny, []):
                 printer.write_alignment(out, a)
         plog.done()
+
+    def _align_batched(self, refs, reads, plog, max_batch: int = 256):
+        import jax
+
+        def round_up(v, m):
+            return ((v + m - 1) // m) * m
+
+        # phase A: envelopes for every (read, ref) pair
+        jobs = []  # (ny, nx, env)
+        for ny, y in enumerate(reads):
+            y_index = KmerIndex(y, self.config.kmer_len)
+            for nx, x in enumerate(refs):
+                env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
+                jobs.append((ny, nx, env))
+
+        # phase B: bucketed batch scoring
+        fast = self._use_fast_scores() and all(y.has_qual() for y in reads)
+        buckets = {}
+        for job in jobs:
+            ny, nx, env = job
+            key = (
+                round_up(max(env.band_width, 128), 128),
+                round_up(len(reads[ny].seq), 512),
+            )
+            buckets.setdefault(key, []).append(job)
+
+        scores = {}
+        n_done = 0
+        for (wp, lp), js in sorted(buckets.items()):
+            for i in range(0, len(js), max_batch):
+                chunk = js[i : i + max_batch]
+                batch = PairBatch.build(
+                    [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
+                    self.tables,
+                    width=wp,
+                    max_y_len=lp,
+                )
+                bdev = device_batch(batch)
+                if fast:
+                    from .dp.pallas_v2 import V2Tables, scores_v2_device
+
+                    if not hasattr(self, "_v2tab"):
+                        self._v2tab = V2Tables(self.tables)
+                    s = np.asarray(
+                        scores_v2_device(
+                            self.tables, self._v2tab, bdev,
+                            mode="viterbi", local=self.config.local,
+                        ),
+                        dtype=np.float64,
+                    )
+                else:
+                    s = np.asarray(
+                        dp_fill(
+                            self._tdev, bdev, mode="viterbi",
+                            local=self.config.local, return_matrices=False,
+                            dtype=self.config.resolve_dtype(),
+                        )["score"],
+                        dtype=np.float64,
+                    )
+                for (ny, nx, env), sc in zip(chunk, s):
+                    scores[(ny, nx)] = (float(sc), env)
+                n_done += len(chunk)
+                plog.log_progress(
+                    n_done / len(jobs), f"{n_done}/{len(jobs)} pairs scored"
+                )
+
+        # phase C: pick winners, re-fill with matrices, traceback
+        winners = []  # (ny, nx, env)
+        for ny in range(len(reads)):
+            cands = [
+                (nx, scores[(ny, nx)]) for nx in range(len(refs))
+                if math.isfinite(scores[(ny, nx)][0])
+            ]
+            if not cands:
+                continue
+            if self.print_all:
+                winners.extend((ny, nx, env) for nx, (sc, env) in cands)
+            else:
+                best_nx, (best_sc, best_env) = cands[0]
+                for nx, (sc, env) in cands[1:]:
+                    if sc > best_sc:
+                        best_nx, best_sc, best_env = nx, sc, env
+                winners.append((ny, best_nx, best_env))
+
+        per_read = {}
+        if not winners:
+            return per_read
+        cpu = jax.devices("cpu")[0]
+        null_cache = {}
+        with jax.default_device(cpu):
+            wtab = {k: jax.device_put(v, cpu) for k, v in self._tdev.items()}
+            for i in range(0, len(winners), 32):
+                chunk = winners[i : i + 32]
+                wbatch = PairBatch.build(
+                    [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
+                    self.tables,
+                )
+                wdev = {
+                    k: jax.device_put(v, cpu)
+                    for k, v in device_batch(wbatch).items()
+                }
+                res = dp_fill(
+                    wtab, wdev, mode="viterbi", local=self.config.local,
+                    return_matrices=True, dtype=self.config.resolve_dtype(),
+                )
+                sw = np.asarray(res["score"], dtype=np.float64)
+                mats = np.asarray(res["mat"])
+                inss = np.asarray(res["ins"])
+                dels = np.asarray(res["del"])
+                for k, (ny, nx, env) in enumerate(chunk):
+                    a = viterbi_traceback(
+                        refs[nx], reads[ny], env, self.tables,
+                        mats[k], inss[k], dels[k], float(sw[k]),
+                        local=self.config.local,
+                    )
+                    if ny not in null_cache:
+                        null_cache[ny] = self.null_model.log_likelihood(reads[ny])
+                    a.score -= null_cache[ny]
+                    per_read.setdefault(ny, []).append(a)
+        for ny in per_read:
+            per_read[ny].sort(key=lambda a: -a.score)
+        return per_read

@@ -70,8 +70,13 @@ class SeqListArgs:
             return True
         return False
 
-    def load(self, require_quals_ok: bool = True):
-        from .io.fastseq import add_revcomps, read_fast_seqs, read_indexed_fast_seq
+    def load(self, require_quals_ok: bool = True, check_duplicates: bool = False):
+        from .io.fastseq import (
+            add_revcomps,
+            duplicate_names,
+            read_fast_seqs,
+            read_indexed_fast_seq,
+        )
 
         if not self.filenames:
             _fail(f"Please specify at least one sequence file using {self.tag}")
@@ -97,6 +102,14 @@ class SeqListArgs:
             seqs = add_revcomps(seqs)
         if not seqs:
             _fail(f"Please specify a valid sequence file using {self.tag}")
+        if check_duplicates:
+            dups = duplicate_names(seqs)
+            if dups:
+                _fail(
+                    "Duplicate names: "
+                    + " ".join(sorted(dups))
+                    + "\nAll sequence names are required to be unique"
+                )
         return seqs, n_originals
 
 
@@ -436,8 +449,8 @@ def _cmd_align(args: deque, config, state) -> int:
         if not _parse_unknown(args, implicit, True):
             break
 
-    reads, _ = reads_args.load()
-    refs, _ = refs_args.load()
+    reads, _ = reads_args.load(check_duplicates=True)
+    refs, _ = refs_args.load(check_duplicates=True)
     params = _load_params(state)
     null = _load_or_fit_null(state, reads)
     out = _out_stream(state)
@@ -662,7 +675,7 @@ def _cmd_overlap(args: deque, config, state) -> int:
         if not _parse_unknown(args, implicit, True):
             break
 
-    seqs, n_originals = reads_args.load()
+    seqs, n_originals = reads_args.load(check_duplicates=True)
     params = _load_params(state)
     null = _load_or_fit_null(state, seqs)
     out = _out_stream(state)

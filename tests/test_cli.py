@@ -118,3 +118,35 @@ def test_cli_train_tiny(data_dir, tmp_path):
     assert np.all(qp.match_prob > 0)
     # ref base composition fitted from tiny.fasta (ACGT -> uniform)
     np.testing.assert_allclose(qp.ref_base, 0.25)
+
+
+def test_cli_savealign(data_dir, tmp_path):
+    out_file = tmp_path / "hits.stk"
+    rc, out = _run(
+        [
+            "align",
+            str(data_dir / "c8f30.fastq.gz"),
+            str(data_dir / "c8f30.fastq.gz"),
+            "-kmatchmb",
+            "10",
+            "-fwdstrand",
+            "-savealign",
+            str(out_file),
+        ]
+    )
+    assert rc == 0
+    assert out == ""
+    assert out_file.read_text() == (data_dir / "c8f30-self-align.json").read_text()
+
+
+def test_cli_duplicate_names_rejected(data_dir, tmp_path):
+    dup = tmp_path / "dup.fasta"
+    dup.write_text(">a\nACGTACGT\n>a\nACGTACGT\n")
+    with pytest.raises(SystemExit):
+        _run(
+            [
+                "align",
+                str(dup),
+                str(data_dir / "tiny.fastq"),
+            ]
+        )
