@@ -154,7 +154,7 @@ class OverlapScoreTables:
                 pair_yq, m_pair[:, :, ik, :] - xn[:, None, None] - xi[None, :, :]
             )
 
-        return cls(
+        out = cls(
             match_kmer_len=qp.match_kmer_len,
             indel_kmer_len=qp.indel_kmer_len,
             y_complemented=y_complemented,
@@ -174,6 +174,14 @@ class OverlapScoreTables:
             d2i_eff=float(log_1ge + log_1ga),
             d2d_eff=float(log_ge),
         )
+        # extras consumed by the Pallas overlap kernel (dp/pallas_overlap)
+        out.base_tables = tables
+        out.log_ref_base = np.log(qp.ref_base)
+        r_ids = np.arange(ALPHABET_SIZE)
+        out.y_symbol_map = (
+            (ALPHABET_SIZE - 1 - r_ids) if y_complemented else r_ids
+        )
+        return out
 
 
 def _ref_lse(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -343,6 +343,14 @@ class QuaffOverlapAligner:
         a.score -= x_null + y_null
         return a
 
+    def _use_fast_scores(self) -> bool:
+        import jax
+
+        return (
+            jax.default_backend() == "tpu"
+            and self.params.indel_kmer_len == 0
+        )
+
     def align_all(
         self,
         out: IO[str],
@@ -351,7 +359,78 @@ class QuaffOverlapAligner:
         printer: AlignmentPrinter,
     ) -> None:
         printer.write_header(out, seqs, group_by_query=False)
-        for nx, ny, y_comp in self.enumerate_pairs(seqs, n_originals):
+        pair_list = list(self.enumerate_pairs(seqs, n_originals))
+        if self._use_fast_scores() and len(pair_list) > 1:
+            self._align_all_batched(out, seqs, pair_list, printer)
+            return
+        for nx, ny, y_comp in pair_list:
+            a = self.overlap_pair(seqs[nx], seqs[ny], y_comp)
+            if a is not None:
+                printer.write_alignment(out, a)
+
+    def _align_all_batched(self, out, seqs, pair_list, printer,
+                           max_batch: int = 128) -> None:
+        """TPU fast path for all-vs-all overlap: batch-score every pair
+        with the Pallas kernel, then run the exact fill + traceback only
+        for pairs whose (null-adjusted) score can clear the report
+        threshold."""
+        from .dp.pallas_overlap import overlap_scores_kernel
+
+        def round_up(v, m):
+            return ((v + m - 1) // m) * m
+
+        null_cache: dict = {}
+
+        def null_ll(i, comp=False):
+            key = (i, comp)
+            if key not in null_cache:
+                s = seqs[i].revcomp() if comp else seqs[i]
+                null_cache[key] = self.null_model.log_likelihood(s)
+            return null_cache[key]
+
+        # build envelopes + bucket by strand and padded shape
+        jobs = []
+        for nx, ny, y_comp in pair_list:
+            y_index = KmerIndex(seqs[ny], self.config.kmer_len)
+            env = self.config.make_envelope(seqs[nx], y_index, VITERBI_CELL_SIZE)
+            jobs.append((nx, ny, y_comp, env))
+        buckets: dict = {}
+        for job in jobs:
+            nx, ny, y_comp, env = job
+            key = (
+                y_comp,
+                round_up(max(env.band_width, 128), 128),
+                round_up(len(seqs[ny].seq), 512),
+            )
+            buckets.setdefault(key, []).append(job)
+
+        scored = {}
+        for (y_comp, wp, lp), js in sorted(buckets.items()):
+            tables, _ = self._tables(y_comp)
+            for i in range(0, len(js), max_batch):
+                chunk = js[i : i + max_batch]
+                batch = OverlapBatch(
+                    [(seqs[nx], seqs[ny], env) for nx, ny, _, env in chunk],
+                    tables,
+                )
+                # pad to bucket shape
+                s = np.asarray(
+                    overlap_scores_kernel(tables, batch.device()),
+                    dtype=np.float64,
+                )
+                for (nx, ny, yc, env), sc in zip(chunk, s):
+                    scored[(nx, ny)] = float(sc)
+
+        # exact pass for candidates above threshold (with slack for the
+        # kernel's exact-lse vs truncated-table difference)
+        slack = 1.0
+        for nx, ny, y_comp, env in jobs:
+            sc = scored[(nx, ny)]
+            if not math.isfinite(sc):
+                continue
+            adj = sc - null_ll(nx) - null_ll(ny, y_comp)
+            if adj < printer.log_odds_threshold - slack:
+                continue
             a = self.overlap_pair(seqs[nx], seqs[ny], y_comp)
             if a is not None:
                 printer.write_alignment(out, a)
