@@ -299,7 +299,7 @@ def _bwd_kernel(
     fd_prev = jnp.where(is_first, neg, fd_prev_ref[0])
 
     def post(logw):
-        return w_pair * jnp.exp(jnp.minimum(logw - f_norm, 40.0))
+        return jnp.exp(jnp.minimum(logw - f_norm, 40.0))
 
     w_m2m = post(fm_prev + m2m_p + me_cur + bm_cur)
     w_d2m = post(fd_prev + d2m + me_cur + bm_cur)
@@ -312,11 +312,25 @@ def _bwd_kernel(
 
     w_m2i = post(shift_hi(fm_prev) + m2i_p + ie_cur + bi_cur)
     w_i2i = post(shift_hi(fi_prev) + i2i + ie_cur + bi_cur)
+
+    # per-row renormalisation: every read base is emitted exactly once, so
+    # each valid row's match+insert posterior mass is exactly 1 in exact
+    # arithmetic.  Dividing by the computed row sum cancels the row-level
+    # f32 forward/backward drift (which otherwise inflates counts through
+    # exp()) and folds in the pair weight.
+    row_sum = jnp.sum(mc + w_m2i + w_i2i, axis=1, keepdims=True)  # [B, 1]
+    factor = jnp.where(row_sum > 1e-30, w_pair / row_sum, 0.0)
+    mc = mc * factor
+    w_m2m = w_m2m * factor
+    w_d2m = w_d2m * factor
+    w_i2m = w_i2m * factor
+    w_m2i = w_m2i * factor
+    w_i2i = w_i2i * factor
     ic_row = jnp.sum(w_m2i + w_i2i, axis=1)  # [B]
 
-    w_m2d = post(shift_lo(fm_cur) + m2d_c + bd_cur)
-    w_d2d = post(shift_lo(fd_cur) + d2d + bd_cur)
-    w_m2e = jnp.where(end_ok, post(fm_cur + m2e_c), 0.0)
+    w_m2d = post(shift_lo(fm_cur) + m2d_c + bd_cur) * factor
+    w_d2d = post(shift_lo(fd_cur) + d2d + bd_cur) * factor
+    w_m2e = jnp.where(end_ok, post(fm_cur + m2e_c), 0.0) * factor
 
     # per-symbol match-count reduction over the window
     tok = win_ref[:]
