@@ -244,8 +244,10 @@ def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
 
 
 def _setup_jax_precision():
-    """Golden parity needs f64; TPU runs f32.  Enable x64 when the backend
-    is CPU (or when explicitly requested via QUAFF_TPU_X64=1)."""
+    """x64 is enabled regardless of backend: golden-parity computations
+    (XLA fills, tracebacks) need f64 and are pinned to the CPU device on
+    accelerator backends, while the production Pallas kernels request f32
+    explicitly.  QUAFF_TPU_X64=0 opts out."""
     import os
 
     import jax
@@ -254,18 +256,10 @@ def _setup_jax_precision():
     if platform:
         jax.config.update("jax_platforms", platform)
     want = os.environ.get("QUAFF_TPU_X64")
-    if want is not None:
-        jax.config.update("jax_enable_x64", want not in ("0", "false"))
-        return
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        backend = "cpu"
-    if backend == "cpu":
-        jax.config.update("jax_enable_x64", True)
-    import os as _os
-
-    cache = _os.environ.get("QUAFF_TPU_COMPILE_CACHE", "/tmp/jax_cache")
+    jax.config.update(
+        "jax_enable_x64", want not in ("0", "false") if want is not None else True
+    )
+    cache = os.environ.get("QUAFF_TPU_COMPILE_CACHE", "/tmp/jax_cache")
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

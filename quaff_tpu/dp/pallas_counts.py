@@ -399,7 +399,7 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
     # oldtok for backward row j: the window at row j covers t = j-1 ..
     # j-1+W-1, so sliding from row j+1 down to j inserts t = j-1 at lane 0
     # (0-based row r: t = r)
-    t_old = jnp.arange(Ly)[:, None]
+    t_old = jnp.arange(Ly, dtype=jnp.int32)[:, None]
     idx_old = d_lo[None, :] + t_old
     ok = (idx_old >= 0) & (idx_old < x_len[None, :])
     oldtok = jnp.where(
@@ -412,7 +412,7 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
     oldtok = jnp.pad(oldtok.astype(jnp.int32), ((0, 0), (0, Bp - B)))
 
     # window for the last row Ly: t = Ly-1 .. Ly-1+W-1
-    tL = jnp.arange(W)[None, :] + (Ly - 1) + d_lo[:, None]
+    tL = jnp.arange(W, dtype=jnp.int32)[None, :] + (Ly - 1) + d_lo[:, None]
     okL = (tL >= 0) & (tL < x_len[:, None])
     xsl_b = jnp.where(
         okL,

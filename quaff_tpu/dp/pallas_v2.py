@@ -378,7 +378,7 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
     ik_prev = padB(ik_t[:-1])
     ik_cur = padB(ik_t[1:])
 
-    t_new = jnp.arange(Ly)[:, None] + (W - 1) + d_lo[None, :]
+    t_new = jnp.arange(Ly, dtype=jnp.int32)[:, None] + (W - 1) + d_lo[None, :]
     ok_new = (t_new >= 0) & (t_new < x_len[None, :])
     newtok = jnp.where(
         ok_new,
@@ -393,7 +393,7 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
         [kq, tq, ik_prev, ik_cur, newtok, zeros, zeros, zeros], axis=1
     )
 
-    t0 = jnp.arange(W)[None, :] + d_lo[:, None]
+    t0 = jnp.arange(W, dtype=jnp.int32)[None, :] + d_lo[:, None]
     ok0 = (t0 >= 0) & (t0 < x_len[:, None])
     xs0_b = jnp.where(
         ok0,

@@ -315,16 +315,30 @@ class QuaffOverlapAligner:
     def overlap_pair(
         self, x: FastSeq, y: FastSeq, y_complemented: bool
     ) -> Optional[Alignment]:
+        import jax
+
         tables, tdev = self._tables(y_complemented)
         y_index = KmerIndex(y, self.config.kmer_len)
         env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
         batch = OverlapBatch([(x, y, env)], tables)
-        res = overlap_fill(
-            tdev,
-            batch.device(),
-            return_matrices=True,
-            dtype=self.config.resolve_dtype(),
-        )
+        bdev = batch.device()
+        if jax.default_backend() != "cpu":
+            # exact f64 fill runs on the CPU device on accelerator backends
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                bdev = {k: jax.device_put(v, cpu) for k, v in bdev.items()}
+                tdev = {k: jax.device_put(v, cpu) for k, v in tdev.items()}
+                res = overlap_fill(
+                    tdev, bdev, return_matrices=True,
+                    dtype=self.config.resolve_dtype(),
+                )
+        else:
+            res = overlap_fill(
+                tdev,
+                bdev,
+                return_matrices=True,
+                dtype=self.config.resolve_dtype(),
+            )
         score = float(np.asarray(res["score"])[0])
         if not math.isfinite(score):
             return None
