@@ -120,7 +120,7 @@ def _fwd_kernel(
         lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
         newcol = keys_ref[0, K_NEWTOK, :][:, None].astype(jnp.float32)
         win_ref[:] = jnp.where(
-            lane_ == W - 1, newcol, pltpu.roll(win_ref[:], W - 1, 1)
+            lane_ == W - 1, newcol, pltpu.roll(win_ref[:], jnp.int32(W - 1), 1)
         )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -153,10 +153,10 @@ def _fwd_kernel(
     mat_c = jnp.where(valid, mat_c + emit, NEG_INF)
 
     def shift_hi(v):
-        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, jnp.int32(W - 1), 1))
 
     def shift_lo(v):
-        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, jnp.int32(1), 1))
 
     ins_c = ins_emit + lse(shift_hi(ins_p) + i2i, shift_hi(mat_p) + m2i_j)
     ins_c = jnp.where(valid, ins_c, NEG_INF)
@@ -165,8 +165,8 @@ def _fwd_kernel(
     b_vec = jnp.where(valid, shift_lo(mat_c) + m2d_j, NEG_INF)
     s = 1
     while s < W:
-        c_s = jnp.where(lane >= s, pltpu.roll(c_vec, s, 1), 0.0)
-        b_s = jnp.where(lane >= s, pltpu.roll(b_vec, s, 1), NEG_INF)
+        c_s = jnp.where(lane >= s, pltpu.roll(c_vec, jnp.int32(s), 1), 0.0)
+        b_s = jnp.where(lane >= s, pltpu.roll(b_vec, jnp.int32(s), 1), NEG_INF)
         b_vec = lse(b_s + c_vec, b_vec)
         c_vec = c_s + c_vec
         s *= 2
@@ -221,7 +221,7 @@ def _bwd_kernel(
         # window slides one lane toward lower t: new element at lane 0
         lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
         oldcol = keys_ref[0, K_OLDTOK, :][:, None].astype(jnp.float32)
-        win_ref[:] = jnp.where(lane_ == 0, oldcol, pltpu.roll(win_ref[:], 1, 1))
+        win_ref[:] = jnp.where(lane_ == 0, oldcol, pltpu.roll(win_ref[:], jnp.int32(1), 1))
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     d_lo = meta_ref[0, :][:, None]
@@ -247,10 +247,10 @@ def _bwd_kernel(
     ie_cur = ins_emit
 
     def shift_hi(v):
-        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, jnp.int32(W - 1), 1))
 
     def shift_lo(v):
-        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, jnp.int32(1), 1))
 
     bm_next = bm_ref[:]
     bi_next = bi_ref[:]
@@ -264,8 +264,8 @@ def _bwd_kernel(
     rlane = (W - 1) - lane
     s = 1
     while s < W:
-        c_s = jnp.where(rlane >= s, pltpu.roll(c_vec, W - s, 1), 0.0)
-        b_s = jnp.where(rlane >= s, pltpu.roll(b_vec, W - s, 1), NEG_INF)
+        c_s = jnp.where(rlane >= s, pltpu.roll(c_vec, jnp.int32(W - s), 1), 0.0)
+        b_s = jnp.where(rlane >= s, pltpu.roll(b_vec, jnp.int32(W - s), 1), NEG_INF)
         b_vec = lse(b_s + c_vec, b_vec)
         c_vec = c_s + c_vec
         s *= 2

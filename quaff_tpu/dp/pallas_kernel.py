@@ -94,10 +94,10 @@ def _row_kernel(
         newtok = rows_ref[0, C_NEWTOK, :][:, None]
         newvalid = rows_ref[0, C_NEWVALID, :][:, None]
         win_ref[:] = jnp.where(
-            lane == W - 1, newtok, pltpu.roll(win_ref[:], width - 1, 1)
+            lane == W - 1, newtok, pltpu.roll(win_ref[:], jnp.int32(width - 1), 1)
         )
         vwin_ref[:] = jnp.where(
-            lane == W - 1, newvalid, pltpu.roll(vwin_ref[:], width - 1, 1)
+            lane == W - 1, newvalid, pltpu.roll(vwin_ref[:], jnp.int32(width - 1), 1)
         )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -128,10 +128,10 @@ def _row_kernel(
 
     # insert state: previous row, lane w+1
     def shift_hi(v):
-        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, jnp.int32(W - 1), 1))
 
     def shift_lo(v):
-        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, jnp.int32(1), 1))
 
     ins_c = row(C_INS_EMIT) + combine(
         shift_hi(ins_p) + i2i, shift_hi(mat_p) + row(C_M2I)
@@ -144,8 +144,8 @@ def _row_kernel(
     b_vec = jnp.where(valid, shift_lo(mat_c) + row(C_M2D), NEG_INF)
     s = 1
     while s < W:
-        c_s = jnp.where(lane >= s, pltpu.roll(c_vec, s, 1), 0.0)
-        b_s = jnp.where(lane >= s, pltpu.roll(b_vec, s, 1), NEG_INF)
+        c_s = jnp.where(lane >= s, pltpu.roll(c_vec, jnp.int32(s), 1), 0.0)
+        b_s = jnp.where(lane >= s, pltpu.roll(b_vec, jnp.int32(s), 1), NEG_INF)
         b_vec = combine(b_s + c_vec, b_vec)
         c_vec = c_s + c_vec
         s *= 2

@@ -86,7 +86,7 @@ def _ov_kernel(
         for k, w_ref in enumerate(wins):
             newcol = rows_ref[0, C_NEWA0 + k, :][:, None]
             w_ref[:] = jnp.where(
-                lane_ == W - 1, newcol, pltpu.roll(w_ref[:], W - 1, 1)
+                lane_ == W - 1, newcol, pltpu.roll(w_ref[:], jnp.int32(W - 1), 1)
             )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -117,10 +117,10 @@ def _ov_kernel(
     mat_c = jnp.where(valid, mat_c + emit, NEG_INF)
 
     def shift_hi(v):
-        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, W - 1, 1))
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, jnp.int32(W - 1), 1))
 
     def shift_lo(v):
-        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, 1, 1))
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, jnp.int32(1), 1))
 
     ins_c = jnp.maximum(
         lse(shift_hi(ins_p) + i2i_e, shift_hi(del_p) + d2i_e),
@@ -135,9 +135,9 @@ def _ov_kernel(
     s = 1
     while s < W:
         mask = lane >= s
-        c_s = jnp.where(mask, pltpu.roll(c_vec, s, 1), 0.0)
-        k_s = jnp.where(mask, pltpu.roll(k_vec, s, 1), NEG_INF)
-        b_s = jnp.where(mask, pltpu.roll(b_vec, s, 1), NEG_INF)
+        c_s = jnp.where(mask, pltpu.roll(c_vec, jnp.int32(s), 1), 0.0)
+        k_s = jnp.where(mask, pltpu.roll(k_vec, jnp.int32(s), 1), NEG_INF)
+        b_s = jnp.where(mask, pltpu.roll(b_vec, jnp.int32(s), 1), NEG_INF)
         # (c_s,k_s,b_s) applied first, then (c,k,b)
         b_vec = jnp.maximum(lse(b_s + c_vec, k_vec), b_vec)
         k_vec = lse(k_s + c_vec, k_vec)
