@@ -166,11 +166,13 @@ class QuaffAligner:
             # winners only: banded fill with matrices on the CPU backend
             if not picks:
                 return []
+            from .precision import x64_scope
+
             cpu = jax.devices("cpu")[0]
             wbatch = PairBatch.build(
                 [(refs[nx], y, envs[nx]) for nx in picks], self.tables
             )
-            with jax.default_device(cpu):
+            with x64_scope(), jax.default_device(cpu):
                 wdev = {
                     k: jax.device_put(v, cpu)
                     for k, v in device_batch(wbatch).items()
@@ -335,9 +337,11 @@ class QuaffAligner:
         per_read = {}
         if not winners:
             return per_read
+        from .precision import x64_scope
+
         cpu = jax.devices("cpu")[0]
         null_cache = {}
-        with jax.default_device(cpu):
+        with x64_scope(), jax.default_device(cpu):
             wtab = {k: jax.device_put(v, cpu) for k, v in self._tdev.items()}
             for i in range(0, len(winners), 32):
                 chunk = winners[i : i + 32]

@@ -256,9 +256,12 @@ def _setup_jax_precision():
     if platform:
         jax.config.update("jax_platforms", platform)
     want = os.environ.get("QUAFF_TPU_X64")
-    jax.config.update(
-        "jax_enable_x64", want not in ("0", "false") if want is not None else True
-    )
+    if want is not None:
+        jax.config.update("jax_enable_x64", want not in ("0", "false"))
+    elif jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+    # on accelerator backends x64 stays off globally (the Pallas kernels
+    # require 32-bit mode); parity computations use precision.x64_scope
     cache = os.environ.get("QUAFF_TPU_COMPILE_CACHE", "/tmp/jax_cache")
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)

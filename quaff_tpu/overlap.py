@@ -324,8 +324,10 @@ class QuaffOverlapAligner:
         bdev = batch.device()
         if jax.default_backend() != "cpu":
             # exact f64 fill runs on the CPU device on accelerator backends
+            from .precision import x64_scope
+
             cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
+            with x64_scope(), jax.default_device(cpu):
                 bdev = {k: jax.device_put(v, cpu) for k, v in bdev.items()}
                 tdev = {k: jax.device_put(v, cpu) for k, v in tdev.items()}
                 res = overlap_fill(
