@@ -177,9 +177,9 @@ class QuaffAligner:
                     k: jax.device_put(v, cpu)
                     for k, v in device_batch(wbatch).items()
                 }
-                wtab = {
-                    k: jax.device_put(v, cpu) for k, v in self._tdev.items()
-                }
+                # rebuild tables in f64 inside the scope: the cached device
+                # tables were materialised in 32-bit mode on the accelerator
+                wtab = device_tables(self.tables)
                 res = dp_fill(
                     wtab,
                     wdev,
@@ -342,7 +342,7 @@ class QuaffAligner:
         cpu = jax.devices("cpu")[0]
         null_cache = {}
         with x64_scope(), jax.default_device(cpu):
-            wtab = {k: jax.device_put(v, cpu) for k, v in self._tdev.items()}
+            wtab = device_tables(self.tables)
             for i in range(0, len(winners), 32):
                 chunk = winners[i : i + 32]
                 wbatch = PairBatch.build(

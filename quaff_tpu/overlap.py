@@ -329,7 +329,7 @@ class QuaffOverlapAligner:
             cpu = jax.devices("cpu")[0]
             with x64_scope(), jax.default_device(cpu):
                 bdev = {k: jax.device_put(v, cpu) for k, v in bdev.items()}
-                tdev = {k: jax.device_put(v, cpu) for k, v in tdev.items()}
+                tdev = overlap_device_tables(tables)  # f64 inside the scope
                 res = overlap_fill(
                     tdev, bdev, return_matrices=True,
                     dtype=self.config.resolve_dtype(),
