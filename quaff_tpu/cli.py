@@ -533,8 +533,18 @@ def _cmd_count(args: deque, config, state) -> int:
             _make_qsub_runner(config, sargs), refs, reads, params, null
         )
     else:
-        counter = QuaffCounter(params, null, config, use_null_model=allow_null)
-        counts, loglike, _ = counter.get_counts(refs, reads)
+        # the `count` command's JSON output is a parity artifact: compute
+        # the exact f64 path on the CPU device even on accelerator backends
+        import jax
+
+        from .precision import x64_scope
+
+        with x64_scope(), jax.default_device(jax.devices("cpu")[0]):
+            counter = QuaffCounter(
+                params, null, config, use_null_model=allow_null,
+                prefer_kernel=False,
+            )
+            counts, loglike, _ = counter.get_counts(refs, reads)
     if save_counts:
         with open(save_counts, "w") as f:
             counts.write_json(f)

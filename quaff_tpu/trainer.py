@@ -68,18 +68,24 @@ class QuaffCounter:
         null_model: QuaffNullParams,
         config: DPConfig,
         use_null_model: bool = True,
+        prefer_kernel: bool = True,
     ):
         self.params = params
         self.null_model = null_model
         self.config = config
         self.use_null_model = use_null_model
+        self.prefer_kernel = prefer_kernel
         self.tables = ScoreTables.from_params(params)
         self._tdev = device_tables(self.tables)
 
     def _use_kernel(self, y: FastSeq) -> bool:
         import jax
 
-        return jax.default_backend() == "tpu" and y.has_qual()
+        return (
+            self.prefer_kernel
+            and jax.default_backend() == "tpu"
+            and y.has_qual()
+        )
 
     def _count_read_kernel(
         self, refs, y, sort_order, y_null_ll
