@@ -227,6 +227,11 @@ def _parse_printer(args: deque, printer, state) -> bool:
 def _parse_verbosity(args: deque, state) -> bool:
     from .logger import logger
 
+    if args and args[0] == "-profile":
+        # capture a JAX profiler trace for the whole run (TPU-native
+        # observability; view with TensorBoard / xprof)
+        state["profile_dir"] = _need_arg(args, "-profile")
+        return True
     return logger.parse_args(args)
 
 
@@ -397,20 +402,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     config = DPConfig()
     state: dict = {}
 
-    if command == "align":
-        return _cmd_align(args, config, state)
-    if command == "train":
-        return _cmd_train(args, config, state)
-    if command == "count":
-        return _cmd_count(args, config, state)
-    if command == "overlap":
-        return _cmd_overlap(args, config, state)
+    dispatch = {
+        "align": _cmd_align,
+        "train": _cmd_train,
+        "count": _cmd_count,
+        "overlap": _cmd_overlap,
+    }
     if command == "server":
         from .server import cmd_server
 
-        return cmd_server(args, config, state)
-    sys.stderr.write(f"Unrecognized command: {command}\n")
-    return 1
+        dispatch["server"] = cmd_server
+    handler = dispatch.get(command)
+    if handler is None:
+        sys.stderr.write(f"Unrecognized command: {command}\n")
+        return 1
+
+    # peek for -profile anywhere in the args (chain parsing will consume it)
+    profile_dir = None
+    if "-profile" in args:
+        idx = list(args).index("-profile")
+        if idx + 1 < len(args):
+            profile_dir = list(args)[idx + 1]
+    if profile_dir:
+        import contextlib
+
+        import jax
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.profiler.trace(profile_dir))
+            return handler(args, config, state)
+    return handler(args, config, state)
 
 
 def _out_stream(state):

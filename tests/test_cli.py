@@ -150,3 +150,22 @@ def test_cli_duplicate_names_rejected(data_dir, tmp_path):
                 str(data_dir / "tiny.fastq"),
             ]
         )
+
+
+def test_cli_profile_trace(data_dir, tmp_path):
+    trace_dir = tmp_path / "trace"
+    rc, out = _run(
+        [
+            "align",
+            str(data_dir / "tiny.fasta"),
+            str(data_dir / "tiny.fastq"),
+            "-nothreshold",
+            "-profile",
+            str(trace_dir),
+        ]
+    )
+    assert rc == 0
+    assert "# STOCKHOLM" in out
+    import os
+
+    assert any(trace_dir.rglob("*")), "profiler trace directory is empty"

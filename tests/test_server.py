@@ -122,3 +122,40 @@ def test_job_file_single_shot(c8f30_setup, tmp_path):
     out = io.StringIO()
     server.run_job_file(str(job), out)
     assert out.getvalue() == (data / "c8f30-self-align.json").read_text()
+
+
+def test_overlap_loopback_matches_golden(c8f30_setup):
+    """Overlap worker protocol: {"xName","yName","yComplemented"} jobs."""
+    import pathlib
+
+    data = pathlib.Path(__file__).parent / "data"
+    copy = data / "copy-of-c8f30.fastq"
+    if not copy.exists():
+        import gzip
+
+        text = gzip.open(data / "c8f30.fastq.gz", "rt").read()
+        copy.write_text(text.replace("channel", "copy"))
+    from quaff_tpu.io import read_fast_seqs
+    from quaff_tpu.model import QuaffNullParams, default_params
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.formats import AlignmentPrinter, OutputFormat
+    from quaff_tpu.overlap import QuaffOverlapAligner
+    from quaff_tpu.server import remote_overlap_all
+
+    seqs = read_fast_seqs(str(data / "c8f30.fastq.gz")) + read_fast_seqs(str(copy))
+    null = QuaffNullParams.fit(seqs)
+    cfg = DPConfig(kmer_threshold=-1, max_size=10 << 20)
+    printer = AlignmentPrinter(format=OutputFormat.STOCKHOLM)
+    server = QuaffServer(
+        "overlap", cfg, seqs, seqs, 2,
+        printer=printer, params=default_params(), null_model=null,
+    )
+    port = _free_port()
+    t = _start_server(server, port)
+    worker = RemoteWorker("localhost", port)
+    out = io.StringIO()
+    aligner = QuaffOverlapAligner.__new__(QuaffOverlapAligner)
+    remote_overlap_all(out, [worker], seqs, 2, printer, aligner.enumerate_pairs)
+    worker.quit()
+    t.join(timeout=5)
+    assert out.getvalue() == (data / "c8f30-self-overlap.json").read_text()
