@@ -469,10 +469,17 @@ class QuaffParamCounts:
         """M-step: ratio estimators + negative-binomial refits
         (qmodel.cpp:1733-1768)."""
         qp = QuaffParams.create(self.match_kmer_len, self.indel_kmer_len)
-        qp.begin_delete = 1.0 / (1.0 + self.begin_delete_no / self.begin_delete_yes)
-        qp.begin_insert = 1.0 / (1.0 + self.begin_insert_no / self.begin_insert_yes)
-        qp.extend_delete = 1.0 / (1.0 + self.extend_delete_no / self.extend_delete_yes)
-        qp.extend_insert = 1.0 / (1.0 + self.extend_insert_no / self.extend_insert_yes)
+        # C++ float semantics (0/0 -> nan, x/0 -> inf -> prob 0), matching
+        # the reference's unguarded ratio estimators (qmodel.cpp:1735-1740)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qp.begin_delete = 1.0 / (1.0 + self.begin_delete_no / self.begin_delete_yes)
+            qp.begin_insert = 1.0 / (1.0 + self.begin_insert_no / self.begin_insert_yes)
+            qp.extend_delete = float(
+                1.0 / (1.0 + np.float64(self.extend_delete_no) / self.extend_delete_yes)
+            )
+            qp.extend_insert = float(
+                1.0 / (1.0 + np.float64(self.extend_insert_no) / self.extend_insert_yes)
+            )
 
         ins_freq = np.sum(self.insert, axis=1)
         qp.insert_prob = ins_freq / np.sum(ins_freq)
