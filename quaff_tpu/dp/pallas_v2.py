@@ -43,7 +43,7 @@ NUM_KEYS = 8
 
 
 def _row_kernel(
-    keys_ref,  # [1, NUM_KEYS, B] int32 streamed
+    keys_ref,  # [R, NUM_KEYS, B] int32 streamed (R rows per grid step)
     emis_ref,  # [KmQ, 8] f32: match emissions (4 cols) + pad
     insv_ref,  # [4*Q, 8] f32: insert emissions (col 0) + pad
     ik_ref,  # [Ki, 8] f32: m2m/m2i/m2d/m2e in cols 0..3
@@ -60,29 +60,51 @@ def _row_kernel(
     mode: str,
     local: bool,
     trans: Tuple[float, float, float, float],
+    rows_per_step: int = 1,
 ):
-    j0 = pl.program_id(0)
+    g = pl.program_id(0)
+    for _r in range(rows_per_step):
+        _one_row(
+            keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref,
+            meta_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
+            width=width, mode=mode, local=local, trans=trans,
+            g=g, r=_r, rows_per_step=rows_per_step,
+        )
+
+
+def _one_row(
+    keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
+    out_ref, mat_ref, ins_ref, del_ref, win_ref,
+    *, width, mode, local, trans, g, r, rows_per_step,
+):
+    j0 = g * rows_per_step + r
     d2d, d2m, i2i, i2m = trans
     B = member_ref.shape[0]
     W = width
     combine = jnp.maximum if mode == "viterbi" else jnp.logaddexp
 
-    @pl.when(j0 == 0)
-    def _init():
-        neg = jnp.full((B, W), NEG_INF, jnp.float32)
-        mat_ref[:] = neg
-        ins_ref[:] = neg
-        del_ref[:] = neg
-        out_ref[:] = neg
-        win_ref[:] = xs0_ref[:]
-
-    @pl.when(j0 > 0)
-    def _advance():
+    def _advance_body():
         lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        newcol = keys_ref[0, K_NEWTOK, :][:, None].astype(jnp.float32)
+        newcol = keys_ref[r, K_NEWTOK, :][:, None].astype(jnp.float32)
         win_ref[:] = jnp.where(
             lane_ == W - 1, newcol, pltpu.roll(win_ref[:], jnp.int32(W - 1), 1)
         )
+
+    if r == 0:
+        @pl.when(g == 0)
+        def _init():
+            neg = jnp.full((B, W), NEG_INF, jnp.float32)
+            mat_ref[:] = neg
+            ins_ref[:] = neg
+            del_ref[:] = neg
+            out_ref[:] = neg
+            win_ref[:] = xs0_ref[:]
+
+        @pl.when(g > 0)
+        def _advance():
+            _advance_body()
+    else:
+        _advance_body()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     d_lo = meta_ref[0, :][:, None]  # [B, 1] f32
@@ -99,8 +121,8 @@ def _row_kernel(
     )
 
     # ---- in-kernel emission resolution (one-hot matmuls on the MXU) ----
-    kq = keys_ref[0, K_KQ, :]  # [B] int32
-    tq = keys_ref[0, K_TQ, :]
+    kq = keys_ref[r, K_KQ, :]  # [B] int32
+    tq = keys_ref[r, K_TQ, :]
     kmq = emis_ref.shape[0]
     onehot_kq = (
         jax.lax.broadcasted_iota(jnp.int32, (B, kmq), 1) == kq[:, None]
@@ -118,8 +140,8 @@ def _row_kernel(
     )[:, 0][:, None]
 
     ki = ik_ref.shape[0]
-    ik_prev = keys_ref[0, K_IK_PREV, :]
-    ik_cur = keys_ref[0, K_IK_CUR, :]
+    ik_prev = keys_ref[r, K_IK_PREV, :]
+    ik_cur = keys_ref[r, K_IK_CUR, :]
     oh_prev = (
         jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_prev[:, None]
     ).astype(jnp.float32)
@@ -295,25 +317,33 @@ def prepare_inputs(tables, batch: dict) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "b_pad", "n_rows", "mode", "local", "trans", "interpret"),
+    static_argnames=(
+        "width", "b_pad", "n_rows", "mode", "local", "trans", "interpret",
+        "rows_per_step",
+    ),
 )
 def fill_v2(
     keys, emis, insv, ik, member, xs0, meta,
     width, b_pad, n_rows, mode="viterbi", local=True,
-    trans=(0.0, 0.0, 0.0, 0.0), interpret=False,
+    trans=(0.0, 0.0, 0.0, 0.0), interpret=False, rows_per_step=1,
 ):
+    R = rows_per_step
+    n_steps = -(-n_rows // R)
+    if keys.shape[0] < n_steps * R:
+        keys = jnp.pad(keys, ((0, n_steps * R - keys.shape[0]), (0, 0), (0, 0)))
     kernel = functools.partial(
-        _row_kernel, width=width, mode=mode, local=local, trans=trans
+        _row_kernel, width=width, mode=mode, local=local, trans=trans,
+        rows_per_step=R,
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_rows,),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, NUM_KEYS, b_pad), lambda j: (j, 0, 0),
+                (R, NUM_KEYS, b_pad), lambda j: (j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             resident(emis.shape),
@@ -460,7 +490,10 @@ class V2Tables:
 
 
 def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
-                     mode: str = "viterbi", local: bool = True):
+                     mode: str = "viterbi", local: bool = True,
+                     rows_per_step: int = 1):
+    # rows_per_step > 1 trades grid-dispatch overhead for VMEM block size;
+    # measured slower on v5e at W=512 (71ms -> 87ms at R=8), so default 1
     """Production path: all prep on device; batch dict already on device."""
     member = batch["member"]
     B, W0 = member.shape
@@ -471,7 +504,7 @@ def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
     out = fill_v2(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
-        trans=v2tab.trans,
+        trans=v2tab.trans, rows_per_step=rows_per_step,
     )
     if mode == "viterbi":
         s = jnp.max(out[:B], axis=1)
