@@ -57,8 +57,9 @@ def main():
     # distinct inputs per iteration: the attached-device runtime caches
     # identical executions, which would make repeat timings meaningless
     n_iters = int(os.environ.get("QUAFF_BENCH_ITERS", "5"))
+    n_warm = int(os.environ.get("QUAFF_BENCH_WARMUP", "2"))
     variants = []
-    for i in range(n_iters):
+    for i in range(n_warm + n_iters):
         b = dict(bdev)
         b["y_qual"] = bdev["y_qual"].at[:, i].set((bdev["y_qual"][:, i] + 1) % 40)
         variants.append(b)
@@ -71,13 +72,21 @@ def main():
 
     # warmup/compile; np.asarray forces a device->host fetch, which is the
     # only reliable completion fence on tunnelled-device runtimes (their
-    # block_until_ready can resolve before execution finishes)
+    # block_until_ready can resolve before execution finishes).  The warm
+    # pass uses its own distinct variants so the runtime's execution cache
+    # cannot serve the timed pass.
     np.asarray(run(bdev))
-
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    for i in range(n_warm):
         np.asarray(run(variants[i]))
-    dt = (time.perf_counter() - t0) / n_iters
+
+    # per-iteration timing; the median filters transient tunnel/device
+    # contention (e.g. a cold runtime right after another process)
+    times = []
+    for i in range(n_warm, n_warm + n_iters):
+        t0 = time.perf_counter()
+        np.asarray(run(variants[i]))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     total_cells = cells_per_pair * batch_size
     cells_per_sec = total_cells / dt

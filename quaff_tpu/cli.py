@@ -354,7 +354,9 @@ def _server_args(
         parts.append(f"-null {state['null_file']}")
     for f in ref_files or []:
         parts.append(f"-ref {f}")
-    return " ".join(parts)
+    from .logger import logger
+
+    return " ".join(parts) + logger.args()
 
 
 def _default_worker_command() -> str:
@@ -423,15 +425,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         idx = list(args).index("-profile")
         if idx + 1 < len(args):
             profile_dir = list(args)[idx + 1]
-    if profile_dir:
-        import contextlib
+    try:
+        if profile_dir:
+            import contextlib
 
-        import jax
+            import jax
 
-        with contextlib.ExitStack() as stack:
-            stack.enter_context(jax.profiler.trace(profile_dir))
-            return handler(args, config, state)
-    return handler(args, config, state)
+            with contextlib.ExitStack() as stack:
+                stack.enter_context(jax.profiler.trace(profile_dir))
+                return handler(args, config, state)
+        return handler(args, config, state)
+    except SystemExit:
+        raise
+    except (ValueError, OSError, RuntimeError) as e:
+        # the reference exits with failure status on any error
+        # (t/quaff.cpp:321-323)
+        sys.stderr.write(f"{e}\n")
+        return 1
 
 
 def _out_stream(state):

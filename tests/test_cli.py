@@ -169,3 +169,10 @@ def test_cli_profile_trace(data_dir, tmp_path):
     import os
 
     assert any(trace_dir.rglob("*")), "profiler trace directory is empty"
+
+
+def test_cli_unknown_symbol_exits_nonzero(data_dir, tmp_path):
+    bad = tmp_path / "bad.fastq"
+    bad.write_text("@r\nACGN\n+\naaaa\n")
+    rc, _ = _run(["align", str(data_dir / "tiny.fasta"), str(bad)])
+    assert rc == 1
