@@ -53,6 +53,30 @@ class DPConfig:
     threads: int = 1
     dtype: Optional[object] = None  # None -> f64 if jax x64 enabled else f32
     remotes: list = field(default_factory=list)  # [(addr, port), ...]
+    # ssh-launched workers: [(user, addr, port, threads)]
+    # (addRemote remoteJobs, qmodel.cpp:1087-1091); entries appear here
+    # when -remote includes a user@ prefix (the reference ssh-launches
+    # every -remote; we only auto-launch when credentials are given so
+    # bare -remote host:port can target an already-running server)
+    remote_jobs: list = field(default_factory=list)
+    # ssh / rsync / S3 / EC2 control plane (parseGeneralConfigArgs,
+    # qmodel.cpp:863-961 + aws.cpp:223-244)
+    ssh_path: str = "ssh"
+    rsync_path: str = "rsync"
+    ssh_key: str = ""
+    use_rsync: bool = False
+    bucket: str = ""
+    ec2_ami: str = ""
+    ec2_type: str = ""
+    ec2_cores: int = 1
+    ec2_user: str = "ec2-user"
+    ec2_port: int = 8000
+    ec2_instances: int = 0
+    ec2_key: str = ""
+    ec2_group: str = ""
+    # files the workers must be able to open: [(tag, filename)]
+    # (addFileArg, qmodel.cpp:1008-1016)
+    file_args: list = field(default_factory=list)
     # qsub/NFS batch backend (component #24)
     qsub_jobs: int = 0
     qsub_path: str = "qsub"

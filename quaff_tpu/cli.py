@@ -137,6 +137,14 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
         return True
     if arg == "-kmatchmb":
         config.max_size = int(_need_arg(args, arg)) << 20
+        if config.max_size == 0:
+            # -kmatchmb 0 falls back to physical memory
+            # (qmodel.cpp:789-793)
+            import os
+
+            config.max_size = os.sysconf("SC_PAGE_SIZE") * os.sysconf(
+                "SC_PHYS_PAGES"
+            )
         config.kmer_threshold = -1
         config.auto_mem_size = False
         return True
@@ -163,11 +171,57 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
         m = re.fullmatch(r"(?:([^@]+)@)?([-A-Za-z0-9.]+)(?::(\d+)(?:-(\d+))?)?", spec)
         if not m:
             _fail(f"Can't parse server address: {spec}")
+        user = m.group(1) or ""
         addr = m.group(2)
         lo = int(m.group(3)) if m.group(3) else 8000
         hi = int(m.group(4)) if m.group(4) else lo
-        for port in range(lo, hi + 1):
-            config.remotes.append((addr, port))
+        if user:
+            # credentials given: ssh-launch a worker server there
+            # (addRemote, qmodel.cpp:943-955/1087-1091)
+            config.remote_jobs.append((user, addr, lo, hi + 1 - lo))
+        else:
+            for port in range(lo, hi + 1):
+                config.remotes.append((addr, port))
+        return True
+    if arg == "-sshpath":
+        config.ssh_path = _need_arg(args, arg)
+        return True
+    if arg == "-rsyncpath":
+        config.rsync_path = _need_arg(args, arg)
+        return True
+    if arg == "-sshkey":
+        config.ssh_key = _need_arg(args, arg)
+        return True
+    if arg == "-rsync":
+        config.use_rsync = True
+        args.popleft()
+        return True
+    if arg == "-s3bucket":
+        config.bucket = _need_arg(args, arg)
+        return True
+    if arg == "-ec2ami":
+        config.ec2_ami = _need_arg(args, arg)
+        return True
+    if arg == "-ec2type":
+        config.ec2_type = _need_arg(args, arg)
+        return True
+    if arg == "-ec2cores":
+        config.ec2_cores = int(_need_arg(args, arg))
+        return True
+    if arg == "-ec2user":
+        config.ec2_user = _need_arg(args, arg)
+        return True
+    if arg == "-ec2port":
+        config.ec2_port = int(_need_arg(args, arg))
+        return True
+    if arg == "-ec2instances":
+        config.ec2_instances = int(_need_arg(args, arg))
+        return True
+    if arg == "-ec2key":
+        config.ec2_key = _need_arg(args, arg)
+        return True
+    if arg == "-ec2group":
+        config.ec2_group = _need_arg(args, arg)
         return True
     if arg == "-maxthreads":
         import os
@@ -324,9 +378,25 @@ def _server_args(
     fwdstrand: bool = False,
     noquals: bool = False,
     ref_files: Optional[List[str]] = None,
+    read_files: Optional[List[str]] = None,
 ) -> str:
     """Serialise the client's config into worker CLI flags — the
-    flags-as-wire-format scheme of setServerArgs (qmodel.cpp:993-1006)."""
+    flags-as-wire-format scheme of setServerArgs (qmodel.cpp:993-1006).
+
+    When rsync/S3 staging is active, file paths are rewritten to the
+    worker-side staging directory (makeServerArgs, qmodel.cpp:1019-1028).
+    """
+    staging = config.use_rsync or bool(config.bucket)
+
+    def fpath(fn: str) -> str:
+        if staging:
+            import os
+
+            from .bootstrap import SYNC_STAGING_DIR
+
+            return f"{SYNC_STAGING_DIR}/{os.path.basename(fn)}"
+        return fn
+
     parts = [mode]
     if force:
         parts.append("-force")
@@ -348,22 +418,108 @@ def _server_args(
             parts.append(f"-kmatchmb {config.max_size >> 20}")
     else:
         parts.append("-kmatchoff")
+    if config.bucket:
+        parts.append(f"-s3bucket {config.bucket}")
     if state.get("params_file"):
-        parts.append(f"-params {state['params_file']}")
+        parts.append(f"-params {fpath(state['params_file'])}")
     if state.get("null_file"):
-        parts.append(f"-null {state['null_file']}")
+        parts.append(f"-null {fpath(state['null_file'])}")
     for f in ref_files or []:
-        parts.append(f"-ref {f}")
+        parts.append(f"-ref {fpath(f)}")
+    for f in read_files or []:
+        parts.append(f"-read {fpath(f)}")
     from .logger import logger
 
     return " ".join(parts) + logger.args()
 
 
+def _collect_file_args(config, state, refs_args=None, reads_args=None) -> None:
+    """Record every file the workers must open, for rsync/S3 staging
+    (addFileArg/addReadFileArg, qmodel.cpp:1008-1016)."""
+    config.file_args = []
+    for key, tag in (("params_file", "-params"), ("null_file", "-null")):
+        if state.get(key):
+            config.file_args.append((tag, state[key]))
+    for sl, tag in ((refs_args, "-ref"), (reads_args, "-read")):
+        if sl is not None:
+            for fn in sl.filenames:
+                config.file_args.append((tag, fn))
+
+
+def _launch_remote_pool(config, sargs: str):
+    """ssh/EC2 worker bootstrap before remote dispatch
+    (startRemoteServers, qmodel.cpp:1093-1125).
+
+    Returns (pool_handles, extra_remotes): pool_handles is None or a
+    (RemoteServerPool, ElasticPool|None) tuple to stop after the run;
+    extra_remotes is a list of (addr, port) worker endpoints.
+    """
+    if not (config.remote_jobs or config.ec2_instances > 0):
+        return None, []
+    from . import bootstrap as bs
+
+    specs = [
+        bs.RemoteServerSpec(addr=a, port=p, threads=t, user=u)
+        for (u, a, p, t) in config.remote_jobs
+    ]
+    elastic = None
+    if config.ec2_instances > 0:
+        elastic = bs.ElasticPool(
+            ami=config.ec2_ami or bs.AWS_DEFAULT_AMI,
+            instance_type=config.ec2_type or bs.AWS_DEFAULT_INSTANCE_TYPE,
+            user=config.ec2_user,
+            key_pair=config.ec2_key,
+            security_group=config.ec2_group,
+        )
+        addrs = elastic.launch(
+            config.ec2_instances,
+            f"mkdir -p -m a=rwx {bs.SYNC_STAGING_DIR}\n",
+        )
+        specs += [
+            bs.RemoteServerSpec(
+                addr=a,
+                port=config.ec2_port,
+                threads=config.ec2_cores,
+                user=config.ec2_user,
+                instance_id=iid,
+            )
+            for a, iid in zip(addrs, elastic.instance_ids)
+        ]
+    # file staging: S3 bucket overrides rsync (qmodel.cpp:1113)
+    if config.bucket:
+        for _tag, fn in config.file_args:
+            bs.sync_to_bucket(config.bucket, fn)
+    elif config.use_rsync:
+        for spec in specs:
+            for _tag, fn in config.file_args:
+                bs.sync_to_remote(fn, spec, config.rsync_path, config.ssh_path)
+    pool = bs.RemoteServerPool(
+        bs.SshLauncher(config.ssh_path, config.ssh_key),
+        worker_command=config.worker_path or _default_worker_command(),
+    )
+    extra = pool.start(specs, sargs)
+    return (pool, elastic), extra
+
+
+def _stop_remote_pool(pool_handles) -> None:
+    if pool_handles is None:
+        return
+    pool, elastic = pool_handles
+    pool.stop()
+    if elastic is not None:
+        elastic.terminate_all()
+
+
 def _default_worker_command() -> str:
+    import os
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    return f"PYTHONPATH={root} {sys.executable} -m quaff_tpu.cli"
+    # preserve the caller's PYTHONPATH (it may carry sitecustomize hooks
+    # the accelerator runtime needs)
+    extra = os.environ.get("PYTHONPATH")
+    path = f"{root}:{extra}" if extra else str(root)
+    return f"PYTHONPATH={path} {sys.executable} -m quaff_tpu.cli"
 
 
 def _make_qsub_runner(config, server_args: str):
@@ -482,13 +638,30 @@ def _cmd_align(args: deque, config, state) -> int:
     params = _load_params(state)
     null = _load_or_fit_null(state, reads)
     out = _out_stream(state)
-    if config.remotes:
+    _collect_file_args(config, state, refs_args, reads_args)
+    pool, extra_remotes = _launch_remote_pool(
+        config,
+        _server_args(
+            "align",
+            config,
+            state,
+            printer=printer,
+            fwdstrand=not refs_args.want_revcomps,
+            noquals=not reads_args.want_quals,
+            ref_files=refs_args.filenames,
+            read_files=reads_args.filenames,
+        ),
+    )
+    if config.remotes or extra_remotes:
         from .server import RemoteWorker, remote_align_all
 
-        workers = [RemoteWorker(a, p) for a, p in config.remotes]
+        workers = [
+            RemoteWorker(a, p) for a, p in config.remotes + extra_remotes
+        ]
         remote_align_all(out, workers, reads, refs, printer)
         for w in workers:
             w.close()
+        _stop_remote_pool(pool)
     elif config.qsub_jobs > 0:
         from .batch import qsub_align_all
 
@@ -542,13 +715,29 @@ def _cmd_count(args: deque, config, state) -> int:
     refs, _ = refs_args.load()
     params = _load_params(state)
     null = _load_or_fit_null(state, reads)
-    if config.remotes:
+    _collect_file_args(config, state, refs_args, reads_args)
+    pool, extra_remotes = _launch_remote_pool(
+        config,
+        _server_args(
+            "count",
+            config,
+            state,
+            force=not allow_null,
+            fwdstrand=not refs_args.want_revcomps,
+            ref_files=refs_args.filenames,
+            read_files=reads_args.filenames,
+        ),
+    )
+    if config.remotes or extra_remotes:
         from .server import RemoteWorker, remote_get_counts
 
-        workers = [RemoteWorker(a, p) for a, p in config.remotes]
+        workers = [
+            RemoteWorker(a, p) for a, p in config.remotes + extra_remotes
+        ]
         counts, loglike, _ = remote_get_counts(workers, refs, reads, params, null)
         for w in workers:
             w.close()
+        _stop_remote_pool(pool)
     elif config.qsub_jobs > 0:
         from .batch import qsub_get_counts
 
@@ -679,6 +868,48 @@ def _cmd_train(args: deque, config, state) -> int:
     from .logger import logger
 
     params = _load_params(state, prior=prior)
+
+    # remote/qsub E-step dispatch (QuaffTrainer::getCounts wraps each EM
+    # iteration's counting in startRemoteServers/stopRemoteServers,
+    # qmodel.cpp:2034-2041)
+    _collect_file_args(config, state, refs_args, reads_args)
+    sargs = _server_args(
+        "count",
+        config,
+        state,
+        force=not trainer.allow_null_model,
+        fwdstrand=not refs_args.want_revcomps,
+        ref_files=refs_args.filenames,
+        read_files=reads_args.filenames,
+    )
+    pool, extra_remotes = _launch_remote_pool(config, sargs)
+    counts_provider = None
+    workers = []
+    all_remotes = config.remotes + extra_remotes
+    if all_remotes:
+        from .server import RemoteWorker, remote_get_counts
+
+        workers = [RemoteWorker(a, p) for a, p in all_remotes]
+
+        def counts_provider(qp, order):
+            return remote_get_counts(workers, refs, reads, qp, null, order)
+
+    elif config.qsub_jobs > 0:
+        from .batch import qsub_get_counts
+
+        qsub_sargs = _server_args(
+            "count",
+            config,
+            state,
+            force=not trainer.allow_null_model,
+            fwdstrand=not refs_args.want_revcomps,
+            ref_files=refs_args.filenames,
+        )
+        runner = _make_qsub_runner(config, qsub_sargs)
+
+        def counts_provider(qp, order):
+            return qsub_get_counts(runner, refs, reads, qp, null, order)
+
     new_params = trainer.fit(
         refs,
         reads,
@@ -687,7 +918,11 @@ def _cmd_train(args: deque, config, state) -> int:
         prior,
         config,
         log=lambda msg: logger.log(1, msg),
+        counts_provider=counts_provider,
     )
+    for w in workers:
+        w.close()
+    _stop_remote_pool(pool)
     if not trainer.save_params_filename:
         new_params.write_json(sys.stdout)
     return 0
@@ -717,16 +952,32 @@ def _cmd_overlap(args: deque, config, state) -> int:
     params = _load_params(state)
     null = _load_or_fit_null(state, seqs)
     out = _out_stream(state)
-    if config.remotes:
+    _collect_file_args(config, state, reads_args=reads_args)
+    pool, extra_remotes = _launch_remote_pool(
+        config,
+        _server_args(
+            "overlap",
+            config,
+            state,
+            printer=printer,
+            fwdstrand=not reads_args.want_revcomps,
+            noquals=not reads_args.want_quals,
+            read_files=reads_args.filenames,
+        ),
+    )
+    if config.remotes or extra_remotes:
         from .server import RemoteWorker, remote_overlap_all
 
-        workers = [RemoteWorker(a, p) for a, p in config.remotes]
+        workers = [
+            RemoteWorker(a, p) for a, p in config.remotes + extra_remotes
+        ]
         aligner = QuaffOverlapAligner.__new__(QuaffOverlapAligner)
         remote_overlap_all(
             out, workers, seqs, n_originals, printer, aligner.enumerate_pairs
         )
         for w in workers:
             w.close()
+        _stop_remote_pool(pool)
     elif config.qsub_jobs > 0:
         from .batch import qsub_overlap_all
 

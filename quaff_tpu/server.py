@@ -326,6 +326,22 @@ def cmd_server(args: deque, config, state) -> int:
         if not _parse_unknown(args, implicit, True):
             break
 
+    if config.bucket:
+        # pull staged files down from S3 before loading
+        # (SeqList::syncBucket / QuaffParamsIn::syncBucket,
+        # t/quaff.cpp:342-346, 567-571)
+        from .bootstrap import sync_from_bucket
+
+        model_files = [
+            f for f in (state.get("params_file"), state.get("null_file")) if f
+        ]
+        for fn in (
+            (refs_args.filenames if refs_args else [])
+            + reads_args.filenames
+            + model_files
+        ):
+            sync_from_bucket(config.bucket, fn)
+
     reads, n_originals = reads_args.load()
     refs = reads
     if refs_args is not None:

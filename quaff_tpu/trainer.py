@@ -264,7 +264,13 @@ class QuaffTrainer:
         pseudocounts: QuaffParamCounts,
         config: DPConfig,
         log=lambda *a: None,
+        counts_provider=None,
     ) -> QuaffParams:
+        """EM fit.  counts_provider, when given, replaces the local
+        E-step: a callable (params, sort_order) -> (counts, loglike,
+        sort_order) — used to farm counting to remote/qsub workers each
+        iteration (QuaffTrainer::fit remote dispatch,
+        qmodel.cpp:2050-2120)."""
         if self.max_read_bases > 0:
             limited = []
             bases = 0
@@ -292,8 +298,15 @@ class QuaffTrainer:
                 start_iter = ckpt.iteration
                 log(f"Resuming from checkpoint at EM iteration {start_iter}")
         for it in range(start_iter, self.max_iterations):
-            counter = QuaffCounter(qp, null_model, config, self.allow_null_model)
-            counts, loglike, sort_order = counter.get_counts(refs, reads, sort_order)
+            if counts_provider is not None:
+                counts, loglike, sort_order = counts_provider(qp, sort_order)
+            else:
+                counter = QuaffCounter(
+                    qp, null_model, config, self.allow_null_model
+                )
+                counts, loglike, sort_order = counter.get_counts(
+                    refs, reads, sort_order
+                )
             if self.raw_counts_filename:
                 with open(self.raw_counts_filename, "w") as f:
                     counts.write_json(f)
