@@ -225,8 +225,19 @@ class QuaffAligner:
             index_of = {nx: nx for nx in picks}
 
         out: List[Alignment] = []
+        from .logger import logger
+
         for nx in picks:
             i = index_of[nx]
+            if logger.logging_tag("dpmatrix"):
+                # `-log dpmatrix` cell dump (QuaffViterbiMatrix,
+                # qmodel.cpp:1558-1559)
+                from .dp.debug import write_dp_matrix
+
+                write_dp_matrix(
+                    refs[nx], y, envs[nx],
+                    mats[i], inss[i], dels[i], float(scores_w[i]),
+                )
             a = viterbi_traceback(
                 refs[nx],
                 y,

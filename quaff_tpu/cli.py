@@ -379,6 +379,7 @@ def _server_args(
     noquals: bool = False,
     ref_files: Optional[List[str]] = None,
     read_files: Optional[List[str]] = None,
+    print_all: bool = False,
 ) -> str:
     """Serialise the client's config into worker CLI flags — the
     flags-as-wire-format scheme of setServerArgs (qmodel.cpp:993-1006).
@@ -400,6 +401,8 @@ def _server_args(
     parts = [mode]
     if force:
         parts.append("-force")
+    if print_all:
+        parts.append("-printall")
     if printer is not None:
         parts.append(f"-format {printer.format.value}")
         if printer.log_odds_threshold > float("-inf"):
@@ -650,6 +653,7 @@ def _cmd_align(args: deque, config, state) -> int:
             noquals=not reads_args.want_quals,
             ref_files=refs_args.filenames,
             read_files=reads_args.filenames,
+            print_all=print_all,
         ),
     )
     if config.remotes or extra_remotes:
@@ -673,6 +677,7 @@ def _cmd_align(args: deque, config, state) -> int:
             fwdstrand=not refs_args.want_revcomps,
             noquals=not reads_args.want_quals,
             ref_files=refs_args.filenames,
+            print_all=print_all,
         )
         qsub_align_all(out, _make_qsub_runner(config, sargs), reads, refs, printer)
     else:

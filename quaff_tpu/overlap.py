@@ -344,6 +344,16 @@ class QuaffOverlapAligner:
         score = float(np.asarray(res["score"])[0])
         if not math.isfinite(score):
             return None
+        from .logger import logger
+
+        if logger.logging_tag("dpmatrix"):
+            from .dp.debug import write_dp_matrix
+
+            write_dp_matrix(
+                x, y, env,
+                np.asarray(res["mat"])[0], np.asarray(res["ins"])[0],
+                np.asarray(res["del"])[0], score,
+            )
         a = overlap_traceback(
             x,
             y,
