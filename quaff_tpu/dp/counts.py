@@ -256,12 +256,12 @@ def dp_forward_backward(
     ic_rows = jnp.moveaxis(rows["ic"][::-1], 0, 1)  # [B, Ly]
     row_valid = (jnp.arange(1, Ly + 1)[None, :] <= y_len[:, None]).astype(dtype)
 
-    kq_key = y_match_kmer * Q + y_qual  # [B, Ly]
+    kq_key = y_match_kmer.astype(jnp.int32) * Q + y_qual.astype(jnp.int32)  # [B, Ly]
     onehot_kq = jax.nn.one_hot(kq_key, Km * Q, dtype=dtype) * row_valid[..., None]
     match_counts = jnp.einsum("blk,bla->bak", onehot_kq, mc4_rows)
     match_counts = match_counts.reshape(B, 4, Km, Q)
 
-    tq_key = y_tok * Q + y_qual
+    tq_key = y_tok.astype(jnp.int32) * Q + y_qual.astype(jnp.int32)
     onehot_tq = jax.nn.one_hot(tq_key, 4 * Q, dtype=dtype) * row_valid[..., None]
     insert_counts = jnp.einsum("blk,bl->bk", onehot_tq, ic_rows).reshape(B, 4, Q)
 

@@ -61,6 +61,9 @@ class PairBatch:
     member: np.ndarray  # [B, W] bool: member diagonals of the envelope
     width: int
     max_y_len: int
+    # exclusive upper bounds on the kmer codes, for narrow transfer dtypes
+    match_kmer_bound: int = 1 << 30
+    indel_kmer_bound: int = 1 << 30
 
     @classmethod
     def build(
@@ -91,6 +94,8 @@ class PairBatch:
             member=np.zeros((B, W), dtype=bool),
             width=W,
             max_y_len=Ly,
+            match_kmer_bound=4 ** tables.match_kmer_len,
+            indel_kmer_bound=4 ** tables.indel_kmer_len,
         )
         for b, (x, y, env) in enumerate(pairs):
             xt = x.tokens()
@@ -299,14 +304,29 @@ def device_tables(tables: ScoreTables) -> dict:
     }
 
 
+def _narrow_int(a: np.ndarray, bound: int):
+    """Transfer large index arrays in the narrowest dtype that holds
+    [0, bound): the accelerator link is the bottleneck (a tunnelled TPU
+    moves ~10 MB/s), and every consumer widens before arithmetic."""
+    if bound <= 127:
+        return jnp.asarray(np.asarray(a, dtype=np.int8))
+    if bound <= 32767:
+        return jnp.asarray(np.asarray(a, dtype=np.int16))
+    return jnp.asarray(a)
+
+
 def device_batch(batch: PairBatch) -> dict:
     return {
-        "x_tok": jnp.asarray(batch.x_tok),
+        "x_tok": _narrow_int(batch.x_tok, 4),
         "x_len": jnp.asarray(batch.x_len),
-        "y_tok": jnp.asarray(batch.y_tok),
-        "y_match_kmer": jnp.asarray(batch.y_match_kmer),
-        "y_indel_kmer_pad": jnp.asarray(batch.y_indel_kmer_pad),
-        "y_qual": jnp.asarray(batch.y_qual),
+        "y_tok": _narrow_int(batch.y_tok, 4),
+        "y_match_kmer": _narrow_int(
+            batch.y_match_kmer, batch.match_kmer_bound
+        ),
+        "y_indel_kmer_pad": _narrow_int(
+            batch.y_indel_kmer_pad, batch.indel_kmer_bound
+        ),
+        "y_qual": _narrow_int(batch.y_qual, 94),
         "y_has_qual": jnp.asarray(batch.y_has_qual),
         "y_len": jnp.asarray(batch.y_len),
         "d_lo": jnp.asarray(batch.d_lo),

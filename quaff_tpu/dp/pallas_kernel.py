@@ -204,8 +204,13 @@ def _build_rows_device(tables_dev: dict, batch: dict, width: int, b_pad: int):
     ins = tables_dev["insert_score"].astype(f32)
     insn = tables_dev["insert_score_noq"].astype(f32)
 
-    kq_t = y_mk_t * Q + y_qual_t  # [Ly, B] flat (kmer, qual) key
-    tq_t = y_tok_t * Q + y_qual_t
+    y_mk32, y_tok32, y_q32 = (
+        y_mk_t.astype(jnp.int32),
+        y_tok_t.astype(jnp.int32),
+        y_qual_t.astype(jnp.int32),
+    )
+    kq_t = y_mk32 * Q + y_q32  # [Ly, B] flat (kmer, qual) key
+    tq_t = y_tok32 * Q + y_q32
 
     def padB(a):  # [Ly, B] -> [Ly, Bp] f32
         return jnp.pad(a.astype(f32), ((0, 0), (0, Bp - B)))

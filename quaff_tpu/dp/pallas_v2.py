@@ -238,8 +238,11 @@ def prepare_inputs(tables, batch: dict) -> dict:
     has_q = bool(np.all(y_has_qual))
 
     keys = np.zeros((Ly, NUM_KEYS, Bp), np.int32)
-    keys[:, K_KQ, :B] = (y_mk * Q + y_qual).T
-    keys[:, K_TQ, :B] = (y_tok * Q + y_qual).T
+    y_mk32 = y_mk.astype(np.int32)
+    y_tok32 = y_tok.astype(np.int32)
+    y_q32 = y_qual.astype(np.int32)
+    keys[:, K_KQ, :B] = (y_mk32 * Q + y_q32).T
+    keys[:, K_TQ, :B] = (y_tok32 * Q + y_q32).T
     keys[:, K_IK_PREV, :B] = ik_pad[:, :-1].T
     keys[:, K_IK_CUR, :B] = ik_pad[:, 1:].T
 
@@ -402,8 +405,11 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
     def padB(a):  # [Ly, B] int -> [Ly, Bp] int32
         return jnp.pad(a.astype(jnp.int32), ((0, 0), (0, Bp - B)))
 
-    kq = padB((batch["y_match_kmer"] * Q + batch["y_qual"]).T)
-    tq = padB((batch["y_tok"] * Q + batch["y_qual"]).T)
+    # widen before arithmetic: the transfer dtypes may be int8/int16
+    ykm32 = batch["y_match_kmer"].astype(jnp.int32)
+    yq32 = batch["y_qual"].astype(jnp.int32)
+    kq = padB((ykm32 * Q + yq32).T)
+    tq = padB((batch["y_tok"].astype(jnp.int32) * Q + yq32).T)
     ik_t = batch["y_indel_kmer_pad"].T
     ik_prev = padB(ik_t[:-1])
     ik_cur = padB(ik_t[1:])
