@@ -97,12 +97,19 @@ class OverlapBatch:
     def device(self) -> dict:
         import jax.numpy as jnp
 
+        from .dp.engine import _narrow_int
+
         d = device_batch(self.base)
         d.update(
             {
-                "x_match_kmer": jnp.asarray(self.x_match_kmer),
-                "x_indel_kmer_pad": jnp.asarray(self.x_indel_kmer_pad),
-                "x_qual": jnp.asarray(self.x_qual),
+                # pure gather indices downstream: narrow transfer dtypes
+                "x_match_kmer": _narrow_int(
+                    self.x_match_kmer, self.base.match_kmer_bound
+                ),
+                "x_indel_kmer_pad": _narrow_int(
+                    self.x_indel_kmer_pad, self.base.indel_kmer_bound
+                ),
+                "x_qual": _narrow_int(self.x_qual, 94),
                 "x_has_qual": jnp.asarray(self.x_has_qual),
                 "x_insert_score": jnp.asarray(self.x_insert_score),
                 "y_insert_score": jnp.asarray(self.y_insert_score),
