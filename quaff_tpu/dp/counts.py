@@ -41,7 +41,12 @@ def _reverse_linear_recurrence(combine, c_vec, b_vec):
     return x[..., ::-1]
 
 
-@partial(jax.jit, static_argnames=("local", "dtype", "num_match_kmers", "num_indel_kmers"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "local", "dtype", "num_match_kmers", "num_indel_kmers", "return_post",
+    ),
+)
 def dp_forward_backward(
     tables_dev: dict,
     batch_dev: dict,
@@ -49,6 +54,7 @@ def dp_forward_backward(
     dtype=jnp.float32,
     num_match_kmers: int = 4,
     num_indel_kmers: int = 1,
+    return_post: bool = False,
 ):
     """Returns per-pair forward score, backward score, and expected counts.
 
@@ -229,6 +235,13 @@ def dp_forward_backward(
             "d2m": jnp.sum(w_d2m, axis=1),
             "start": s_contrib,
         }
+        if return_post:
+            # per-cell posterior state probabilities for `-log postmatrix`
+            # (QuaffForwardBackwardMatrix::postMatch/Insert/Delete,
+            # qmodel.cpp:1778-1788)
+            row_out["post_mat"] = post(fm_cur + bm_cur)
+            row_out["post_ins"] = post(fi_cur + bi_cur)
+            row_out["post_del"] = post(fd_cur + bd_cur)
         return (bm_cur, bi_cur, bd_cur, me_cur, ie_cur), row_out
 
     init_b = (
@@ -289,4 +302,8 @@ def dp_forward_backward(
         "d2d": jnp.einsum("bl,bl->b", jnp.moveaxis(rows["d2d"][::-1], 0, 1), row_valid),
         "d2m": jnp.einsum("bl,bl->b", jnp.moveaxis(rows["d2m"][::-1], 0, 1), row_valid),
     }
+    if return_post:
+        # [B, Ly, W] posterior probabilities, rows back in j=1..Ly order
+        for name in ("post_mat", "post_ins", "post_del"):
+            out[name] = jnp.moveaxis(rows[name][::-1], 0, 1)
     return out

@@ -55,3 +55,36 @@ def write_dp_matrix(
             )
         out.write("\n")
     out.write(f"result {_fmt(result)}\n")
+
+
+def write_post_matrix(
+    x: FastSeq,
+    y: FastSeq,
+    env: Envelope,
+    post_mat: np.ndarray,
+    post_ins: np.ndarray,
+    post_del: np.ndarray,
+    out=None,
+) -> None:
+    """`-log postmatrix` posterior-probability dump
+    (QuaffForwardBackwardMatrix::write, qmodel.cpp:1790-1798; the class
+    is never constructed by any reference workload, so the tag is dead
+    code there — here it fires in the counting E-step, where the
+    posteriors actually exist).  post_* are [Ly, W] with row j at index
+    j-1; no trailing result line."""
+    out = out or sys.stderr
+    d_lo = env.band_lo
+    has_qual = y.has_qual()
+    for j in range(1, env.y_len + 1):
+        for i in np.asarray(env.forward_i(j)):
+            w = int(i) - j - d_lo
+            if w < 0 or w >= env.band_width:
+                continue
+            yq = y.qual[j - 1] if has_qual else ""
+            out.write(
+                f"i={i}:{x.seq[i - 1]} j={j}:{y.seq[j - 1]}{yq}"
+                f"\tmat {_fmt(post_mat[j - 1, w])}"
+                f"\tins {_fmt(post_ins[j - 1, w])}"
+                f"\tdel {_fmt(post_del[j - 1, w])}\n"
+            )
+        out.write("\n")

@@ -169,7 +169,11 @@ class QuaffCounter:
         if not sort_order:
             return y_counts, y_null_ll, sort_order
 
-        if self._use_kernel(y):
+        from .logger import logger
+
+        if self._use_kernel(y) and not logger.logging_tag("postmatrix"):
+            # the fused kernel never materialises posterior matrices; the
+            # postmatrix dump forces the exact engine path
             return self._count_read_kernel(refs, y, sort_order, y_null_ll)
 
         y_index = KmerIndex(y, self.config.kmer_len)
@@ -179,6 +183,9 @@ class QuaffCounter:
         }
         pairs = [(refs[nx], y, envs[nx]) for nx in sort_order]
         batch = PairBatch.build(pairs, self.tables)
+        from .logger import logger
+
+        want_post = logger.logging_tag("postmatrix")
         res = dp_forward_backward(
             self._tdev,
             device_batch(batch),
@@ -186,6 +193,7 @@ class QuaffCounter:
             dtype=self.config.resolve_dtype(),
             num_match_kmers=self.params.num_match_kmers,
             num_indel_kmers=self.params.num_indel_kmers,
+            return_post=want_post,
         )
         fwd = np.asarray(res["fwd_score"], dtype=np.float64)
 
@@ -202,6 +210,15 @@ class QuaffCounter:
         for pos, nx in enumerate(sort_order):
             if not took_backward[nx] or not math.isfinite(xy_loglike[nx]):
                 continue
+            if want_post:
+                from .dp.debug import write_post_matrix
+
+                write_post_matrix(
+                    refs[nx], y, envs[nx],
+                    np.asarray(res["post_mat"][pos]),
+                    np.asarray(res["post_ins"][pos]),
+                    np.asarray(res["post_del"][pos]),
+                )
             post = math.exp(xy_loglike[nx] - y_loglike)
             qc = _extract_pair_counts(res, pos, mk, ik)
             y_counts.add_weighted(QuaffParamCounts.from_counts(qc), post)
