@@ -1058,7 +1058,41 @@ GENERAL
    -kmatchn <n>    Threshold# of kmer matches to seed a diagonal
    -kmatchband <n> Size of DP band around kmer-matching diagonals (default 64)
    -kmatchmb <M>   Set kmer threshold to use M megabytes of memory
+   -kmatchmax      Set kmer threshold to use all available memory (slow)
    -kmatchoff      No kmer threshold, do full DP
+
+PARALLEL PROCESSING
+
+On TPU pods, scaling is via the device mesh (data/model/sequence
+parallel shardings; see docs/manual.md). The reference's cluster
+backends are also supported:
+
+Sockets:
+   -threads <N>, -maxthreads       Worker thread/port count
+   -remote [user@]host[:port[-maxport]]
+                   With user@: ssh-launch a remote worker server.
+                   Bare host:port: connect to an already-running server.
+   -sshkey <file>  SSH private key file
+   -sshpath <p>, -rsyncpath <p>    Paths to ssh / rsync
+   -remotepath <p> Path to remote worker command
+   -rsync          Client rsyncs data files to the worker staging dir
+   -s3bucket <B>   Client/worker sync data files via S3 bucket B
+   -ec2instances <N>               Launch N temporary EC2 instances
+   -ec2ami <AMI>, -ec2type <type>, -ec2cores <n>, -ec2user <user>,
+   -ec2key <keypair>, -ec2group <group>, -ec2port <port>
+
+Queueing system (requires NFS):
+   -qsubjobs <N>   Submit up to N simultaneous jobs
+   -qsub <path>, -qsubopts <options>   Submission program and options
+   -qsubdir <path> Temp directory for job scripts (must be on NFS)
+   -qsubheader <f> Header for job scripts (e.g. PBS directives)
+
+LOGGING
+
+   -verbose, -v1..-v9   Verbosity level
+   -log <tag>      Targeted dumps (dpmatrix, postmatrix)
+   -nocolor        Plain log output
+   -profile <dir>  Capture a JAX profiler trace of the run
 """
 
 
