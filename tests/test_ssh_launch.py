@@ -107,3 +107,68 @@ def test_server_args_staging_rewrite():
     sargs = _server_args("align", config, {}, ref_files=["/data/refs.fasta"])
     assert "-s3bucket mybucket" in sargs
     assert f"-ref {SYNC_STAGING_DIR}/refs.fasta" in sargs
+
+
+def test_align_with_rsync_staging(data_dir, tmp_path):
+    """-rsync stages data files into the worker staging dir and rewrites
+    the worker's file args to the staged paths (makeServerArgs +
+    syncToRemote, qmodel.cpp:1019-1085)."""
+    import shutil
+
+    from quaff_tpu.bootstrap import SYNC_STAGING_DIR
+
+    # data lives somewhere the worker's rewritten args can't accidentally
+    # resolve unless staging actually happened
+    src_dir = tmp_path / "cl"
+    src_dir.mkdir()
+    for fn in ("dpm_ref.fasta", "dpm_read.fastq"):
+        shutil.copy(data_dir / fn, src_dir / fn)
+    staged = [
+        f"{SYNC_STAGING_DIR}/dpm_ref.fasta",
+        f"{SYNC_STAGING_DIR}/dpm_read.fastq",
+    ]
+    import os
+
+    for fn in staged:
+        if os.path.exists(fn):
+            os.unlink(fn)
+
+    rsync = tmp_path / "fake-rsync"
+    rsync.write_text(
+        "#!/bin/sh\n"
+        "# stand-in for rsync src host:dest — local copy, host prefix cut\n"
+        'src="$(eval echo \\${$(($#-1))})"\n'
+        'dst="$(eval echo \\${$#})"\n'
+        'exec cp "$src" "${dst#*:}"\n'
+    )
+    rsync.chmod(0o755)
+
+    base = [
+        "align",
+        str(src_dir / "dpm_ref.fasta"),
+        str(src_dir / "dpm_read.fastq"),
+        "-kmatchoff",
+        "-fwdstrand",
+        "-nothreshold",
+    ]
+    rc, want = _run(base)
+    assert rc == 0 and want
+
+    port = _free_port()
+    rc, got = _run(
+        base
+        + [
+            "-remote",
+            f"tester@127.0.0.1:{port}",
+            "-sshpath",
+            _stub_ssh(tmp_path),
+            "-rsyncpath",
+            str(rsync),
+            "-rsync",
+        ]
+    )
+    assert rc == 0
+    assert got == want
+    # files really went through the staging dir
+    for fn in staged:
+        assert os.path.exists(fn)
