@@ -20,8 +20,8 @@ import random
 import subprocess
 import tempfile
 import time
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 QSUB_SCRIPT = "job.sh"
 QSUB_INFO = "info.json"

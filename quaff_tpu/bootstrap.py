@@ -19,15 +19,14 @@ import atexit
 import base64
 import json
 import random
-import shlex
 import signal
 import subprocess
 import threading
 import time
-from dataclasses import dataclass, field
-from typing import IO, List, Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
-from .server import RemoteWorker, send_framed
+from .server import send_framed
 
 READY_SENTINEL = "# READY"
 

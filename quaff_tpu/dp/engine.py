@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..alphabet import QUAL_SCORE_RANGE
 from ..envelope import Envelope
 from ..io.fastseq import FastSeq
 from .scores import ScoreTables

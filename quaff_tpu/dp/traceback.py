@@ -11,7 +11,6 @@ Path length is O(xLen + yLen), negligible next to the fill.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ Conventions: diagonal d = i - j for 1-based DP coordinates (equivalently
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set
 
 import numpy as np

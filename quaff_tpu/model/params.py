@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import math
 from dataclasses import dataclass, field
-from typing import IO, List, Optional, Tuple
+from typing import IO, Optional
 
 import numpy as np
 

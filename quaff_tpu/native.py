@@ -9,7 +9,6 @@ built; `make -C native` builds it.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 from typing import List, Optional, Tuple

@@ -18,13 +18,12 @@ counts agree with the reference up to that pruning heuristic.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dp.counts import dp_forward_backward
 from ..dp.engine import NEG_INF, dp_fill

@@ -11,7 +11,7 @@ qmodel.cpp:1656-1679, 2416-2418).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

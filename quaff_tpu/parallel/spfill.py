@@ -20,14 +20,12 @@ the implementation is exact: scores match the single-device engine.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..dp.engine import NEG_INF, _linear_recurrence
+from ..dp.engine import NEG_INF
 
 
 def _combine_for(mode):

@@ -12,8 +12,8 @@ exactly so EM trajectories match.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import IO, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Tuple
 
 import numpy as np
 
