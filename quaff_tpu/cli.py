@@ -324,7 +324,7 @@ def _setup_jax_precision():
     cache = os.environ.get("QUAFF_TPU_COMPILE_CACHE", "/tmp/jax_cache")
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)  # cache even micro-compiles: each costs ~0.4s through a remote compiler
 
 
 def _load_params(args_state, prior=None):

@@ -379,11 +379,18 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
         mode=mode, local=local, trans=prep["trans"], interpret=interpret,
     )
     B = prep["batch"]
+    # end-reduction on the host: the band row is tiny, and eager device
+    # ops each pay a per-op compile/dispatch on remotely-attached
+    # accelerators (one fetch beats five micro-kernels)
+    o = np.asarray(out)[:B].astype(np.float64)
     if mode == "viterbi":
-        s = jnp.max(out[:B], axis=1)
+        s = o.max(axis=1)
     else:
-        s = jax.nn.logsumexp(out[:B], axis=1)
-    return jnp.where(s <= NEG_INF / 2, -jnp.inf, s)
+        m = o.max(axis=1)
+        safe = np.where(np.isfinite(m), m, 0.0)
+        s = safe + np.log(np.sum(np.exp(o - safe[:, None]), axis=1))
+        s = np.where(np.isfinite(m), s, -np.inf)
+    return np.where(s <= NEG_INF / 2, -np.inf, s)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "b_pad"))
@@ -512,8 +519,15 @@ def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
         trans=v2tab.trans, rows_per_step=rows_per_step,
     )
+    # end-reduction on the host: the band row is tiny, and eager device
+    # ops each pay a per-op compile/dispatch on remotely-attached
+    # accelerators (one fetch beats five micro-kernels)
+    o = np.asarray(out)[:B].astype(np.float64)
     if mode == "viterbi":
-        s = jnp.max(out[:B], axis=1)
+        s = o.max(axis=1)
     else:
-        s = jax.nn.logsumexp(out[:B], axis=1)
-    return jnp.where(s <= NEG_INF / 2, -jnp.inf, s)
+        m = o.max(axis=1)
+        safe = np.where(np.isfinite(m), m, 0.0)
+        s = safe + np.log(np.sum(np.exp(o - safe[:, None]), axis=1))
+        s = np.where(np.isfinite(m), s, -np.inf)
+    return np.where(s <= NEG_INF / 2, -np.inf, s)

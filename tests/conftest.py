@@ -24,7 +24,7 @@ jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: the big banded-DP scans compile slowly on
 # the CPU backend; cache them across test runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pathlib
 
