@@ -137,6 +137,16 @@ class QuaffAligner:
 
         return jax.default_backend() == "tpu"
 
+    def _v2_tables(self, has_qual: bool):
+        """Cached kernel score tables per quality mode (quality-free
+        batches use the noq emission tables replicated per qual slot)."""
+        attr = "_v2tab" if has_qual else "_v2tab_nq"
+        if not hasattr(self, attr):
+            from .dp.pallas_v2 import V2Tables
+
+            setattr(self, attr, V2Tables(self.tables, has_qual=has_qual))
+        return getattr(self, attr)
+
     def align_read(self, refs: List[FastSeq], y: FastSeq) -> List[Alignment]:
         """Align one read against all refs; returns the best alignment (or
         all finite ones if print_all), null-model-adjusted, sorted by
@@ -149,15 +159,14 @@ class QuaffAligner:
         ]
         batch = PairBatch.build([(x, y, e) for x, e in zip(refs, envs)], self.tables)
 
-        fast = self._use_fast_scores() and y.has_qual()
+        fast = self._use_fast_scores()
         if fast:
-            from .dp.pallas_v2 import V2Tables, scores_v2_device
+            from .dp.pallas_v2 import scores_v2_device
 
-            if not hasattr(self, "_v2tab"):
-                self._v2tab = V2Tables(self.tables)
             scores = np.asarray(
                 scores_v2_device(
-                    self.tables, self._v2tab, device_batch(batch),
+                    self.tables, self._v2_tables(y.has_qual()),
+                    device_batch(batch),
                     mode="viterbi", local=self.config.local,
                 ),
                 dtype=np.float64,
@@ -300,20 +309,22 @@ class QuaffAligner:
                 env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
                 jobs.append((ny, nx, env))
 
-        # phase B: bucketed batch scoring
-        fast = self._use_fast_scores() and all(y.has_qual() for y in reads)
+        # phase B: bucketed batch scoring (kernel batches must be
+        # homogeneous in quality presence, so it joins the bucket key)
+        fast = self._use_fast_scores()
         buckets = {}
         for job in jobs:
             ny, nx, env = job
             key = (
                 round_up(max(env.band_width, 128), 128),
                 round_up(len(reads[ny].seq), 512),
+                reads[ny].has_qual(),
             )
             buckets.setdefault(key, []).append(job)
 
         scores = {}
         n_done = 0
-        for (wp, lp), js in sorted(buckets.items()):
+        for (wp, lp, hq), js in sorted(buckets.items()):
             for i in range(0, len(js), max_batch):
                 chunk = js[i : i + max_batch]
                 batch = PairBatch.build(
@@ -324,13 +335,11 @@ class QuaffAligner:
                 )
                 bdev = device_batch(batch)
                 if fast:
-                    from .dp.pallas_v2 import V2Tables, scores_v2_device
+                    from .dp.pallas_v2 import scores_v2_device
 
-                    if not hasattr(self, "_v2tab"):
-                        self._v2tab = V2Tables(self.tables)
                     s = np.asarray(
                         scores_v2_device(
-                            self.tables, self._v2tab, bdev,
+                            self.tables, self._v2_tables(hq), bdev,
                             mode="viterbi", local=self.config.local,
                         ),
                         dtype=np.float64,
