@@ -172,3 +172,13 @@ def test_align_with_rsync_staging(data_dir, tmp_path):
     # files really went through the staging dir
     for fn in staged:
         assert os.path.exists(fn)
+
+
+def test_server_args_carry_printall_and_force():
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.cli import _server_args
+
+    sargs = _server_args("align", DPConfig(), {}, print_all=True)
+    assert "-printall" in sargs
+    sargs = _server_args("count", DPConfig(), {}, force=True)
+    assert "-force" in sargs
