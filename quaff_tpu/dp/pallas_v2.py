@@ -502,6 +502,38 @@ class V2Tables:
         )
 
 
+def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
+                        local: bool = True, rows_per_step: int = 1):
+    """Jit-traceable device path: prep + kernel + end reduction, with no
+    host round-trips — suitable for wrapping in an outer `jax.jit`
+    (the driver's single-chip compile check uses this).  `v2tab` is any
+    object with .emis/.insv/.ik device arrays and a static .trans tuple.
+
+    The production eager path (`scores_v2_device`) instead fetches the
+    band row and reduces host-side — see the comment there for why.
+    """
+    member = batch["member"]
+    B, W0 = member.shape
+    Ly = int(batch["y_tok"].shape[1])
+    W = _round_up(max(int(W0), 128), 128)
+    Bp = _round_up(int(B), 8)
+    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
+    out = fill_v2(
+        keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
+        width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
+        trans=v2tab.trans, rows_per_step=rows_per_step,
+    )
+    o = out[:B]
+    if mode == "viterbi":
+        s = jnp.max(o, axis=1)
+    else:
+        m = jnp.max(o, axis=1)
+        safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = safe + jnp.log(jnp.sum(jnp.exp(o - safe[:, None]), axis=1))
+        s = jnp.where(jnp.isfinite(m), s, -jnp.inf)
+    return jnp.where(s <= NEG_INF / 2, -jnp.inf, s)
+
+
 def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
                      mode: str = "viterbi", local: bool = True,
                      rows_per_step: int = 1):
