@@ -294,6 +294,9 @@ def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
     if not args:
         return False
     arg = args[0]
+    if arg == "-abort":
+        # hidden stack-trace test flag (optparser.cpp:35-37)
+        raise RuntimeError("abort triggered")
     if arg.startswith("-") or not implicit:
         _fail(f"Unknown option: {arg}")
     args.appendleft(implicit[0])

@@ -176,3 +176,11 @@ def test_cli_unknown_symbol_exits_nonzero(data_dir, tmp_path):
     bad.write_text("@r\nACGN\n+\naaaa\n")
     rc, _ = _run(["align", str(data_dir / "tiny.fasta"), str(bad)])
     assert rc == 1
+
+
+def test_cli_abort_flag(data_dir, capsys):
+    """-abort is the reference's hidden stack-trace test flag
+    (optparser.cpp:35-37): it must fail loudly, not parse as a file."""
+    rc = main(["align", str(data_dir / "tiny.fasta"), "-abort"])
+    assert rc != 0
+    assert "abort triggered" in capsys.readouterr().err
