@@ -538,6 +538,88 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, wrow,
     return d_emis, d_insv, d_ik, d_sc
 
 
+@functools.partial(
+    jax.jit, static_argnames=("local", "Km", "Ki", "trans", "interpret")
+)
+def _estep_fused_jit(emis, insv, ik, batch, null_ll,
+                     local, Km, Ki, trans, interpret=False):
+    """One dispatch for the whole per-read E-step: input prep, forward
+    fill (stored rows), read-level posterior weights from the forward
+    scores and the null log-likelihood, and the weighted backward-counts
+    sweep.  Replaces the previous 3-fill sequence (standalone forward for
+    weights + fwd/bwd inside estep_kernel) with 2 fills and no
+    intermediate host round-trips."""
+    Q = QUAL_SCORE_RANGE
+    member = batch["member"]
+    B, W0 = member.shape
+    Ly = int(batch["y_tok"].shape[1])
+    W = _round_up(max(int(W0), 128), 128)
+    Bp = _round_up(int(B), 8)
+    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
+    oldtok, xsl = _prepare_bwd_extras(batch, W, Bp)
+    keys = keys.at[:, K_OLDTOK, :].set(oldtok)
+
+    out, mrows, irows, drows = _fwd_store(
+        keys, emis, insv, ik, member_f, xs0, meta,
+        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
+        interpret=interpret,
+    )
+    fwd = jax.nn.logsumexp(out[:B], axis=1)
+    fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
+
+    # read-level responsibilities: y_ll = lse(null_ll, fwd_0, ..)
+    finite = jnp.isfinite(fwd)
+    y_ll = jnp.logaddexp(
+        null_ll.astype(jnp.float32),
+        jax.nn.logsumexp(jnp.where(finite, fwd, -jnp.inf)),
+    )
+    weights = jnp.where(finite, jnp.exp(fwd - y_ll), 0.0)
+
+    wrow = jnp.zeros((8, Bp), jnp.float32)
+    wrow = wrow.at[0, :B].set(weights)
+    wrow = wrow.at[1, :B].set(jnp.where(finite, fwd, 0.0))
+    d_emis, d_insv, d_ik, d_sc = _bwd_counts(
+        keys, emis, insv, ik, member_f, xsl, meta, wrow,
+        mrows, irows, drows,
+        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
+        interpret=interpret,
+    )
+    counts = {
+        "match_counts": d_emis[: Km * Q, :4]
+        .reshape(Km, Q, 4)
+        .transpose(2, 0, 1),  # [4, Km, Q]
+        "insert_counts": d_insv[: 4 * Q, 0].reshape(4, Q),
+        "m2m": d_ik[:Ki, 0],
+        "m2i": d_ik[:Ki, 1],
+        "m2d": d_ik[:Ki, 2],
+        "m2e": d_ik[:Ki, 3],
+        "i2i": d_sc[0, :B],
+        "i2m": d_sc[1, :B],
+        "d2d": d_sc[2, :B],
+        "d2m": d_sc[3, :B],
+        "back_start_post": d_sc[4, :B],
+    }
+    return fwd, y_ll, counts
+
+
+def estep_fused(tables, v2tab: V2Tables, batch: dict, null_ll: float,
+                local: bool = True, interpret: bool = False):
+    """Production E-step entry: returns (fwd [B], y_ll scalar, counts).
+
+    null_ll is the read's null-model log likelihood (-inf when the null
+    model is disallowed, t/quaff.cpp -force).
+    """
+    Km = np.asarray(tables.match_score).shape[1]
+    Ki = len(np.asarray(tables.m2m))
+    nl = jnp.asarray(
+        null_ll if np.isfinite(null_ll) else -np.inf, jnp.float32
+    )
+    return _estep_fused_jit(
+        v2tab.emis, v2tab.insv, v2tab.ik, batch, nl,
+        local=local, Km=Km, Ki=Ki, trans=v2tab.trans, interpret=interpret,
+    )
+
+
 def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
                  f_norm, local: bool = True, interpret: bool = False):
     """Run the Pallas E-step for one batch.

@@ -93,7 +93,7 @@ class QuaffCounter:
         """TPU fast path: fused Pallas forward+backward E-step.  Counts are
         mathematically the reference's posterior-weighted totals; the Δ=20
         backward-skip becomes an exact (negligible-weight) contribution."""
-        from .dp.pallas_counts import estep_kernel
+        from .dp.pallas_counts import estep_fused
         from .dp.pallas_v2 import V2Tables
 
         mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
@@ -107,27 +107,18 @@ class QuaffCounter:
         pairs = [(refs[nx], y, envs[nx]) for nx in sort_order]
         batch = PairBatch.build(pairs, self.tables)
         bdev = device_batch(batch)
-        # phase 1: forward scores -> posterior weights
-        from .dp.pallas_v2 import scores_v2_device
-
-        fwd = np.asarray(
-            scores_v2_device(
-                self.tables, self._v2tab, bdev, mode="forward",
-                local=self.config.local,
-            ),
-            dtype=np.float64,
+        # single fused dispatch: forward fill -> device-side posterior
+        # weights -> weighted backward counts (no standalone forward pass)
+        fwd_dev, _, totals = estep_fused(
+            self.tables, self._v2tab, bdev, y_null_ll,
+            local=self.config.local,
         )
+        fwd = np.asarray(fwd_dev, dtype=np.float64)
+        # convergence/pruning statistics stay in host f64 (the kernel's
+        # device y_ll is f32 and only shapes the count weights)
         y_loglike = y_null_ll
         for f in fwd:
             y_loglike = _log_sum_exp(y_loglike, float(f))
-        weights = np.where(
-            np.isfinite(fwd), np.exp(fwd - y_loglike), 0.0
-        ).astype(np.float32)
-        # phase 2: backward counts, weighted and summed on device
-        _, totals = estep_kernel(
-            self.tables, self._v2tab, bdev, weights, fwd,
-            local=self.config.local,
-        )
         qc = QuaffCounts(
             match_kmer_len=mk,
             indel_kmer_len=ik,

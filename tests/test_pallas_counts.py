@@ -87,3 +87,42 @@ def test_estep_kernel_matches_engine():
     np.testing.assert_allclose(
         np.asarray(counts["back_start_post"]), 1.0, rtol=5e-3
     )
+
+
+def test_estep_fused_matches_engine():
+    """The single-dispatch fused E-step (device-computed posterior
+    weights) must match the engine's posterior-weighted totals."""
+    from quaff_tpu.dp.pallas_counts import estep_fused
+
+    rng = np.random.default_rng(11)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _pairs(rng, 4)
+    bdev = device_batch(PairBatch.build(pairs, tables))
+    tdev = device_tables(tables)
+
+    ref = dp_forward_backward(
+        tdev, bdev, local=True, dtype=jnp.float64,
+        num_match_kmers=4, num_indel_kmers=1,
+    )
+    fwd_ref = np.asarray(ref["fwd_score"])
+    null_ll = float(np.max(fwd_ref))  # comparable magnitude -> mixed weights
+    y_ll_ref = np.logaddexp.reduce(np.concatenate([[null_ll], fwd_ref]))
+    weights = np.exp(fwd_ref - y_ll_ref)
+
+    v2tab = V2Tables(tables)
+    fwd, y_ll, counts = estep_fused(
+        tables, v2tab, bdev, null_ll, local=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(fwd), fwd_ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(float(y_ll), y_ll_ref, rtol=1e-5, atol=1e-3)
+
+    for name in ("match_counts", "insert_counts", "m2m", "m2i", "m2d", "m2e"):
+        want = np.tensordot(weights, np.asarray(ref[name]), axes=(0, 0))
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
+        )
+    for name in ("i2i", "i2m", "d2d", "d2m"):
+        want = weights * np.asarray(ref[name])
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
+        )
