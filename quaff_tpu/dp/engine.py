@@ -40,6 +40,29 @@ from .scores import ScoreTables
 NEG_INF = -np.inf
 
 
+def expand_strips(pairs):
+    """[(x, y, env)] -> (strip_pairs, owner): each envelope split into its
+    independent diagonal strips (Envelope.strips), owner[k] = index of the
+    originating pair.  Evaluating strips as separate batch rows skips the
+    -inf gap lanes of a multi-cluster bounding band."""
+    strip_pairs, owner = [], []
+    for n, (x, y, env) in enumerate(pairs):
+        for s in env.strips():
+            strip_pairs.append((x, y, s))
+            owner.append(n)
+    return strip_pairs, owner
+
+
+def combine_strip_scores(scores, owner, n_pairs, mode="viterbi"):
+    """Per-owner max (viterbi) / log-sum-exp (forward) of strip scores."""
+    out = np.full(n_pairs, -np.inf)
+    for sc, n in zip(np.asarray(scores, dtype=np.float64), owner):
+        out[n] = (
+            max(out[n], sc) if mode == "viterbi" else np.logaddexp(out[n], sc)
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # batch assembly (host side)
 

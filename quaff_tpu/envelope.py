@@ -88,6 +88,26 @@ class Envelope:
         mask[self.diagonals - self.band_lo] = True
         return mask
 
+    def strips(self) -> list:
+        """Decompose into sub-envelopes, one per maximal run of consecutive
+        member diagonals.
+
+        Strips are INDEPENDENT DP subproblems: every DP move (M: same
+        diagonal, I: -1, D: +1, qmodel.cpp:1343-1391) steps between
+        adjacent diagonals, and cells on non-member diagonals are -inf, so
+        no path crosses the >=1-diagonal gap between runs.  The pair score
+        is the max (Viterbi) / log-sum-exp (Forward) of the strip scores,
+        and strip posteriors partition the pair posterior.  Evaluating
+        strips as separate batch rows avoids filling the gap lanes of the
+        bounding band (the reference's ragged storage never stores them,
+        diagenv.cpp:108-133)."""
+        d = self.diagonals
+        breaks = np.nonzero(np.diff(d) != 1)[0] + 1
+        return [
+            Envelope(x_len=self.x_len, y_len=self.y_len, diagonals=run)
+            for run in np.split(d, breaks)
+        ]
+
     @property
     def num_cells(self) -> int:
         """Number of member cells in rows 1..yLen (DP work measure)."""
