@@ -157,21 +157,27 @@ class QuaffAligner:
         envs = [
             self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE) for x in refs
         ]
-        batch = PairBatch.build([(x, y, e) for x, e in zip(refs, envs)], self.tables)
-
         fast = self._use_fast_scores()
         if fast:
             from .dp.pallas_v2 import scores_v2_device
 
+            # lane-packed strips: multi-cluster envelopes cost their
+            # member lanes, not their bounding band
+            kbatch = PairBatch.build_packed(
+                [(x, y, e) for x, e in zip(refs, envs)], self.tables
+            )
             scores = np.asarray(
                 scores_v2_device(
                     self.tables, self._v2_tables(y.has_qual()),
-                    device_batch(batch),
+                    device_batch(kbatch),
                     mode="viterbi", local=self.config.local,
                 ),
                 dtype=np.float64,
             )
         else:
+            batch = PairBatch.build(
+                [(x, y, e) for x, e in zip(refs, envs)], self.tables
+            )
             res = dp_fill(
                 self._tdev,
                 device_batch(batch),
@@ -310,13 +316,25 @@ class QuaffAligner:
                 jobs.append((ny, nx, env))
 
         # phase B: bucketed batch scoring (kernel batches must be
-        # homogeneous in quality presence, so it joins the bucket key)
+        # homogeneous in quality presence, so it joins the bucket key).
+        # Kernel batches use the lane-packed strip layout, so the bucket
+        # width key is the packed width (Σ strip widths), not the
+        # bounding-band width.
         fast = self._use_fast_scores()
+        if fast:
+            from .envelope import pack_strips
+
+            def kernel_width(env):
+                return sum(s.band_width for s in pack_strips(env))
+        else:
+            def kernel_width(env):
+                return env.band_width
+
         buckets = {}
         for job in jobs:
             ny, nx, env = job
             key = (
-                round_up(max(env.band_width, 128), 128),
+                round_up(max(kernel_width(env), 128), 128),
                 round_up(len(reads[ny].seq), 512),
                 reads[ny].has_qual(),
             )
@@ -327,7 +345,8 @@ class QuaffAligner:
         for (wp, lp, hq), js in sorted(buckets.items()):
             for i in range(0, len(js), max_batch):
                 chunk = js[i : i + max_batch]
-                batch = PairBatch.build(
+                build = PairBatch.build_packed if fast else PairBatch.build
+                batch = build(
                     [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
                     self.tables,
                     width=wp,

@@ -86,6 +86,11 @@ class PairBatch:
     # exclusive upper bounds on the kmer codes, for narrow transfer dtypes
     match_kmer_bound: int = 1 << 30
     indel_kmer_bound: int = 1 << 30
+    # lane-packed strip descriptors ([B, MAX_SEGS] int32), set by
+    # build_packed; None for bounding-band batches
+    seg_d_lo: Optional[np.ndarray] = None
+    seg_start: Optional[np.ndarray] = None
+    seg_width: Optional[np.ndarray] = None
 
     @classmethod
     def build(
@@ -135,6 +140,56 @@ class PairBatch:
             out.d_lo[b] = env.band_lo
             mask = env.member_mask()
             out.member[b, : len(mask)] = mask
+        return out
+
+    @classmethod
+    def build_packed(
+        cls,
+        pairs: List[Tuple[FastSeq, FastSeq, Envelope]],
+        tables: ScoreTables,
+        width: Optional[int] = None,
+        max_y_len: Optional[int] = None,
+        max_segs: int = 3,
+    ) -> "PairBatch":
+        """Lane-packed strip layout for the Pallas kernels: each pair's
+        envelope is split into its independent diagonal strips (merged to
+        at most max_segs) and the strips are laid side by side on the
+        lane axis, so a multi-cluster envelope pays Σ strip widths lanes
+        instead of its (much wider) bounding band.  Each strip keeps its
+        ±1 non-member halo, which blocks the in-row recursions at the
+        seams.  Only the kernel paths understand this layout (they read
+        the seg_* descriptors); the XLA engine must use build()."""
+        from ..envelope import pack_strips
+
+        segs_per_pair = [pack_strips(e, max_segs) for _, _, e in pairs]
+
+        class _PackedView:
+            def __init__(self, segs):
+                self.band_lo = 0  # unused by kernels for packed batches
+                self.band_width = sum(s.band_width for s in segs)
+                self._segs = segs
+
+            def member_mask(self):
+                return np.concatenate([s.member_mask() for s in self._segs])
+
+        packed_pairs = [
+            (x, y, _PackedView(segs))
+            for (x, y, _), segs in zip(pairs, segs_per_pair)
+        ]
+        out = cls.build(packed_pairs, tables, width=width, max_y_len=max_y_len)
+        B = len(pairs)
+        # sentinel diagonal for absent segments (matches the kernels'
+        # D_SENTINEL: rows are always out of x range there)
+        out.seg_d_lo = np.full((B, max_segs), 1 << 24, dtype=np.int32)
+        out.seg_start = np.zeros((B, max_segs), dtype=np.int32)
+        out.seg_width = np.zeros((B, max_segs), dtype=np.int32)
+        for b, segs in enumerate(segs_per_pair):
+            lane = 0
+            for k, s in enumerate(segs):
+                out.seg_d_lo[b, k] = s.band_lo
+                out.seg_start[b, k] = lane
+                out.seg_width[b, k] = s.band_width
+                lane += s.band_width
         return out
 
 
@@ -188,6 +243,13 @@ def dp_fill(
     (row 0 = all -inf virtual row, matching the reference's storage rows).
     """
     combine = _max_combine if mode == "viterbi" else _lse_combine
+
+    if "seg_d_lo" in batch_dev:
+        raise ValueError(
+            "dp_fill cannot consume lane-packed strip batches "
+            "(PairBatch.build_packed); use PairBatch.build for the XLA "
+            "engine"
+        )
 
     x_tok = batch_dev["x_tok"]
     x_len = batch_dev["x_len"]
@@ -338,7 +400,7 @@ def _narrow_int(a: np.ndarray, bound: int):
 
 
 def device_batch(batch: PairBatch) -> dict:
-    return {
+    out = {
         "x_tok": _narrow_int(batch.x_tok, 4),
         "x_len": jnp.asarray(batch.x_len),
         "y_tok": _narrow_int(batch.y_tok, 4),
@@ -354,3 +416,8 @@ def device_batch(batch: PairBatch) -> dict:
         "d_lo": jnp.asarray(batch.d_lo),
         "member": jnp.asarray(batch.member),
     }
+    if batch.seg_d_lo is not None:
+        out["seg_d_lo"] = jnp.asarray(batch.seg_d_lo)
+        out["seg_start"] = jnp.asarray(batch.seg_start)
+        out["seg_width"] = jnp.asarray(batch.seg_width)
+    return out

@@ -45,15 +45,18 @@ from .pallas_v2 import (
     K_IK_PREV,
     K_KQ,
     K_NEWTOK,
+    K_OLDTOK0,
     K_TQ,
+    MAX_SEGS,
     NEG_INF,
     NUM_KEYS,
     V2Tables,
+    _advance_window,
+    _lane_tables,
     _prepare_device,
     _round_up,
+    _segment_arrays,
 )
-
-K_OLDTOK = 5  # x token entering the window when sweeping backward
 
 _DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
@@ -96,6 +99,7 @@ def _select_emit(win, emit4, B, W):
 
 def _fwd_kernel(
     keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
+    doff_ref, snew_ref,
     out_ref, mrow_ref, irow_ref, drow_ref,
     mat_ref, ins_ref, del_ref, win_ref,
     *, width: int, local: bool, trans: Tuple[float, float, float, float],
@@ -117,18 +121,13 @@ def _fwd_kernel(
 
     @pl.when(j0 > 0)
     def _advance():
-        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        newcol = keys_ref[0, K_NEWTOK, :][:, None].astype(jnp.float32)
-        win_ref[:] = jnp.where(
-            lane_ == W - 1, newcol, pltpu.roll(win_ref[:], jnp.int32(W - 1), 1)
-        )
+        _advance_window(win_ref, keys_ref, snew_ref, 0, B, W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    d_lo = meta_ref[0, :][:, None]
     x_len = meta_ref[1, :][:, None]
     y_len = meta_ref[2, :][:, None]
     jf = (j0 + 1).astype(jnp.float32)
-    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)
+    idx = doff_ref[:] + (jf - 1.0)
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
     emit4, ins_emit, tr_prev, tr_cur, *_ = _emission_lookup(
@@ -187,6 +186,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     keys_ref,  # [1, NUM_KEYS, B] for row j (reversed stream)
     emis_ref, insv_ref, ik_ref, member_ref, xsl_ref, meta_ref,
+    doff_ref, sold_ref,
     wrow_ref,  # [8, B]: row 0 = pair weight w_b; row 1 = fwd_total (norm)
     fm_cur_ref, fi_cur_ref, fd_cur_ref,  # fwd rows j
     fm_prev_ref, fi_prev_ref, fd_prev_ref,  # fwd rows j-1
@@ -218,17 +218,20 @@ def _bwd_kernel(
 
     @pl.when(g > 0)
     def _advance():
-        # window slides one lane toward lower t: new element at lane 0
-        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        oldcol = keys_ref[0, K_OLDTOK, :][:, None].astype(jnp.float32)
-        win_ref[:] = jnp.where(lane_ == 0, oldcol, pltpu.roll(win_ref[:], jnp.int32(1), 1))
+        # each segment's window slides one lane toward lower t: new
+        # element at the segment's FIRST lane (sold_ref marks them)
+        win = pltpu.roll(win_ref[:], jnp.int32(1), 1)
+        slot = sold_ref[:]
+        for k in range(MAX_SEGS):
+            oldcol = keys_ref[0, K_OLDTOK0 + k, :][:, None].astype(jnp.float32)
+            win = jnp.where(slot == float(k), oldcol, win)
+        win_ref[:] = win
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    d_lo = meta_ref[0, :][:, None]
     x_len = meta_ref[1, :][:, None]
     y_len = meta_ref[2, :][:, None]
     jf = j.astype(jnp.float32)
-    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)
+    idx = doff_ref[:] + (jf - 1.0)
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
     (emit4, ins_emit, tr_prev, tr_cur, oh_kq, oh_tq, oh_prev, oh_cur) = (
@@ -388,31 +391,43 @@ def _ie_next_col(ienext_ref):
 
 @functools.partial(jax.jit, static_argnames=("width", "b_pad"))
 def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
-    """K_OLDTOK channel and the last-row window for the backward sweep."""
+    """Per-segment K_OLDTOK channels and the last-row window for the
+    backward sweep (segment-aware: each packed segment's window re-enters
+    tokens at its own first lane)."""
     x_tok = batch["x_tok"]
     x_len = batch["x_len"]
-    d_lo = batch["d_lo"]
     B = x_tok.shape[0]
     Ly = batch["y_tok"].shape[1]
     W, Bp = width, b_pad
+    seg_d_lo, seg_start, seg_width = _segment_arrays(batch, W)
+    _, _, _, doff_i = _lane_tables(seg_d_lo, seg_start, seg_width, W, B, Bp)
 
-    # oldtok for backward row j: the window at row j covers t = j-1 ..
-    # j-1+W-1, so sliding from row j+1 down to j inserts t = j-1 at lane 0
-    # (0-based row r: t = r)
-    t_old = jnp.arange(Ly, dtype=jnp.int32)[:, None]
-    idx_old = d_lo[None, :] + t_old
-    ok = (idx_old >= 0) & (idx_old < x_len[None, :])
-    oldtok = jnp.where(
-        ok,
-        jnp.take_along_axis(
-            x_tok.T, jnp.clip(idx_old, 0, x_tok.shape[1] - 1), axis=0
-        ),
-        -1,
-    )
-    oldtok = jnp.pad(oldtok.astype(jnp.int32), ((0, 0), (0, Bp - B)))
+    # oldtok for backward row j: segment k's window at row j starts at
+    # t = seg_d_lo + j - 1, so sliding from row j+1 down to j inserts
+    # t = seg_d_lo + j - 1 at the segment's first lane (0-based row r:
+    # t = seg_d_lo + r)
+    rows = jnp.arange(Ly, dtype=jnp.int32)[:, None]
+    oldtoks = []
+    for k in range(MAX_SEGS):
+        idx_old = seg_d_lo[None, :, k] + rows
+        ok = (
+            (seg_width[None, :, k] > 0)
+            & (idx_old >= 0)
+            & (idx_old < x_len[None, :])
+        )
+        oldtok = jnp.where(
+            ok,
+            jnp.take_along_axis(
+                x_tok.T, jnp.clip(idx_old, 0, x_tok.shape[1] - 1), axis=0
+            ),
+            -1,
+        )
+        oldtoks.append(
+            jnp.pad(oldtok.astype(jnp.int32), ((0, 0), (0, Bp - B)))
+        )
 
-    # window for the last row Ly: t = Ly-1 .. Ly-1+W-1
-    tL = jnp.arange(W, dtype=jnp.int32)[None, :] + (Ly - 1) + d_lo[:, None]
+    # window for the last row Ly: token at each lane's diagonal + Ly - 1
+    tL = doff_i + (Ly - 1)
     okL = (tL >= 0) & (tL < x_len[:, None])
     xsl_b = jnp.where(
         okL,
@@ -420,14 +435,14 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
         -1,
     )
     xsl = jnp.full((Bp, W), -1.0, jnp.float32).at[:B].set(xsl_b.astype(jnp.float32))
-    return oldtok, xsl
+    return oldtoks, xsl
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "b_pad", "n_rows", "local", "trans", "interpret"),
 )
-def _fwd_store(keys, emis, insv, ik, member, xs0, meta,
+def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
                width, b_pad, n_rows, local, trans, interpret=False):
     kernel = functools.partial(
         _fwd_kernel, width=width, local=local, trans=trans
@@ -450,6 +465,8 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta,
             resident((b_pad, width)),
             resident((b_pad, width)),
             resident(meta.shape),
+            resident((b_pad, width)),
+            resident((b_pad, width)),
         ],
         out_specs=(resident((b_pad, width)), row_out, row_out, row_out),
         out_shape=(
@@ -465,7 +482,7 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta,
             pltpu.VMEM((b_pad, width), jnp.float32),
         ],
         interpret=interpret,
-    )(keys, emis, insv, ik, member, xs0, meta)
+    )(keys, emis, insv, ik, member, xs0, meta, doff, snew)
     return out, mrows, irows, drows
 
 
@@ -473,7 +490,7 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta,
     jax.jit,
     static_argnames=("width", "b_pad", "n_rows", "local", "trans", "interpret"),
 )
-def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, wrow,
+def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
                 mrows, irows, drows,
                 width, b_pad, n_rows, local, trans, interpret=False):
     kernel = functools.partial(
@@ -508,6 +525,8 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, wrow,
             resident((b_pad, width)),
             resident((b_pad, width)),
             resident(meta.shape),
+            resident((b_pad, width)),
+            resident((b_pad, width)),
             resident(wrow.shape),
             cur_spec, cur_spec, cur_spec,
             prev_spec, prev_spec, prev_spec,
@@ -533,7 +552,7 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, wrow,
             pltpu.VMEM((b_pad, width), jnp.float32),
         ],
         interpret=interpret,
-    )(keys, emis, insv, ik, member, xsl, meta, wrow,
+    )(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
       mrows, irows, drows, mrows, irows, drows)
     return d_emis, d_insv, d_ik, d_sc
 
@@ -555,12 +574,15 @@ def _estep_fused_jit(emis, insv, ik, batch, null_ll,
     Ly = int(batch["y_tok"].shape[1])
     W = _round_up(max(int(W0), 128), 128)
     Bp = _round_up(int(B), 8)
-    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
-    oldtok, xsl = _prepare_bwd_extras(batch, W, Bp)
-    keys = keys.at[:, K_OLDTOK, :].set(oldtok)
+    keys, xs0, meta, member_f, doff, snew, sold = _prepare_device(
+        {}, batch, W, Bp
+    )
+    oldtoks, xsl = _prepare_bwd_extras(batch, W, Bp)
+    for k in range(MAX_SEGS):
+        keys = keys.at[:, K_OLDTOK0 + k, :].set(oldtoks[k])
 
     out, mrows, irows, drows = _fwd_store(
-        keys, emis, insv, ik, member_f, xs0, meta,
+        keys, emis, insv, ik, member_f, xs0, meta, doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
         interpret=interpret,
     )
@@ -579,7 +601,7 @@ def _estep_fused_jit(emis, insv, ik, batch, null_ll,
     wrow = wrow.at[0, :B].set(weights)
     wrow = wrow.at[1, :B].set(jnp.where(finite, fwd, 0.0))
     d_emis, d_insv, d_ik, d_sc = _bwd_counts(
-        keys, emis, insv, ik, member_f, xsl, meta, wrow,
+        keys, emis, insv, ik, member_f, xsl, meta, doff, sold, wrow,
         mrows, irows, drows,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
         interpret=interpret,
@@ -634,12 +656,16 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
     Ly = int(batch["y_tok"].shape[1])
     W = _round_up(max(W0, 128), 128)
     Bp = _round_up(B, 8)
-    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
-    oldtok, xsl = _prepare_bwd_extras(batch, W, Bp)
-    keys = keys.at[:, K_OLDTOK, :].set(oldtok)
+    keys, xs0, meta, member_f, doff, snew, sold = _prepare_device(
+        {}, batch, W, Bp
+    )
+    oldtoks, xsl = _prepare_bwd_extras(batch, W, Bp)
+    for k in range(MAX_SEGS):
+        keys = keys.at[:, K_OLDTOK0 + k, :].set(oldtoks[k])
 
     out, mrows, irows, drows = _fwd_store(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
+        doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
         interpret=interpret,
     )
@@ -652,7 +678,8 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
         jnp.where(jnp.isfinite(jnp.asarray(f_norm)), jnp.asarray(f_norm), 0.0)
     )
     d_emis, d_insv, d_ik, d_sc = _bwd_counts(
-        keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xsl, meta, wrow,
+        keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xsl, meta,
+        doff, sold, wrow,
         mrows, irows, drows,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
         interpret=interpret,

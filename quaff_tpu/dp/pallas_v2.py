@@ -38,8 +38,29 @@ K_KQ = 0  # y_match_kmer * Q + y_qual (emission key)
 K_TQ = 1  # y_tok * Q + y_qual (insert-emission key)
 K_IK_PREV = 2  # indel k-mer context of row j-1 (padded)
 K_IK_CUR = 3  # indel k-mer context of row j
-K_NEWTOK = 4  # x token entering the rolling window this row (-1 = none)
-NUM_KEYS = 8
+K_NEWTOK = 4  # x token entering segment 0's window this row (-1 = none)
+# channels 5, 6: same for packed segments 1, 2 (lane-packed strips);
+# channels 7..9: tokens entering each segment when sweeping BACKWARD
+# (used by the counts kernels)
+K_OLDTOK0 = 7
+MAX_SEGS = 3  # lane-packed strips per pair (more get merged)
+NUM_KEYS = 12
+
+# sentinel diagonal for absent segments / padding lanes: far beyond any
+# real x index, so idx-validity masks every row out
+D_SENTINEL = 1 << 24
+
+
+def _advance_window(win_ref, keys_ref, snew_ref, r, B, W):
+    """Slide every packed segment's token window one lane left and insert
+    each segment's incoming token at its last lane (snew_ref holds the
+    segment id at segment-last lanes, -1 elsewhere)."""
+    win = pltpu.roll(win_ref[:], jnp.int32(W - 1), 1)
+    slot = snew_ref[:]
+    for k in range(MAX_SEGS):
+        newcol = keys_ref[r, K_NEWTOK + k, :][:, None].astype(jnp.float32)
+        win = jnp.where(slot == float(k), newcol, win)
+    win_ref[:] = win
 
 
 def _row_kernel(
@@ -49,7 +70,9 @@ def _row_kernel(
     ik_ref,  # [Ki, 8] f32: m2m/m2i/m2d/m2e in cols 0..3
     member_ref,  # [B, W] f32 0/1
     xs0_ref,  # [B, W] f32: initial token window (row 1's view)
-    meta_ref,  # [8, B] f32: d_lo, x_len, y_len rows
+    meta_ref,  # [8, B] f32: x_len, y_len rows
+    doff_ref,  # [B, W] f32: diagonal of each lane (segment-packed)
+    snew_ref,  # [B, W] f32: segment id at segment-last lanes, else -1
     out_ref,  # [B, W] f32 accumulator
     mat_ref,
     ins_ref,
@@ -66,7 +89,8 @@ def _row_kernel(
     for _r in range(rows_per_step):
         _one_row(
             keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref,
-            meta_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
+            meta_ref, doff_ref, snew_ref, out_ref, mat_ref, ins_ref,
+            del_ref, win_ref,
             width=width, mode=mode, local=local, trans=trans,
             g=g, r=_r, rows_per_step=rows_per_step,
         )
@@ -74,7 +98,7 @@ def _row_kernel(
 
 def _one_row(
     keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
-    out_ref, mat_ref, ins_ref, del_ref, win_ref,
+    doff_ref, snew_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
     *, width, mode, local, trans, g, r, rows_per_step,
 ):
     j0 = g * rows_per_step + r
@@ -82,13 +106,6 @@ def _one_row(
     B = member_ref.shape[0]
     W = width
     combine = jnp.maximum if mode == "viterbi" else jnp.logaddexp
-
-    def _advance_body():
-        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        newcol = keys_ref[r, K_NEWTOK, :][:, None].astype(jnp.float32)
-        win_ref[:] = jnp.where(
-            lane_ == W - 1, newcol, pltpu.roll(win_ref[:], jnp.int32(W - 1), 1)
-        )
 
     if r == 0:
         @pl.when(g == 0)
@@ -102,17 +119,16 @@ def _one_row(
 
         @pl.when(g > 0)
         def _advance():
-            _advance_body()
+            _advance_window(win_ref, keys_ref, snew_ref, r, B, W)
     else:
-        _advance_body()
+        _advance_window(win_ref, keys_ref, snew_ref, r, B, W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    d_lo = meta_ref[0, :][:, None]  # [B, 1] f32
     x_len = meta_ref[1, :][:, None]
     y_len = meta_ref[2, :][:, None]
 
     jf = (j0 + 1).astype(jnp.float32)  # row number j
-    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)  # i - 1 per lane
+    idx = doff_ref[:] + (jf - 1.0)  # i - 1 per lane
     valid = (
         (member_ref[:] > 0.5)
         & (idx >= 0.0)
@@ -291,11 +307,17 @@ def prepare_inputs(tables, batch: dict) -> dict:
     xs0[:B] = xs[:, :W].astype(np.float32)
 
     meta = np.zeros((8, Bp), np.float32)
-    meta[0, :B] = d_lo
     meta[1, :B] = x_len
     meta[2, :B] = y_len
     member_f = np.zeros((Bp, W), np.float32)
     member_f[:B, :W0] = member.astype(np.float32)
+
+    # single-segment lane tables (host prep does not pack strips)
+    lane = np.arange(W, dtype=np.int64)[None, :]
+    doff = np.full((Bp, W), float(D_SENTINEL), np.float32)
+    doff[:B] = (d_lo[:, None] + lane).astype(np.float32)
+    snew = np.full((Bp, W), -1.0, np.float32)
+    snew[:B, W - 1] = 0.0
 
     return {
         "keys": jnp.asarray(keys),
@@ -305,6 +327,8 @@ def prepare_inputs(tables, batch: dict) -> dict:
         "member": jnp.asarray(member_f),
         "xs0": jnp.asarray(xs0),
         "meta": jnp.asarray(meta),
+        "doff": jnp.asarray(doff),
+        "snew": jnp.asarray(snew),
         "width": W,
         "batch": B,
         "b_pad": Bp,
@@ -326,7 +350,7 @@ def prepare_inputs(tables, batch: dict) -> dict:
     ),
 )
 def fill_v2(
-    keys, emis, insv, ik, member, xs0, meta,
+    keys, emis, insv, ik, member, xs0, meta, doff, snew,
     width, b_pad, n_rows, mode="viterbi", local=True,
     trans=(0.0, 0.0, 0.0, 0.0), interpret=False, rows_per_step=1,
 ):
@@ -355,6 +379,8 @@ def fill_v2(
             resident((b_pad, width)),
             resident(xs0.shape),
             resident(meta.shape),
+            resident((b_pad, width)),
+            resident((b_pad, width)),
         ],
         out_specs=resident((b_pad, width)),
         out_shape=jax.ShapeDtypeStruct((b_pad, width), jnp.float32),
@@ -365,7 +391,7 @@ def fill_v2(
             pltpu.VMEM((b_pad, width), jnp.float32),
         ],
         interpret=interpret,
-    )(keys, emis, insv, ik, member, xs0, meta)
+    )(keys, emis, insv, ik, member, xs0, meta, doff, snew)
     return out
 
 
@@ -374,7 +400,7 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
     prep = prepare_inputs(tables, batch)
     out = fill_v2(
         prep["keys"], prep["emis"], prep["insv"], prep["ik"], prep["member"],
-        prep["xs0"], prep["meta"],
+        prep["xs0"], prep["meta"], prep["doff"], prep["snew"],
         width=prep["width"], b_pad=prep["b_pad"], n_rows=prep["n_rows"],
         mode=mode, local=local, trans=prep["trans"], interpret=interpret,
     )
@@ -393,17 +419,64 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
     return np.where(s <= NEG_INF / 2, -np.inf, s)
 
 
+def _segment_arrays(batch: dict, width: int):
+    """Per-pair segment descriptors as [B, MAX_SEGS] int32 arrays
+    (seg_d_lo, seg_start, seg_width).  Packed batches carry them; legacy
+    single-window batches synthesize one segment spanning the full padded
+    width (reproducing the original single-roll behaviour exactly)."""
+    if "seg_d_lo" in batch:
+        return (
+            batch["seg_d_lo"].astype(jnp.int32),
+            batch["seg_start"].astype(jnp.int32),
+            batch["seg_width"].astype(jnp.int32),
+        )
+    d_lo = batch["d_lo"].astype(jnp.int32)
+    B = d_lo.shape[0]
+    zeros = jnp.zeros((B,), jnp.int32)
+    seg_d_lo = jnp.stack([d_lo] + [zeros + D_SENTINEL] * (MAX_SEGS - 1), axis=1)
+    seg_start = jnp.stack([zeros] * MAX_SEGS, axis=1)
+    seg_width = jnp.stack(
+        [zeros + width] + [zeros] * (MAX_SEGS - 1), axis=1
+    )
+    return seg_d_lo, seg_start, seg_width
+
+
+def _lane_tables(seg_d_lo, seg_start, seg_width, width, B, Bp):
+    """Resident per-lane arrays from segment descriptors: diagonal of each
+    lane (doff), segment id at segment-last lanes (snew) and segment-first
+    lanes (sold), -1 elsewhere.  Lanes outside every segment get the
+    D_SENTINEL diagonal (always invalid)."""
+    lane = jnp.arange(width, dtype=jnp.int32)[None, :]  # [1, W]
+    doff = jnp.full((B, width), D_SENTINEL, jnp.int32)
+    snew = jnp.full((B, width), -1, jnp.int32)
+    sold = jnp.full((B, width), -1, jnp.int32)
+    for k in range(MAX_SEGS):
+        start = seg_start[:, k][:, None]
+        wk = seg_width[:, k][:, None]
+        dlo = seg_d_lo[:, k][:, None]
+        in_seg = (wk > 0) & (lane >= start) & (lane < start + wk)
+        doff = jnp.where(in_seg, dlo + (lane - start), doff)
+        snew = jnp.where((wk > 0) & (lane == start + wk - 1), k, snew)
+        sold = jnp.where((wk > 0) & (lane == start), k, sold)
+
+    def padBp(a):
+        out = jnp.full((Bp, width), D_SENTINEL if a is doff else -1, jnp.float32)
+        return out.at[:B].set(a.astype(jnp.float32))
+
+    return padBp(doff), padBp(snew), padBp(sold), doff
+
+
 @functools.partial(jax.jit, static_argnames=("width", "b_pad"))
 def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
     """Device-side input prep from an already-transferred batch dict —
     integer transposes and arithmetic only, so nothing large crosses the
     host-device link per call (critical when the accelerator is attached
-    over a network tunnel)."""
+    over a network tunnel).  Supports lane-packed strip batches
+    (seg_* descriptor fields) and legacy single-window batches."""
     Q = QUAL_SCORE_RANGE
     x_tok = batch["x_tok"]
     x_len = batch["x_len"]
     y_len = batch["y_len"]
-    d_lo = batch["d_lo"]
     member = batch["member"]
     B, W0 = member.shape
     Ly = batch["y_tok"].shape[1]
@@ -421,22 +494,38 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
     ik_prev = padB(ik_t[:-1])
     ik_cur = padB(ik_t[1:])
 
-    t_new = jnp.arange(Ly, dtype=jnp.int32)[:, None] + (W - 1) + d_lo[None, :]
-    ok_new = (t_new >= 0) & (t_new < x_len[None, :])
-    newtok = jnp.where(
-        ok_new,
-        jnp.take_along_axis(
-            x_tok.T, jnp.clip(t_new, 0, x_tok.shape[1] - 1), axis=0
-        ),
-        -1,
-    )
-    newtok = padB(newtok)
-    zeros = jnp.zeros_like(kq)
-    keys = jnp.stack(
-        [kq, tq, ik_prev, ik_cur, newtok, zeros, zeros, zeros], axis=1
+    seg_d_lo, seg_start, seg_width = _segment_arrays(batch, W)
+    doff_f, snew_f, sold_f, doff_i = _lane_tables(
+        seg_d_lo, seg_start, seg_width, W, B, Bp
     )
 
-    t0 = jnp.arange(W, dtype=jnp.int32)[None, :] + d_lo[:, None]
+    # per-segment incoming tokens for the forward roll: segment k's last
+    # lane has diagonal seg_d_lo + seg_width - 1; the token entering at
+    # (0-based) row r is x[d_last + r]
+    rows = jnp.arange(Ly, dtype=jnp.int32)[:, None]  # [Ly, 1]
+    newtoks = []
+    for k in range(MAX_SEGS):
+        d_last = seg_d_lo[:, k] + jnp.maximum(seg_width[:, k] - 1, 0)
+        t_new = rows + d_last[None, :]  # [Ly, B]
+        ok_new = (
+            (seg_width[None, :, k] > 0) & (t_new >= 0) & (t_new < x_len[None, :])
+        )
+        newtoks.append(padB(jnp.where(
+            ok_new,
+            jnp.take_along_axis(
+                x_tok.T, jnp.clip(t_new, 0, x_tok.shape[1] - 1), axis=0
+            ),
+            -1,
+        )))
+    zeros = jnp.zeros_like(kq)
+    keys = jnp.stack(
+        [kq, tq, ik_prev, ik_cur] + newtoks
+        + [zeros] * (NUM_KEYS - 4 - MAX_SEGS),
+        axis=1,
+    )
+
+    # initial window (row 1): token at each lane's own diagonal
+    t0 = doff_i  # [B, W] int32
     ok0 = (t0 >= 0) & (t0 < x_len[:, None])
     xs0_b = jnp.where(
         ok0,
@@ -446,13 +535,12 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
     xs0 = jnp.full((Bp, W), -1.0, jnp.float32).at[:B].set(xs0_b.astype(jnp.float32))
 
     meta = jnp.zeros((8, Bp), jnp.float32)
-    meta = meta.at[0, :B].set(d_lo.astype(jnp.float32))
     meta = meta.at[1, :B].set(x_len.astype(jnp.float32))
     meta = meta.at[2, :B].set(y_len.astype(jnp.float32))
     member_f = jnp.zeros((Bp, W), jnp.float32).at[:B, :W0].set(
         member.astype(jnp.float32)
     )
-    return keys, xs0, meta, member_f
+    return keys, xs0, meta, member_f, doff_f, snew_f, sold_f
 
 
 class V2Tables:
@@ -503,7 +591,8 @@ class V2Tables:
 
 
 def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
-                        local: bool = True, rows_per_step: int = 1):
+                        local: bool = True, rows_per_step: int = 1,
+                        interpret: bool = False):
     """Jit-traceable device path: prep + kernel + end reduction, with no
     host round-trips — suitable for wrapping in an outer `jax.jit`
     (the driver's single-chip compile check uses this).  `v2tab` is any
@@ -517,11 +606,14 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
     Ly = int(batch["y_tok"].shape[1])
     W = _round_up(max(int(W0), 128), 128)
     Bp = _round_up(int(B), 8)
-    keys, xs0, meta, member_f = _prepare_device({}, batch, W, Bp)
+    keys, xs0, meta, member_f, doff, snew, _ = _prepare_device(
+        {}, batch, W, Bp
+    )
     out = fill_v2(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
+        doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
-        trans=v2tab.trans, rows_per_step=rows_per_step,
+        trans=v2tab.trans, rows_per_step=rows_per_step, interpret=interpret,
     )
     o = out[:B]
     if mode == "viterbi":

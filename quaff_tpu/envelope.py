@@ -117,6 +117,28 @@ class Envelope:
         return int(np.sum(np.maximum(hi - lo + 1, 0)))
 
 
+def pack_strips(env: Envelope, max_segs: int = 3) -> list:
+    """Strips merged down to at most max_segs segments (smallest-gap
+    neighbours first).  A merged segment keeps the gap diagonals as
+    non-member lanes, so it is always correct — just wider."""
+    strips = env.strips()
+    while len(strips) > max_segs:
+        gaps = [
+            int(strips[i + 1].diagonals[0] - strips[i].diagonals[-1])
+            for i in range(len(strips) - 1)
+        ]
+        i = int(np.argmin(gaps))
+        merged = Envelope(
+            x_len=env.x_len,
+            y_len=env.y_len,
+            diagonals=np.concatenate(
+                [strips[i].diagonals, strips[i + 1].diagonals]
+            ),
+        )
+        strips[i : i + 2] = [merged]
+    return strips
+
+
 def full_envelope(x_len: int, y_len: int) -> Envelope:
     """All diagonals (diagenv.cpp:11-18)."""
     return Envelope(

@@ -105,7 +105,9 @@ class QuaffCounter:
             for nx in sort_order
         }
         pairs = [(refs[nx], y, envs[nx]) for nx in sort_order]
-        batch = PairBatch.build(pairs, self.tables)
+        # lane-packed strips: multi-cluster envelopes cost their member
+        # lanes (and their stored forward rows shrink to match)
+        batch = PairBatch.build_packed(pairs, self.tables)
         bdev = device_batch(batch)
         # single fused dispatch: forward fill -> device-side posterior
         # weights -> weighted backward counts (no standalone forward pass)

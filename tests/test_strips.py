@@ -79,3 +79,107 @@ def test_single_run_envelope_is_one_strip(c8f30_pair):
     strips = env.strips()
     assert len(strips) == 1
     np.testing.assert_array_equal(strips[0].diagonals, env.diagonals)
+
+
+def _synthetic_multistrip(rng, n, yl=90):
+    """Pairs whose reads match two separated regions of the ref, giving
+    multi-run envelopes."""
+    from quaff_tpu.alphabet import DNA_ALPHABET
+    from quaff_tpu.envelope import sparse_envelope
+    from quaff_tpu.io.fastseq import FastSeq
+
+    out = []
+    for b in range(n):
+        core = "".join(DNA_ALPHABET[t] for t in rng.integers(0, 4, yl))
+        spacer = "".join(DNA_ALPHABET[t] for t in rng.integers(0, 4, 160))
+        xs = core + spacer + core  # repeat -> two seed clusters
+        ys = list(core)
+        for i in range(len(ys)):
+            if rng.random() < 0.06:
+                ys[i] = DNA_ALPHABET[int(rng.integers(0, 4))]
+        y = FastSeq(
+            name=f"y{b}",
+            seq="".join(ys),
+            qual="".join(chr(33 + int(q)) for q in rng.integers(3, 40, yl)),
+        )
+        x = FastSeq(name=f"x{b}", seq=xs)
+        env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=10)
+        out.append((x, y, env))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["viterbi", "forward"])
+def test_packed_kernel_matches_legacy(mode):
+    """Lane-packed strip batches must score identically (f32) to the
+    legacy bounding-band kernel layout."""
+    from quaff_tpu.dp.pallas_v2 import V2Tables, scores_v2_traceable
+
+    rng = np.random.default_rng(21)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _synthetic_multistrip(rng, 4)
+    assert any(len(e.strips()) >= 2 for _, _, e in pairs)
+
+    v2tab = V2Tables(tables)
+    legacy = np.asarray(scores_v2_traceable(
+        v2tab, device_batch(PairBatch.build(pairs, tables)),
+        mode=mode, local=True, interpret=True,
+    ))
+    packed_b = PairBatch.build_packed(pairs, tables)
+    assert packed_b.member.shape[1] < PairBatch.build(pairs, tables).member.shape[1]
+    packed = np.asarray(scores_v2_traceable(
+        v2tab, device_batch(packed_b), mode=mode, local=True, interpret=True,
+    ))
+    np.testing.assert_allclose(packed, legacy, rtol=1e-5, atol=1e-3)
+
+
+def test_packed_estep_matches_engine():
+    """Fused E-step on a packed batch matches the f64 engine's
+    posterior-weighted totals."""
+    from quaff_tpu.dp.counts import dp_forward_backward
+    from quaff_tpu.dp.pallas_counts import estep_fused
+    from quaff_tpu.dp.pallas_v2 import V2Tables
+
+    rng = np.random.default_rng(23)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _synthetic_multistrip(rng, 3)
+    tdev = device_tables(tables)
+
+    ref = dp_forward_backward(
+        tdev, device_batch(PairBatch.build(pairs, tables)),
+        local=True, dtype=jnp.float64, num_match_kmers=4, num_indel_kmers=1,
+    )
+    fwd_ref = np.asarray(ref["fwd_score"])
+    null_ll = float(np.max(fwd_ref))
+    y_ll_ref = np.logaddexp.reduce(np.concatenate([[null_ll], fwd_ref]))
+    weights = np.exp(fwd_ref - y_ll_ref)
+
+    v2tab = V2Tables(tables)
+    fwd, y_ll, counts = estep_fused(
+        tables, v2tab, device_batch(PairBatch.build_packed(pairs, tables)),
+        null_ll, local=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fwd), fwd_ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(float(y_ll), y_ll_ref, rtol=1e-5, atol=1e-3)
+    for name in ("match_counts", "insert_counts", "m2m", "m2i", "m2d", "m2e"):
+        want = np.tensordot(weights, np.asarray(ref[name]), axes=(0, 0))
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
+        )
+    for name in ("i2i", "i2m", "d2d", "d2m"):
+        want = weights * np.asarray(ref[name])
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
+        )
+
+
+def test_dp_fill_rejects_packed():
+    rng = np.random.default_rng(25)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _synthetic_multistrip(rng, 2)
+    tdev = device_tables(tables)
+    with pytest.raises(ValueError, match="packed"):
+        dp_fill(
+            tdev, device_batch(PairBatch.build_packed(pairs, tables)),
+            mode="viterbi", local=True, return_matrices=False,
+            dtype=jnp.float32,
+        )
