@@ -103,6 +103,7 @@ def _fwd_kernel(
     out_ref, mrow_ref, irow_ref, drow_ref,
     mat_ref, ins_ref, del_ref, win_ref,
     *, width: int, local: bool, trans: Tuple[float, float, float, float],
+    n_segs: int = MAX_SEGS,
 ):
     j0 = pl.program_id(0)
     d2d, d2m, i2i, i2m = trans
@@ -121,7 +122,7 @@ def _fwd_kernel(
 
     @pl.when(j0 > 0)
     def _advance():
-        _advance_window(win_ref, keys_ref, snew_ref, 0, B, W)
+        _advance_window(win_ref, keys_ref, snew_ref, 0, B, W, n_segs)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     x_len = meta_ref[1, :][:, None]
@@ -193,7 +194,7 @@ def _bwd_kernel(
     d_emis_ref, d_insv_ref, d_ik_ref, d_sc_ref,  # outputs (accumulated)
     bm_ref, bi_ref, bd_ref, win_ref, menext_ref, ienext_ref,
     *, width: int, n_rows: int, local: bool,
-    trans: Tuple[float, float, float, float],
+    trans: Tuple[float, float, float, float], n_segs: int = MAX_SEGS,
 ):
     g = pl.program_id(0)
     j = n_rows - g  # row index, Ly..1
@@ -222,7 +223,7 @@ def _bwd_kernel(
         # element at the segment's FIRST lane (sold_ref marks them)
         win = pltpu.roll(win_ref[:], jnp.int32(1), 1)
         slot = sold_ref[:]
-        for k in range(MAX_SEGS):
+        for k in range(n_segs):
             oldcol = keys_ref[0, K_OLDTOK0 + k, :][:, None].astype(jnp.float32)
             win = jnp.where(slot == float(k), oldcol, win)
         win_ref[:] = win
@@ -401,27 +402,33 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
     W, Bp = width, b_pad
     seg_d_lo, seg_start, seg_width = _segment_arrays(batch, W)
     _, _, _, doff_i = _lane_tables(seg_d_lo, seg_start, seg_width, W, B, Bp)
+    from .pallas_v2 import (
+        _cyclic_lanes,
+        _cyclic_rows,
+        _roll_lanes_per_row,
+        _roll_rows_per_column,
+    )
 
     # oldtok for backward row j: segment k's window at row j starts at
     # t = seg_d_lo + j - 1, so sliding from row j+1 down to j inserts
     # t = seg_d_lo + j - 1 at the segment's first lane (0-based row r:
-    # t = seg_d_lo + r)
+    # t = seg_d_lo + r).  Banded indices -> per-column variable rolls.
     rows = jnp.arange(Ly, dtype=jnp.int32)[:, None]
+    x_tok_t = x_tok.astype(jnp.int32).T  # [Lx, B]
+    Lx = x_tok_t.shape[0]
+    n_segs = seg_d_lo.shape[1]
     oldtoks = []
-    for k in range(MAX_SEGS):
+    for k in range(n_segs):
         idx_old = seg_d_lo[None, :, k] + rows
         ok = (
             (seg_width[None, :, k] > 0)
             & (idx_old >= 0)
             & (idx_old < x_len[None, :])
         )
-        oldtok = jnp.where(
-            ok,
-            jnp.take_along_axis(
-                x_tok.T, jnp.clip(idx_old, 0, x_tok.shape[1] - 1), axis=0
-            ),
-            -1,
+        rolled = _cyclic_rows(
+            _roll_rows_per_column(x_tok_t, seg_d_lo[:, k]), Ly
         )
+        oldtok = jnp.where(ok, rolled, -1)
         oldtoks.append(
             jnp.pad(oldtok.astype(jnp.int32), ((0, 0), (0, Bp - B)))
         )
@@ -429,23 +436,33 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
     # window for the last row Ly: token at each lane's diagonal + Ly - 1
     tL = doff_i + (Ly - 1)
     okL = (tL >= 0) & (tL < x_len[:, None])
-    xsl_b = jnp.where(
-        okL,
-        jnp.take_along_axis(x_tok, jnp.clip(tL, 0, x_tok.shape[1] - 1), axis=1),
-        -1,
-    )
+    x_tok_l = x_tok.astype(jnp.int32)
+    xsl_b = jnp.full((B, W), -1, jnp.int32)
+    lane_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    for k in range(n_segs):
+        start = seg_start[:, k][:, None]
+        wk = seg_width[:, k][:, None]
+        in_seg = (wk > 0) & (lane_w >= start) & (lane_w < start + wk)
+        rolled = _cyclic_lanes(_roll_lanes_per_row(
+            x_tok_l, seg_d_lo[:, k] - seg_start[:, k] + (Ly - 1)
+        ), W)
+        xsl_b = jnp.where(in_seg, rolled, xsl_b)
+    xsl_b = jnp.where(okL, xsl_b, -1)
     xsl = jnp.full((Bp, W), -1.0, jnp.float32).at[:B].set(xsl_b.astype(jnp.float32))
     return oldtoks, xsl
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "b_pad", "n_rows", "local", "trans", "interpret"),
+    static_argnames=(
+        "width", "b_pad", "n_rows", "local", "trans", "interpret", "n_segs",
+    ),
 )
 def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
-               width, b_pad, n_rows, local, trans, interpret=False):
+               width, b_pad, n_rows, local, trans, interpret=False,
+               n_segs=MAX_SEGS):
     kernel = functools.partial(
-        _fwd_kernel, width=width, local=local, trans=trans
+        _fwd_kernel, width=width, local=local, trans=trans, n_segs=n_segs
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -488,13 +505,17 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "b_pad", "n_rows", "local", "trans", "interpret"),
+    static_argnames=(
+        "width", "b_pad", "n_rows", "local", "trans", "interpret", "n_segs",
+    ),
 )
 def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
                 mrows, irows, drows,
-                width, b_pad, n_rows, local, trans, interpret=False):
+                width, b_pad, n_rows, local, trans, interpret=False,
+                n_segs=MAX_SEGS):
     kernel = functools.partial(
-        _bwd_kernel, width=width, n_rows=n_rows, local=local, trans=trans
+        _bwd_kernel, width=width, n_rows=n_rows, local=local, trans=trans,
+        n_segs=n_segs,
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda g: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -574,17 +595,18 @@ def _estep_fused_jit(emis, insv, ik, batch, null_ll,
     Ly = int(batch["y_tok"].shape[1])
     W = _round_up(max(int(W0), 128), 128)
     Bp = _round_up(int(B), 8)
+    n_segs = int(batch["seg_d_lo"].shape[1]) if "seg_d_lo" in batch else 1
     keys, xs0, meta, member_f, doff, snew, sold = _prepare_device(
         {}, batch, W, Bp
     )
     oldtoks, xsl = _prepare_bwd_extras(batch, W, Bp)
-    for k in range(MAX_SEGS):
+    for k in range(n_segs):
         keys = keys.at[:, K_OLDTOK0 + k, :].set(oldtoks[k])
 
     out, mrows, irows, drows = _fwd_store(
         keys, emis, insv, ik, member_f, xs0, meta, doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
-        interpret=interpret,
+        interpret=interpret, n_segs=n_segs,
     )
     fwd = jax.nn.logsumexp(out[:B], axis=1)
     fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
@@ -604,7 +626,7 @@ def _estep_fused_jit(emis, insv, ik, batch, null_ll,
         keys, emis, insv, ik, member_f, xsl, meta, doff, sold, wrow,
         mrows, irows, drows,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
-        interpret=interpret,
+        interpret=interpret, n_segs=n_segs,
     )
     counts = {
         "match_counts": d_emis[: Km * Q, :4]
@@ -656,18 +678,19 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
     Ly = int(batch["y_tok"].shape[1])
     W = _round_up(max(W0, 128), 128)
     Bp = _round_up(B, 8)
+    n_segs = int(batch["seg_d_lo"].shape[1]) if "seg_d_lo" in batch else 1
     keys, xs0, meta, member_f, doff, snew, sold = _prepare_device(
         {}, batch, W, Bp
     )
     oldtoks, xsl = _prepare_bwd_extras(batch, W, Bp)
-    for k in range(MAX_SEGS):
+    for k in range(n_segs):
         keys = keys.at[:, K_OLDTOK0 + k, :].set(oldtoks[k])
 
     out, mrows, irows, drows = _fwd_store(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
         doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
-        interpret=interpret,
+        interpret=interpret, n_segs=n_segs,
     )
     fwd = jax.nn.logsumexp(out[:B], axis=1)
     fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
@@ -682,7 +705,7 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
         doff, sold, wrow,
         mrows, irows, drows,
         width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
-        interpret=interpret,
+        interpret=interpret, n_segs=n_segs,
     )
     Km = np.asarray(tables.match_score).shape[1]
     Ki = len(np.asarray(tables.m2m))

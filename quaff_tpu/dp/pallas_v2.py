@@ -51,13 +51,13 @@ NUM_KEYS = 12
 D_SENTINEL = 1 << 24
 
 
-def _advance_window(win_ref, keys_ref, snew_ref, r, B, W):
+def _advance_window(win_ref, keys_ref, snew_ref, r, B, W, n_segs=MAX_SEGS):
     """Slide every packed segment's token window one lane left and insert
     each segment's incoming token at its last lane (snew_ref holds the
     segment id at segment-last lanes, -1 elsewhere)."""
     win = pltpu.roll(win_ref[:], jnp.int32(W - 1), 1)
     slot = snew_ref[:]
-    for k in range(MAX_SEGS):
+    for k in range(n_segs):
         newcol = keys_ref[r, K_NEWTOK + k, :][:, None].astype(jnp.float32)
         win = jnp.where(slot == float(k), newcol, win)
     win_ref[:] = win
@@ -84,6 +84,7 @@ def _row_kernel(
     local: bool,
     trans: Tuple[float, float, float, float],
     rows_per_step: int = 1,
+    n_segs: int = MAX_SEGS,
 ):
     g = pl.program_id(0)
     for _r in range(rows_per_step):
@@ -92,14 +93,14 @@ def _row_kernel(
             meta_ref, doff_ref, snew_ref, out_ref, mat_ref, ins_ref,
             del_ref, win_ref,
             width=width, mode=mode, local=local, trans=trans,
-            g=g, r=_r, rows_per_step=rows_per_step,
+            g=g, r=_r, rows_per_step=rows_per_step, n_segs=n_segs,
         )
 
 
 def _one_row(
     keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
     doff_ref, snew_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
-    *, width, mode, local, trans, g, r, rows_per_step,
+    *, width, mode, local, trans, g, r, rows_per_step, n_segs,
 ):
     j0 = g * rows_per_step + r
     d2d, d2m, i2i, i2m = trans
@@ -119,9 +120,9 @@ def _one_row(
 
         @pl.when(g > 0)
         def _advance():
-            _advance_window(win_ref, keys_ref, snew_ref, r, B, W)
+            _advance_window(win_ref, keys_ref, snew_ref, r, B, W, n_segs)
     else:
-        _advance_window(win_ref, keys_ref, snew_ref, r, B, W)
+        _advance_window(win_ref, keys_ref, snew_ref, r, B, W, n_segs)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     x_len = meta_ref[1, :][:, None]
@@ -346,13 +347,14 @@ def prepare_inputs(tables, batch: dict) -> dict:
     jax.jit,
     static_argnames=(
         "width", "b_pad", "n_rows", "mode", "local", "trans", "interpret",
-        "rows_per_step",
+        "rows_per_step", "n_segs",
     ),
 )
 def fill_v2(
     keys, emis, insv, ik, member, xs0, meta, doff, snew,
     width, b_pad, n_rows, mode="viterbi", local=True,
     trans=(0.0, 0.0, 0.0, 0.0), interpret=False, rows_per_step=1,
+    n_segs=MAX_SEGS,
 ):
     R = rows_per_step
     n_steps = -(-n_rows // R)
@@ -360,7 +362,7 @@ def fill_v2(
         keys = jnp.pad(keys, ((0, n_steps * R - keys.shape[0]), (0, 0), (0, 0)))
     kernel = functools.partial(
         _row_kernel, width=width, mode=mode, local=local, trans=trans,
-        rows_per_step=R,
+        rows_per_step=R, n_segs=n_segs,
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -403,6 +405,7 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
         prep["xs0"], prep["meta"], prep["doff"], prep["snew"],
         width=prep["width"], b_pad=prep["b_pad"], n_rows=prep["n_rows"],
         mode=mode, local=local, trans=prep["trans"], interpret=interpret,
+        n_segs=1,
     )
     B = prep["batch"]
     # end-reduction on the host: the band row is tiny, and eager device
@@ -419,6 +422,53 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
     return np.where(s <= NEG_INF / 2, -np.inf, s)
 
 
+def _roll_rows_per_column(v, shift):
+    """v[(r + shift[b]) mod L, b] for all rows r — a per-column variable
+    roll along the sublane axis, via binary decomposition of the shift
+    into log2(L) masked fixed rolls.  Replaces take_along_axis gathers
+    (which serialize on TPU: measured ~20-35 ms per [6604, 256] gather on
+    v5e vs sub-ms for the rolls) for banded index patterns of the form
+    `row + per-pair-offset`."""
+    L = v.shape[0]
+    s = jnp.mod(shift.astype(jnp.int32), L)
+    nbits = max(1, (L - 1).bit_length())
+    for k in range(nbits):
+        bit = (s >> k) & 1
+        v = jnp.where(bit[None, :] > 0, jnp.roll(v, -(1 << k), axis=0), v)
+    return v
+
+
+def _roll_lanes_per_row(v, shift):
+    """v[b, (l + shift[b]) mod L] for all lanes l — the lane-axis variant
+    of _roll_rows_per_column."""
+    L = v.shape[1]
+    s = jnp.mod(shift.astype(jnp.int32), L)
+    nbits = max(1, (L - 1).bit_length())
+    for k in range(nbits):
+        bit = (s >> k) & 1
+        v = jnp.where(bit[:, None] > 0, jnp.roll(v, -(1 << k), axis=1), v)
+    return v
+
+
+def _cyclic_rows(v, n):
+    """First n rows of v extended cyclically: out[r] = v[r mod L].
+    Needed because the variable-roll "gather" is modular — positions past
+    L wrap, and the validity masks (not padding) decide which lanes are
+    real."""
+    L = v.shape[0]
+    if L < n:
+        v = jnp.concatenate([v] * (-(-n // L)), axis=0)
+    return v[:n]
+
+
+def _cyclic_lanes(v, n):
+    """First n lanes of v extended cyclically along axis 1."""
+    L = v.shape[1]
+    if L < n:
+        v = jnp.concatenate([v] * (-(-n // L)), axis=1)
+    return v[:, :n]
+
+
 def _segment_arrays(batch: dict, width: int):
     """Per-pair segment descriptors as [B, MAX_SEGS] int32 arrays
     (seg_d_lo, seg_start, seg_width).  Packed batches carry them; legacy
@@ -430,14 +480,15 @@ def _segment_arrays(batch: dict, width: int):
             batch["seg_start"].astype(jnp.int32),
             batch["seg_width"].astype(jnp.int32),
         )
+    # legacy single-window batches: ONE segment spanning the padded
+    # width (the [B, 1] shape statically tells every consumer to emit
+    # single-segment code)
     d_lo = batch["d_lo"].astype(jnp.int32)
     B = d_lo.shape[0]
     zeros = jnp.zeros((B,), jnp.int32)
-    seg_d_lo = jnp.stack([d_lo] + [zeros + D_SENTINEL] * (MAX_SEGS - 1), axis=1)
-    seg_start = jnp.stack([zeros] * MAX_SEGS, axis=1)
-    seg_width = jnp.stack(
-        [zeros + width] + [zeros] * (MAX_SEGS - 1), axis=1
-    )
+    seg_d_lo = d_lo[:, None]
+    seg_start = zeros[:, None]
+    seg_width = (zeros + width)[:, None]
     return seg_d_lo, seg_start, seg_width
 
 
@@ -450,7 +501,7 @@ def _lane_tables(seg_d_lo, seg_start, seg_width, width, B, Bp):
     doff = jnp.full((B, width), D_SENTINEL, jnp.int32)
     snew = jnp.full((B, width), -1, jnp.int32)
     sold = jnp.full((B, width), -1, jnp.int32)
-    for k in range(MAX_SEGS):
+    for k in range(seg_d_lo.shape[1]):
         start = seg_start[:, k][:, None]
         wk = seg_width[:, k][:, None]
         dlo = seg_d_lo[:, k][:, None]
@@ -501,37 +552,46 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
 
     # per-segment incoming tokens for the forward roll: segment k's last
     # lane has diagonal seg_d_lo + seg_width - 1; the token entering at
-    # (0-based) row r is x[d_last + r]
+    # (0-based) row r is x[d_last + r].  t = r + d is a banded index, so
+    # the "gather" is a per-column variable roll.
     rows = jnp.arange(Ly, dtype=jnp.int32)[:, None]  # [Ly, 1]
+    x_tok_t = x_tok.astype(jnp.int32).T  # [Lx, B]
+    Lx = x_tok_t.shape[0]
+    n_segs = seg_d_lo.shape[1]
     newtoks = []
-    for k in range(MAX_SEGS):
+    for k in range(n_segs):
         d_last = seg_d_lo[:, k] + jnp.maximum(seg_width[:, k] - 1, 0)
         t_new = rows + d_last[None, :]  # [Ly, B]
         ok_new = (
             (seg_width[None, :, k] > 0) & (t_new >= 0) & (t_new < x_len[None, :])
         )
-        newtoks.append(padB(jnp.where(
-            ok_new,
-            jnp.take_along_axis(
-                x_tok.T, jnp.clip(t_new, 0, x_tok.shape[1] - 1), axis=0
-            ),
-            -1,
-        )))
+        rolled = _cyclic_rows(_roll_rows_per_column(x_tok_t, d_last), Ly)
+        newtoks.append(padB(jnp.where(ok_new, rolled, -1)))
     zeros = jnp.zeros_like(kq)
     keys = jnp.stack(
         [kq, tq, ik_prev, ik_cur] + newtoks
-        + [zeros] * (NUM_KEYS - 4 - MAX_SEGS),
+        + [zeros] * (NUM_KEYS - 4 - n_segs),
         axis=1,
     )
 
-    # initial window (row 1): token at each lane's own diagonal
+    # initial window (row 1): token at each lane's own diagonal.  Within
+    # segment k, doff = seg_d_lo + (lane - seg_start): again a banded
+    # index -> per-row lane roll by (seg_d_lo - seg_start), one per
+    # segment, selected by membership.
     t0 = doff_i  # [B, W] int32
     ok0 = (t0 >= 0) & (t0 < x_len[:, None])
-    xs0_b = jnp.where(
-        ok0,
-        jnp.take_along_axis(x_tok, jnp.clip(t0, 0, x_tok.shape[1] - 1), axis=1),
-        -1,
-    )
+    x_tok_l = x_tok.astype(jnp.int32)  # [B, Lx]
+    xs0_b = jnp.full((B, W), -1, jnp.int32)
+    lane_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    for k in range(n_segs):
+        start = seg_start[:, k][:, None]
+        wk = seg_width[:, k][:, None]
+        in_seg = (wk > 0) & (lane_w >= start) & (lane_w < start + wk)
+        rolled = _cyclic_lanes(_roll_lanes_per_row(
+            x_tok_l, seg_d_lo[:, k] - seg_start[:, k]
+        ), W)
+        xs0_b = jnp.where(in_seg, rolled, xs0_b)
+    xs0_b = jnp.where(ok0, xs0_b, -1)
     xs0 = jnp.full((Bp, W), -1.0, jnp.float32).at[:B].set(xs0_b.astype(jnp.float32))
 
     meta = jnp.zeros((8, Bp), jnp.float32)
@@ -606,6 +666,7 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
     Ly = int(batch["y_tok"].shape[1])
     W = _round_up(max(int(W0), 128), 128)
     Bp = _round_up(int(B), 8)
+    n_segs = int(batch["seg_d_lo"].shape[1]) if "seg_d_lo" in batch else 1
     keys, xs0, meta, member_f, doff, snew, _ = _prepare_device(
         {}, batch, W, Bp
     )
@@ -614,6 +675,7 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
         doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
         trans=v2tab.trans, rows_per_step=rows_per_step, interpret=interpret,
+        n_segs=n_segs,
     )
     o = out[:B]
     if mode == "viterbi":
