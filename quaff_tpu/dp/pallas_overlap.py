@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..alphabet import ALPHABET_SIZE, QUAL_SCORE_RANGE
-from .pallas_v2 import NEG_INF, _round_up
+from .pallas_v2 import (
+    NEG_INF,
+    _cyclic_lanes,
+    _roll_lanes_per_row,
+    _round_up,
+)
 
 # streamed per-row channels (f32)
 C_MSY0 = 0  # ..3: y-side match score given ref symbol r (strand-folded)
@@ -185,90 +190,147 @@ def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta,
     return out
 
 
+def _ov_tabs(tables):
+    """Small per-(params, strand) device tables for the overlap kernel
+    (cached on the tables object; ~25 KB total)."""
+    if hasattr(tables, "_ov_tabs_cache"):
+        return tables._ov_tabs_cache
+    Q = QUAL_SCORE_RANGE
+    base = tables.base_tables
+    msx = np.asarray(base.match_score, np.float32)  # [4, Km, Q]
+    msx_n = np.asarray(base.match_score_noq, np.float32)  # [4, Km]
+    y_map = np.asarray(tables.y_symbol_map)
+    Km = msx.shape[1]
+    tabs = {
+        # key = km * Q + q -> value per marginalised ref symbol r
+        "msx2": jnp.asarray(msx.transpose(1, 2, 0).reshape(Km * Q, 4)),
+        "msxn2": jnp.asarray(msx_n.T.copy()),  # [Km, 4]
+        "msy2": jnp.asarray(
+            msx[y_map].transpose(1, 2, 0).reshape(Km * Q, 4)
+        ),
+        "msyn2": jnp.asarray(msx_n[y_map].T.copy()),
+        "ins2": jnp.asarray(
+            np.asarray(tables.insert_score, np.float32).reshape(-1)
+        ),  # [4*Q], key = tok * Q + q
+        "insn2": jnp.asarray(
+            np.asarray(tables.insert_score_noq, np.float32)
+        ),
+        "log_rb": jnp.asarray(np.asarray(tables.log_ref_base, np.float32)),
+    }
+    tables._ov_tabs_cache = tabs
+    return tabs
+
+
+@functools.partial(jax.jit, static_argnames=("width", "b_pad"))
+def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int):
+    """Device-side overlap input prep from the already-transferred narrow
+    int batch arrays: banded x-side views via per-pair variable lane
+    rolls, emission/insert resolution via small-table gathers.  Replaces
+    the previous host-side assembly, whose [Ly, 16, B] f32 stream cost
+    ~54 MB of host->device transfer per batch on a tunnelled TPU."""
+    Q = QUAL_SCORE_RANGE
+    x_tok = batch["x_tok"].astype(jnp.int32)
+    x_len = batch["x_len"].astype(jnp.int32)
+    x_mk = batch["x_match_kmer"].astype(jnp.int32)
+    x_q = batch["x_qual"].astype(jnp.int32)
+    x_hq = batch["x_has_qual"]
+    y_mk = batch["y_match_kmer"].astype(jnp.int32)
+    y_tok = batch["y_tok"].astype(jnp.int32)
+    y_q = batch["y_qual"].astype(jnp.int32)
+    y_hq = batch["y_has_qual"]
+    y_len = batch["y_len"].astype(jnp.int32)
+    d_lo = batch["d_lo"].astype(jnp.int32)
+    member = batch["member"]
+
+    B, W0 = member.shape
+    Ly = y_mk.shape[1]
+    W, Bp = width, b_pad
+    T = Ly + W
+    KmQ = tabs["msx2"].shape[0]
+    Km = tabs["msxn2"].shape[0]
+
+    # banded x views (x value at band coordinate t = x[d_lo + t])
+    def band(v):
+        return _cyclic_lanes(_roll_lanes_per_row(v, d_lo), T)
+
+    idx = d_lo[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    ok = (idx >= 0) & (idx < x_len[:, None])
+    xkm_b = band(x_mk)
+    xq_b = band(x_q)
+    xtok_b = band(x_tok)
+
+    key_x = jnp.clip(xkm_b * Q + xq_b, 0, KmQ - 1)
+    vals_q4 = jnp.take(tabs["msx2"], key_x, axis=0)  # [B, T, 4]
+    vals_n4 = jnp.take(tabs["msxn2"], jnp.clip(xkm_b, 0, Km - 1), axis=0)
+    vals4 = (
+        jnp.where(x_hq[:, None, None], vals_q4, vals_n4)
+        + tabs["log_rb"][None, None, :]
+    )
+    a_bands = [
+        jnp.where(ok, vals4[..., r], NEG_INF) for r in range(ALPHABET_SIZE)
+    ]
+    c_q = jnp.take(
+        tabs["ins2"], jnp.clip(xtok_b * Q + xq_b, 0, 4 * Q - 1)
+    )
+    c_n = jnp.take(tabs["insn2"], jnp.clip(xtok_b, 0, 3))
+    c_band = jnp.where(ok, jnp.where(x_hq[:, None], c_q, c_n), 0.0)
+
+    # y-side per-row values (strand fold baked into msy2/msyn2)
+    key_y = jnp.clip(y_mk * Q + y_q, 0, KmQ - 1)
+    msy4 = jnp.where(
+        y_hq[:, None, None],
+        jnp.take(tabs["msy2"], key_y, axis=0),
+        jnp.take(tabs["msyn2"], jnp.clip(y_mk, 0, Km - 1), axis=0),
+    )  # [B, Ly, 4]
+    insy = jnp.where(
+        y_hq[:, None],
+        jnp.take(tabs["ins2"], jnp.clip(y_tok * Q + y_q, 0, 4 * Q - 1)),
+        jnp.take(tabs["insn2"], jnp.clip(y_tok, 0, 3)),
+    )
+
+    def padB_rows(a):  # [B, Ly] -> [Ly, Bp]
+        return jnp.pad(a.T.astype(jnp.float32), ((0, 0), (0, Bp - B)))
+
+    channels = [padB_rows(msy4[..., r]) for r in range(4)]
+    channels.append(padB_rows(insy))
+    for k in range(4):
+        channels.append(padB_rows(a_bands[k][:, W - 1 : W - 1 + Ly]))
+    channels.append(padB_rows(c_band[:, W - 1 : W - 1 + Ly]))
+    zeros = jnp.zeros((Ly, Bp), jnp.float32)
+    rows = jnp.stack(channels + [zeros] * (NUM_CH - len(channels)), axis=1)
+
+    def padW(a, fill):
+        return jnp.full((Bp, W), fill, jnp.float32).at[:B].set(
+            a[:, :W].astype(jnp.float32)
+        )
+
+    a0, a1, a2, a3 = (padW(a_bands[k], NEG_INF) for k in range(4))
+    c0 = padW(c_band, 0.0)
+    member_f = jnp.zeros((Bp, W), jnp.float32).at[:B, :W0].set(
+        member.astype(jnp.float32)
+    )
+    meta = jnp.zeros((8, Bp), jnp.float32)
+    meta = meta.at[0, :B].set(d_lo.astype(jnp.float32))
+    meta = meta.at[1, :B].set(x_len.astype(jnp.float32))
+    meta = meta.at[2, :B].set(y_len.astype(jnp.float32))
+    return rows, member_f, a0, a1, a2, a3, c0, meta
+
+
 def overlap_scores_kernel(tables, batch, interpret: bool = False):
     """Overlap end scores [B] for an overlap batch (OverlapBatch.device()
     dict).  Requires gap order 0.  Returns end + x/y insert scores, i.e.
     the same quantity as dp.overlap.overlap_fill's 'score'."""
     if tables.indel_kmer_len != 0:
         raise ValueError("overlap kernel supports gap order 0 only")
-    Q = QUAL_SCORE_RANGE
-
-    x_tok = np.asarray(batch["x_tok"])
-    x_len = np.asarray(batch["x_len"])
-    x_mk = np.asarray(batch["x_match_kmer"])
-    x_q = np.asarray(batch["x_qual"])
-    x_hq = np.asarray(batch["x_has_qual"])
-    y_mk = np.asarray(batch["y_match_kmer"])
-    y_tok = np.asarray(batch["y_tok"])
-    y_q = np.asarray(batch["y_qual"])
-    y_hq = np.asarray(batch["y_has_qual"])
-    y_len = np.asarray(batch["y_len"])
-    d_lo = np.asarray(batch["d_lo"])
     member = np.asarray(batch["member"])
-
     B, W0 = member.shape
-    Ly = y_mk.shape[1]
+    Ly = int(np.asarray(batch["y_match_kmer"]).shape[1])
     W = _round_up(max(W0, 128), 128)
     Bp = _round_up(B, 8)
 
-    # x-side per-position values in band coordinates:
-    # msX[r](t) = log refBase[r] + match score given ref symbol r, folded
-    # into the x side; tables is an OverlapScoreTables carrying the base
-    # per-symbol ScoreTables
-    base = tables.base_tables
-    msx = np.asarray(base.match_score, np.float32)  # [4, Km, Q]
-    msx_n = np.asarray(base.match_score_noq, np.float32)
-    ins_t = np.asarray(tables.insert_score, np.float32)
-    ins_n = np.asarray(tables.insert_score_noq, np.float32)
-    log_rb = np.asarray(tables.log_ref_base, np.float32)
-
-    t = np.arange(Ly + W)
-    idx = d_lo[:, None] + t[None, :]  # [B, Ly+W]
-    ok = (idx >= 0) & (idx < x_len[:, None])
-    ci = np.clip(idx, 0, x_mk.shape[1] - 1)
-    bix = np.arange(B)[:, None]
-    xkm_b = x_mk[bix, ci]
-    xq_b = x_q[bix, ci]
-    xtok_b = x_tok[bix, ci]
-    a_bands = []
-    for r in range(ALPHABET_SIZE):
-        vals_q = msx[r, xkm_b, xq_b]
-        vals_n = msx_n[r, xkm_b]
-        vals = np.where(x_hq[:, None], vals_q, vals_n) + log_rb[r]
-        a_bands.append(np.where(ok, vals, NEG_INF).astype(np.float32))
-    c_q = ins_t[xtok_b, xq_b]
-    c_n = ins_n[xtok_b]
-    c_band = np.where(ok, np.where(x_hq[:, None], c_q, c_n), 0.0).astype(np.float32)
-
-    # y-side per-row values (strand complement already folded into the
-    # y arrays by OverlapBatch)
-    y_r_map = tables.y_symbol_map  # [4]: ref symbol r -> y-side symbol
-    rows = np.zeros((Ly, NUM_CH, Bp), np.float32)
-    for r in range(ALPHABET_SIZE):
-        rr = y_r_map[r]
-        vals_q = msx[rr, y_mk, y_q]
-        vals_n = msx_n[rr, y_mk]
-        rows[:, C_MSY0 + r, :B] = np.where(y_hq[:, None], vals_q, vals_n).T
-    iy_q = ins_t[y_tok, y_q]
-    iy_n = ins_n[y_tok]
-    rows[:, C_INSY, :B] = np.where(y_hq[:, None], iy_q, iy_n).T
-    for k in range(4):
-        rows[:, C_NEWA0 + k, :B] = a_bands[k][:, W - 1 : W - 1 + Ly].T
-    rows[:, C_NEWC, :B] = c_band[:, W - 1 : W - 1 + Ly].T
-
-    def padW(a, fill):
-        out = np.full((Bp, W), fill, np.float32)
-        out[:B] = a[:, :W]
-        return out
-
-    a0, a1, a2, a3 = (padW(a_bands[k], NEG_INF) for k in range(4))
-    c0 = padW(c_band, 0.0)
-    member_f = np.zeros((Bp, W), np.float32)
-    member_f[:B, :W0] = member.astype(np.float32)
-    meta = np.zeros((8, Bp), np.float32)
-    meta[0, :B] = d_lo
-    meta[1, :B] = x_len
-    meta[2, :B] = y_len
+    rows, member_f, a0, a1, a2, a3, c0, meta = _ov_prepare_device(
+        _ov_tabs(tables), batch, W, Bp
+    )
 
     trans = (
         float(tables.m2m[0, 0]),
@@ -282,9 +344,7 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False):
         tables.d2d_eff,
     )
     out = _ov_fill(
-        jnp.asarray(rows), jnp.asarray(member_f),
-        jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3),
-        jnp.asarray(c0), jnp.asarray(meta),
+        rows, member_f, a0, a1, a2, a3, c0, meta,
         width=W, b_pad=Bp, n_rows=Ly, trans=trans, interpret=interpret,
     )
     end = jnp.max(out[:B], axis=1)
