@@ -581,14 +581,17 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
 @functools.partial(
     jax.jit, static_argnames=("local", "Km", "Ki", "trans", "interpret")
 )
-def _estep_fused_jit(emis, insv, ik, batch, null_ll,
+def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll,
                      local, Km, Ki, trans, interpret=False):
-    """One dispatch for the whole per-read E-step: input prep, forward
-    fill (stored rows), read-level posterior weights from the forward
-    scores and the null log-likelihood, and the weighted backward-counts
-    sweep.  Replaces the previous 3-fill sequence (standalone forward for
-    weights + fwd/bwd inside estep_kernel) with 2 fills and no
-    intermediate host round-trips."""
+    """One dispatch for a whole E-step batch: input prep, forward fill
+    (stored rows), read-level posterior weights from the forward scores
+    and each read's null log-likelihood, and the weighted backward-counts
+    sweep.  The batch may mix pairs from SEVERAL reads: gid[b] gives the
+    read group of entry b, null_ll[g] each group's null log-likelihood;
+    weights are exp(fwd_b - y_ll[gid_b]) with
+    y_ll[g] = lse(null_ll[g], fwd of group g).  Counts come back summed
+    over the whole batch (the E-step epoch total is a plain sum over
+    reads, qmodel.cpp:2416-2418)."""
     Q = QUAL_SCORE_RANGE
     member = batch["member"]
     B, W0 = member.shape
@@ -611,12 +614,18 @@ def _estep_fused_jit(emis, insv, ik, batch, null_ll,
     fwd = jax.nn.logsumexp(out[:B], axis=1)
     fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
 
-    # read-level responsibilities: y_ll = lse(null_ll, fwd_0, ..)
+    # per-read responsibilities: y_ll[g] = lse(null_ll[g], fwd of g)
+    G = null_ll.shape[0]
     finite = jnp.isfinite(fwd)
-    y_ll = jnp.logaddexp(
-        null_ll.astype(jnp.float32),
-        jax.nn.logsumexp(jnp.where(finite, fwd, -jnp.inf)),
+    fwd0 = jnp.where(finite, fwd, -jnp.inf)
+    oh = gid[:, None] == jnp.arange(G, dtype=gid.dtype)[None, :]  # [B, G]
+    gmax = jnp.max(jnp.where(oh, fwd0[:, None], -jnp.inf), axis=0)
+    m = jnp.maximum(gmax, null_ll.astype(jnp.float32))
+    gsum = jnp.sum(
+        jnp.where(oh, jnp.exp(fwd0[:, None] - m[None, :]), 0.0), axis=0
     )
+    y_ll_g = m + jnp.log(gsum + jnp.exp(null_ll.astype(jnp.float32) - m))
+    y_ll = jnp.take(y_ll_g, gid)  # [B]
     weights = jnp.where(finite, jnp.exp(fwd - y_ll), 0.0)
 
     wrow = jnp.zeros((8, Bp), jnp.float32)
@@ -643,23 +652,38 @@ def _estep_fused_jit(emis, insv, ik, batch, null_ll,
         "d2m": d_sc[3, :B],
         "back_start_post": d_sc[4, :B],
     }
-    return fwd, y_ll, counts
+    return fwd, y_ll_g, counts
 
 
 def estep_fused(tables, v2tab: V2Tables, batch: dict, null_ll: float,
                 local: bool = True, interpret: bool = False):
-    """Production E-step entry: returns (fwd [B], y_ll scalar, counts).
+    """Single-read E-step entry: returns (fwd [B], y_ll [1], counts).
 
     null_ll is the read's null-model log likelihood (-inf when the null
     model is disallowed, t/quaff.cpp -force).
     """
+    B = int(np.asarray(batch["member"]).shape[0])
+    return estep_fused_multi(
+        tables, v2tab, batch,
+        np.zeros(B, np.int32), np.asarray([null_ll], np.float64),
+        local=local, interpret=interpret,
+    )
+
+
+def estep_fused_multi(tables, v2tab: V2Tables, batch: dict, gid, null_lls,
+                      local: bool = True, interpret: bool = False):
+    """Multi-read E-step entry: pairs of several reads in ONE kernel
+    dispatch.  gid [B] maps batch entries to read groups; null_lls [G]
+    holds each group's null log-likelihood.  Returns
+    (fwd [B], y_ll [G], counts summed over the whole batch)."""
     Km = np.asarray(tables.match_score).shape[1]
     Ki = len(np.asarray(tables.m2m))
     nl = jnp.asarray(
-        null_ll if np.isfinite(null_ll) else -np.inf, jnp.float32
+        np.where(np.isfinite(null_lls), null_lls, -np.inf), jnp.float32
     )
     return _estep_fused_jit(
-        v2tab.emis, v2tab.insv, v2tab.ik, batch, nl,
+        v2tab.emis, v2tab.insv, v2tab.ik, batch,
+        jnp.asarray(gid, jnp.int32), nl,
         local=local, Km=Km, Ki=Ki, trans=v2tab.trans, interpret=interpret,
     )
 

@@ -231,14 +231,27 @@ class QuaffCounter:
         reads: List[FastSeq],
         sort_order: Optional[List[List[int]]] = None,
     ) -> Tuple[QuaffParamCounts, float, List[List[int]]]:
-        """Counts summed over all reads (QuaffTrainer::getCounts)."""
+        """Counts summed over all reads (QuaffTrainer::getCounts).
+
+        On TPU backends with quality reads, pairs from MANY reads are
+        batched into single fused E-step dispatches (the TPU analogue of
+        the reference's read-level thread pool, qmodel.cpp:2005-2031) —
+        one kernel launch per shape bucket instead of one per read."""
         mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
         if sort_order is None:
             sort_order = [list(range(len(refs))) for _ in reads]
-        from .logger import ProgressLogger
+        from .logger import ProgressLogger, logger
 
         plog = ProgressLogger(level=2)
         plog.init_progress("Expected counts (E-step)")
+        if (
+            len(reads) > 1
+            and all(self._use_kernel(y) for y in reads)
+            and not logger.logging_tag("postmatrix")
+        ):
+            out = self._get_counts_kernel_batched(refs, reads, sort_order, plog)
+            plog.done()
+            return out
         total = QuaffParamCounts.zero(mk, ik)
         loglike = 0.0
         new_orders: List[List[int]] = []
@@ -249,6 +262,114 @@ class QuaffCounter:
             loglike += y_ll
             new_orders.append(order)
         plog.done()
+        return total, loglike, new_orders
+
+    def _get_counts_kernel_batched(self, refs, reads, sort_order, plog):
+        """Cross-read fused E-step: all (read, ref) pairs bucketed by
+        (packed width, read-length pad) and dispatched in large batches;
+        per-read posterior weights are computed on device via read-group
+        ids.  Count totals accumulate across the whole epoch; per-read
+        log-likelihoods and ref orderings are reconstructed host-side in
+        f64 exactly as the per-read path does."""
+        from .dp.pallas_counts import estep_fused_multi
+        from .dp.pallas_v2 import V2Tables
+        from .envelope import pack_strips
+
+        mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
+        if not hasattr(self, "_v2tab"):
+            self._v2tab = V2Tables(self.tables)
+        null_lls = [
+            self.null_model.log_likelihood(y) if self.use_null_model else -math.inf
+            for y in reads
+        ]
+
+        def round_up(v, m):
+            return ((v + m - 1) // m) * m
+
+        jobs = []  # (ny, nx, env)
+        for ny, y in enumerate(reads):
+            if not sort_order[ny]:
+                continue
+            y_index = KmerIndex(y, self.config.kmer_len)
+            for nx in sort_order[ny]:
+                env = self.config.make_envelope(
+                    refs[nx], y_index, FWDBACK_CELL_SIZE
+                )
+                jobs.append((ny, nx, env))
+        buckets = {}
+        for job in jobs:
+            ny, nx, env = job
+            wp = round_up(
+                max(sum(s.band_width for s in pack_strips(env)), 128), 128
+            )
+            lp = round_up(len(reads[ny].seq), 512)
+            buckets.setdefault((wp, lp), []).append(job)
+
+        total = QuaffParamCounts.zero(mk, ik)
+        xy_ll = {}
+        n_done = 0
+        for (wp, lp), js in sorted(buckets.items()):
+            # bound the forward row streams (3 x [Ly, B, W] f32 in HBM)
+            max_b = max(8, min(256, int(3.5e9 // (12 * wp * lp))))
+            for i in range(0, len(js), max_b):
+                chunk = js[i : i + max_b]
+                group_of, gid, null_g = {}, [], []
+                for ny, nx, env in chunk:
+                    if ny not in group_of:
+                        group_of[ny] = len(null_g)
+                        null_g.append(null_lls[ny])
+                    gid.append(group_of[ny])
+                batch = PairBatch.build_packed(
+                    [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
+                    self.tables,
+                    width=wp,
+                    max_y_len=lp,
+                )
+                fwd_dev, _, totals = estep_fused_multi(
+                    self.tables, self._v2tab, device_batch(batch),
+                    np.asarray(gid, np.int32), np.asarray(null_g),
+                    local=self.config.local,
+                )
+                fwd = np.asarray(fwd_dev, dtype=np.float64)
+                qc = QuaffCounts(
+                    match_kmer_len=mk,
+                    indel_kmer_len=ik,
+                    insert=np.asarray(totals["insert_counts"], dtype=np.float64),
+                    match=np.asarray(totals["match_counts"], dtype=np.float64),
+                    m2m=np.asarray(totals["m2m"], dtype=np.float64),
+                    m2i=np.asarray(totals["m2i"], dtype=np.float64),
+                    m2d=np.asarray(totals["m2d"], dtype=np.float64),
+                    m2e=np.asarray(totals["m2e"], dtype=np.float64),
+                    i2i=float(np.sum(np.asarray(totals["i2i"]))),
+                    i2m=float(np.sum(np.asarray(totals["i2m"]))),
+                    d2d=float(np.sum(np.asarray(totals["d2d"]))),
+                    d2m=float(np.sum(np.asarray(totals["d2m"]))),
+                )
+                total.add_weighted(QuaffParamCounts.from_counts(qc), 1.0)
+                for (ny, nx, env), f in zip(chunk, fwd):
+                    xy_ll[(ny, nx)] = float(f)
+                n_done += len(chunk)
+                plog.log_progress(
+                    n_done / max(len(jobs), 1),
+                    f"{n_done}/{len(jobs)} pair fills",
+                )
+
+        # per-read statistics in host f64 (mirrors _count_read_kernel)
+        loglike = 0.0
+        new_orders: List[List[int]] = []
+        for ny in range(len(reads)):
+            y_loglike = null_lls[ny]
+            xy = np.full(len(refs), -math.inf)
+            for nx in sort_order[ny]:
+                xy[nx] = xy_ll.get((ny, nx), -math.inf)
+                y_loglike = _log_sum_exp(y_loglike, xy[nx])
+            order = sorted(range(len(refs)), key=lambda nx: -xy[nx])
+            order = [
+                nx for nx in order
+                if xy[nx] >= y_loglike - MAX_TRAINING_LOG_DELTA
+            ]
+            loglike += y_loglike
+            new_orders.append(order)
         return total, loglike, new_orders
 
 

@@ -114,8 +114,51 @@ def test_estep_fused_matches_engine():
         tables, v2tab, bdev, null_ll, local=True, interpret=True
     )
     np.testing.assert_allclose(np.asarray(fwd), fwd_ref, rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(float(y_ll), y_ll_ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(float(np.asarray(y_ll).reshape(-1)[0]), y_ll_ref, rtol=1e-5, atol=1e-3)
 
+    for name in ("match_counts", "insert_counts", "m2m", "m2i", "m2d", "m2e"):
+        want = np.tensordot(weights, np.asarray(ref[name]), axes=(0, 0))
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
+        )
+    for name in ("i2i", "i2m", "d2d", "d2m"):
+        want = weights * np.asarray(ref[name])
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
+        )
+
+
+def test_estep_fused_multi_reads():
+    """Pairs from several reads in one dispatch: per-read device weights
+    and batch-summed counts must equal the engine's per-read posterior
+    sums."""
+    from quaff_tpu.dp.pallas_counts import estep_fused_multi
+
+    rng = np.random.default_rng(31)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _pairs(rng, 6)  # entries 0-2 = read group 0, 3-5 = group 1
+    gid = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    bdev = device_batch(PairBatch.build(pairs, tables))
+    tdev = device_tables(tables)
+
+    ref = dp_forward_backward(
+        tdev, bdev, local=True, dtype=jnp.float64,
+        num_match_kmers=4, num_indel_kmers=1,
+    )
+    fwd_ref = np.asarray(ref["fwd_score"])
+    null_lls = np.array([fwd_ref[:3].max(), fwd_ref[3:].max() - 1.0])
+    y_ll_ref = np.array([
+        np.logaddexp.reduce(np.concatenate([[null_lls[g]], fwd_ref[gid == g]]))
+        for g in range(2)
+    ])
+    weights = np.exp(fwd_ref - y_ll_ref[gid])
+
+    v2tab = V2Tables(tables)
+    fwd, y_ll, counts = estep_fused_multi(
+        tables, v2tab, bdev, gid, null_lls, local=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(fwd), fwd_ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(y_ll), y_ll_ref, rtol=1e-5, atol=1e-3)
     for name in ("match_counts", "insert_counts", "m2m", "m2i", "m2d", "m2e"):
         want = np.tensordot(weights, np.asarray(ref[name]), axes=(0, 0))
         np.testing.assert_allclose(

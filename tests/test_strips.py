@@ -159,7 +159,7 @@ def test_packed_estep_matches_engine():
         null_ll, local=True, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(fwd), fwd_ref, rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(float(y_ll), y_ll_ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(float(np.asarray(y_ll).reshape(-1)[0]), y_ll_ref, rtol=1e-5, atol=1e-3)
     for name in ("match_counts", "insert_counts", "m2m", "m2i", "m2d", "m2e"):
         want = np.tensordot(weights, np.asarray(ref[name]), axes=(0, 0))
         np.testing.assert_allclose(
