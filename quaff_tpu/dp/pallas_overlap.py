@@ -221,23 +221,44 @@ def _ov_tabs(tables):
     return tabs
 
 
-@functools.partial(jax.jit, static_argnames=("width", "b_pad"))
-def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int):
+@functools.partial(jax.jit, static_argnames=("width", "b_pad", "n_rows"))
+def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
+                       n_rows=None):
     """Device-side overlap input prep from the already-transferred narrow
     int batch arrays: banded x-side views via per-pair variable lane
     rolls, emission/insert resolution via small-table gathers.  Replaces
     the previous host-side assembly, whose [Ly, 16, B] f32 stream cost
-    ~54 MB of host->device transfer per batch on a tunnelled TPU."""
+    ~54 MB of host->device transfer per batch on a tunnelled TPU.
+
+    Sequence-bank batches ("x_row" present) carry each distinct
+    (sequence, strand) ONCE in bank_* arrays plus per-pair row indices —
+    all-vs-all overlap would otherwise re-transfer every read per pair."""
     Q = QUAL_SCORE_RANGE
-    x_tok = batch["x_tok"].astype(jnp.int32)
+    if "x_row" in batch:
+        bt = batch["bank_tok"].astype(jnp.int32)
+        bm = batch["bank_mk"].astype(jnp.int32)
+        bqv = batch["bank_q"].astype(jnp.int32)
+        bh = batch["bank_hq"]
+        xr = batch["x_row"]
+        yr = batch["y_row"]
+        x_tok = jnp.take(bt, xr, axis=0)
+        x_mk = jnp.take(bm, xr, axis=0)
+        x_q = jnp.take(bqv, xr, axis=0)
+        x_hq = jnp.take(bh, xr)
+        y_mk = jnp.take(bm, yr, axis=0)[:, :n_rows]
+        y_tok = jnp.take(bt, yr, axis=0)[:, :n_rows]
+        y_q = jnp.take(bqv, yr, axis=0)[:, :n_rows]
+        y_hq = jnp.take(bh, yr)
+    else:
+        x_tok = batch["x_tok"].astype(jnp.int32)
+        x_mk = batch["x_match_kmer"].astype(jnp.int32)
+        x_q = batch["x_qual"].astype(jnp.int32)
+        x_hq = batch["x_has_qual"]
+        y_mk = batch["y_match_kmer"].astype(jnp.int32)
+        y_tok = batch["y_tok"].astype(jnp.int32)
+        y_q = batch["y_qual"].astype(jnp.int32)
+        y_hq = batch["y_has_qual"]
     x_len = batch["x_len"].astype(jnp.int32)
-    x_mk = batch["x_match_kmer"].astype(jnp.int32)
-    x_q = batch["x_qual"].astype(jnp.int32)
-    x_hq = batch["x_has_qual"]
-    y_mk = batch["y_match_kmer"].astype(jnp.int32)
-    y_tok = batch["y_tok"].astype(jnp.int32)
-    y_q = batch["y_qual"].astype(jnp.int32)
-    y_hq = batch["y_has_qual"]
     y_len = batch["y_len"].astype(jnp.int32)
     d_lo = batch["d_lo"].astype(jnp.int32)
     member = batch["member"]
@@ -316,20 +337,27 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int):
     return rows, member_f, a0, a1, a2, a3, c0, meta
 
 
-def overlap_scores_kernel(tables, batch, interpret: bool = False):
+def overlap_scores_kernel(tables, batch, interpret: bool = False,
+                          n_rows: int = None):
     """Overlap end scores [B] for an overlap batch (OverlapBatch.device()
-    dict).  Requires gap order 0.  Returns end + x/y insert scores, i.e.
-    the same quantity as dp.overlap.overlap_fill's 'score'."""
+    dict, or a sequence-bank dict with x_row/y_row indices — then n_rows
+    gives the padded read length).  Requires gap order 0.  Returns
+    end + x/y insert scores, i.e. the same quantity as
+    dp.overlap.overlap_fill's 'score'."""
     if tables.indel_kmer_len != 0:
         raise ValueError("overlap kernel supports gap order 0 only")
     member = np.asarray(batch["member"])
     B, W0 = member.shape
-    Ly = int(np.asarray(batch["y_match_kmer"]).shape[1])
+    Ly = (
+        int(n_rows) if n_rows is not None
+        else int(np.asarray(batch["y_match_kmer"]).shape[1])
+    )
     W = _round_up(max(W0, 128), 128)
     Bp = _round_up(B, 8)
 
     rows, member_f, a0, a1, a2, a3, c0, meta = _ov_prepare_device(
-        _ov_tabs(tables), batch, W, Bp
+        _ov_tabs(tables), batch, W, Bp,
+        n_rows=Ly if "x_row" in batch else None,
     )
 
     trans = (

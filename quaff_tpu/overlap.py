@@ -437,18 +437,102 @@ class QuaffOverlapAligner:
             )
             buckets.setdefault(key, []).append(job)
 
+        # sequence bank: each distinct (sequence, strand) transferred ONCE;
+        # chunks carry only row indices + envelope masks (all-vs-all would
+        # otherwise re-ship every read per pair through the device link)
+        import jax.numpy as jnp
+
+        from .dp.engine import _narrow_int
+
+        rows_keys = sorted(
+            {(nx, False) for nx, _, _, _ in jobs}
+            | {(ny, yc) for _, ny, yc, _ in jobs}
+        )
+        row_of = {k: r for r, k in enumerate(rows_keys)}
+        # pad the bank to the bucket quantum so every bucket's lp fits
+        Lmax = round_up(max(len(seqs[i].seq) for i, _ in rows_keys), 512)
+        NB = len(rows_keys)
+        fwd_tables, _ = self._tables(False)
+        mk_len = fwd_tables.match_kmer_len
+        b_tok = np.zeros((NB, Lmax), np.int32)
+        b_mk = np.zeros((NB, Lmax), np.int32)
+        b_q = np.zeros((NB, Lmax), np.int32)
+        b_hq = np.zeros(NB, bool)
+        for (i, comp), r in row_of.items():
+            tabs_rc, _ = self._tables(comp)
+            tok, mk, _ik, q = _y_strand_arrays(seqs[i], tabs_rc)
+            n = len(tok)
+            b_tok[r, :n] = tok
+            b_mk[r, :n] = mk
+            if q is not None:
+                b_q[r, :n] = q
+                b_hq[r] = True
+        bank = {
+            "bank_tok": _narrow_int(b_tok, 4),
+            "bank_mk": _narrow_int(b_mk, 4 ** max(mk_len, 1)),
+            "bank_q": _narrow_int(b_q, 94),
+            "bank_hq": jnp.asarray(b_hq),
+        }
+
+        ins_cache: dict = {}
+
+        def insert_score(i, comp, strand):
+            key = (i, comp, strand)
+            if key not in ins_cache:
+                tabs_s, _ = self._tables(strand)
+                tok, _, _, q = _y_strand_arrays(seqs[i], self._tables(comp)[0])
+                ins_cache[key] = _insert_score_sum(tabs_s, tok, q)
+            return ins_cache[key]
+
         scored = {}
         for (y_comp, wp, lp), js in sorted(buckets.items()):
             tables, _ = self._tables(y_comp)
             for i in range(0, len(js), max_batch):
                 chunk = js[i : i + max_batch]
-                batch = OverlapBatch(
-                    [(seqs[nx], seqs[ny], env) for nx, ny, _, env in chunk],
-                    tables,
+                B = len(chunk)
+                member = np.zeros((B, wp), bool)
+                d_lo = np.zeros(B, np.int32)
+                for b, (nx, ny, yc, env) in enumerate(chunk):
+                    mask = env.member_mask()
+                    member[b, : len(mask)] = mask
+                    d_lo[b] = env.band_lo
+                d = dict(bank)
+                d.update(
+                    {
+                        "x_row": jnp.asarray(
+                            [row_of[(nx, False)] for nx, _, _, _ in chunk],
+                            jnp.int32,
+                        ),
+                        "y_row": jnp.asarray(
+                            [row_of[(ny, yc)] for _, ny, yc, _ in chunk],
+                            jnp.int32,
+                        ),
+                        "x_len": jnp.asarray(
+                            [len(seqs[nx].seq) for nx, _, _, _ in chunk],
+                            jnp.int32,
+                        ),
+                        "y_len": jnp.asarray(
+                            [len(seqs[ny].seq) for _, ny, _, _ in chunk],
+                            jnp.int32,
+                        ),
+                        "d_lo": jnp.asarray(d_lo),
+                        "member": jnp.asarray(member),
+                        "x_insert_score": jnp.asarray(
+                            [
+                                insert_score(nx, False, yc)
+                                for nx, _, yc, _ in chunk
+                            ]
+                        ),
+                        "y_insert_score": jnp.asarray(
+                            [
+                                insert_score(ny, yc, yc)
+                                for _, ny, yc, _ in chunk
+                            ]
+                        ),
+                    }
                 )
-                # pad to bucket shape
                 s = np.asarray(
-                    overlap_scores_kernel(tables, batch.device()),
+                    overlap_scores_kernel(tables, d, n_rows=lp),
                     dtype=np.float64,
                 )
                 for (nx, ny, yc, env), sc in zip(chunk, s):

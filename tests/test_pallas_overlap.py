@@ -63,3 +63,100 @@ def test_overlap_kernel_matches_xla(y_comp):
     got = np.asarray(overlap_scores_kernel(tables, bdev, interpret=True))
     # truncated-lse tables vs exact lse: ~1e-5 * aligned columns
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=0.05)
+
+
+@pytest.mark.parametrize("y_comp", [False, True])
+def test_overlap_kernel_bank_path(y_comp):
+    """The sequence-bank batch form (unique rows + per-pair indices) must
+    score identically to the per-pair OverlapBatch form."""
+    from quaff_tpu.dp.engine import _narrow_int
+    from quaff_tpu.overlap import _y_strand_arrays, _insert_score_sum
+
+    rng = np.random.default_rng(41)
+    params = default_params()
+    tables = OverlapScoreTables.from_params(params, y_comp)
+    pairs = _read_pairs(rng, 4, y_comp=y_comp)
+
+    batch = OverlapBatch(pairs, tables)
+    want = np.asarray(
+        overlap_scores_kernel(tables, batch.device(), interpret=True),
+        dtype=np.float64,
+    )
+
+    # bank: unique sequences (each pair has distinct seqs here; repeat one
+    # row on purpose by listing both sides)
+    def round_up(v, m):
+        return ((v + m - 1) // m) * m
+
+    seqs, rows = [], {}
+    for x, y, _ in pairs:
+        for s, comp in ((x, False), (y, y_comp)):
+            key = (s.name, comp)
+            if key not in rows:
+                rows[key] = len(seqs)
+                seqs.append((s, comp))
+    Lmax = round_up(max(len(s.seq) for s, _ in seqs), 512)
+    NB = len(seqs)
+    b_tok = np.zeros((NB, Lmax), np.int32)
+    b_mk = np.zeros((NB, Lmax), np.int32)
+    b_q = np.zeros((NB, Lmax), np.int32)
+    b_hq = np.zeros(NB, bool)
+    for r, (s, comp) in enumerate(seqs):
+        tabs_rc = OverlapScoreTables.from_params(params, comp)
+        tok, mk, _ik, q = _y_strand_arrays(s, tabs_rc)
+        n = len(tok)
+        b_tok[r, :n] = tok
+        b_mk[r, :n] = mk
+        if q is not None:
+            b_q[r, :n] = q
+            b_hq[r] = True
+    lp = round_up(max(len(y.seq) for _, y, _ in pairs), 512)
+    wp = round_up(max(e.band_width for _, _, e in pairs), 128)
+    B = len(pairs)
+    member = np.zeros((B, wp), bool)
+    d_lo = np.zeros(B, np.int32)
+    for b, (_, _, env) in enumerate(pairs):
+        mask = env.member_mask()
+        member[b, : len(mask)] = mask
+        d_lo[b] = env.band_lo
+    d = {
+        "bank_tok": _narrow_int(b_tok, 4),
+        "bank_mk": _narrow_int(b_mk, 4 ** max(tables.match_kmer_len, 1)),
+        "bank_q": _narrow_int(b_q, 94),
+        "bank_hq": jnp.asarray(b_hq),
+        "x_row": jnp.asarray(
+            [rows[(x.name, False)] for x, _, _ in pairs], jnp.int32
+        ),
+        "y_row": jnp.asarray(
+            [rows[(y.name, y_comp)] for _, y, _ in pairs], jnp.int32
+        ),
+        "x_len": jnp.asarray([len(x.seq) for x, _, _ in pairs], jnp.int32),
+        "y_len": jnp.asarray([len(y.seq) for _, y, _ in pairs], jnp.int32),
+        "d_lo": jnp.asarray(d_lo),
+        "member": jnp.asarray(member),
+        "x_insert_score": jnp.asarray(
+            [
+                _insert_score_sum(
+                    tables, *(lambda t, m, i, q: (t, q))(*_y_strand_arrays(
+                        x, OverlapScoreTables.from_params(params, False)
+                    ))
+                )
+                for x, _, _ in pairs
+            ]
+        ),
+        "y_insert_score": jnp.asarray(
+            [
+                _insert_score_sum(
+                    tables, *(lambda t, m, i, q: (t, q))(*_y_strand_arrays(
+                        y, OverlapScoreTables.from_params(params, y_comp)
+                    ))
+                )
+                for _, y, _ in pairs
+            ]
+        ),
+    }
+    got = np.asarray(
+        overlap_scores_kernel(tables, d, interpret=True, n_rows=lp),
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
