@@ -421,11 +421,18 @@ class QuaffOverlapAligner:
                 null_cache[key] = self.null_model.log_likelihood(s)
             return null_cache[key]
 
-        # build envelopes + bucket by strand and padded shape
+        # build envelopes + bucket by strand and padded shape; each read's
+        # k-mer index is shared across all pairs it appears in
+        index_cache: dict = {}
+
+        def y_index(ny):
+            if ny not in index_cache:
+                index_cache[ny] = KmerIndex(seqs[ny], self.config.kmer_len)
+            return index_cache[ny]
+
         jobs = []
         for nx, ny, y_comp in pair_list:
-            y_index = KmerIndex(seqs[ny], self.config.kmer_len)
-            env = self.config.make_envelope(seqs[nx], y_index, VITERBI_CELL_SIZE)
+            env = self.config.make_envelope(seqs[nx], y_index(ny), VITERBI_CELL_SIZE)
             jobs.append((nx, ny, y_comp, env))
         buckets: dict = {}
         for job in jobs:
