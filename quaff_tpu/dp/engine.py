@@ -99,9 +99,12 @@ class PairBatch:
         tables: ScoreTables,
         width: Optional[int] = None,
         max_y_len: Optional[int] = None,
+        max_x_len: Optional[int] = None,
     ) -> "PairBatch":
         B = len(pairs)
         Lx = max(len(x.seq) for x, _, _ in pairs)
+        if max_x_len is not None:
+            Lx = max(Lx, max_x_len)
         Ly = max(len(y.seq) for _, y, _ in pairs)
         if max_y_len is not None:
             Ly = max(Ly, max_y_len)

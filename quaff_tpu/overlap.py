@@ -62,11 +62,16 @@ class OverlapBatch:
     needs (both sequences carry k-mer contexts and quality scores)."""
 
     def __init__(self, pairs: List[Tuple[FastSeq, FastSeq, Envelope]],
-                 tables: OverlapScoreTables):
+                 tables: OverlapScoreTables,
+                 width: Optional[int] = None,
+                 max_y_len: Optional[int] = None,
+                 max_x_len: Optional[int] = None):
         st = ScoreTables.__new__(ScoreTables)  # only kmer lens used by build
         st.match_kmer_len = tables.match_kmer_len
         st.indel_kmer_len = tables.indel_kmer_len
-        self.base = PairBatch.build(pairs, st)
+        self.base = PairBatch.build(
+            pairs, st, width=width, max_y_len=max_y_len, max_x_len=max_x_len
+        )
         B = len(pairs)
         Lx = self.base.x_tok.shape[1]
         self.x_match_kmer = np.zeros((B, Lx), dtype=np.int32)
@@ -298,6 +303,7 @@ class QuaffOverlapAligner:
         self._tdev_fwd = overlap_device_tables(self.tables_fwd)
         self._tdev_rev = None
         self._base = base
+        self._tdev_cpu64: dict = {}
 
     def _tables(self, y_complemented: bool):
         if not y_complemented:
@@ -319,36 +325,45 @@ class QuaffOverlapAligner:
             for ny in range(nx + 1, len(seqs)):
                 yield nx, ny, ny >= n_originals
 
-    def overlap_pair(
-        self, x: FastSeq, y: FastSeq, y_complemented: bool
-    ) -> Optional[Alignment]:
+    def _exact_fill(self, batch: "OverlapBatch", tables, tdev) -> dict:
+        """Run the exact banded fill for a (possibly padded) overlap batch
+        and return host numpy arrays: score [B] and mat/ins/del
+        [B, Ly, W].  On accelerator backends the f64 parity fill runs on
+        the host CPU device (matrices never cross the device link)."""
         import jax
 
-        tables, tdev = self._tables(y_complemented)
-        y_index = KmerIndex(y, self.config.kmer_len)
-        env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
-        batch = OverlapBatch([(x, y, env)], tables)
         bdev = batch.device()
         if jax.default_backend() != "cpu":
-            # exact f64 fill runs on the CPU device on accelerator backends
             from .precision import x64_scope
 
             cpu = jax.devices("cpu")[0]
             with x64_scope(), jax.default_device(cpu):
                 bdev = {k: jax.device_put(v, cpu) for k, v in bdev.items()}
-                tdev = overlap_device_tables(tables)  # f64 inside the scope
+                key = tables.y_complemented
+                if key not in self._tdev_cpu64:
+                    # f64 tables built inside the x64 scope, reused per strand
+                    self._tdev_cpu64[key] = overlap_device_tables(tables)
                 res = overlap_fill(
-                    tdev, bdev, return_matrices=True,
+                    self._tdev_cpu64[key], bdev, return_matrices=True,
                     dtype=self.config.resolve_dtype(),
                 )
-        else:
-            res = overlap_fill(
-                tdev,
-                bdev,
-                return_matrices=True,
-                dtype=self.config.resolve_dtype(),
-            )
-        score = float(np.asarray(res["score"])[0])
+                return {k: np.asarray(v) for k, v in res.items()}
+        res = overlap_fill(
+            tdev, bdev, return_matrices=True, dtype=self.config.resolve_dtype()
+        )
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    def _finish_pair(
+        self,
+        x: FastSeq,
+        y: FastSeq,
+        y_complemented: bool,
+        env: Envelope,
+        tables: OverlapScoreTables,
+        res: dict,
+        b: int,
+    ) -> Optional[Alignment]:
+        score = float(res["score"][b])
         if not math.isfinite(score):
             return None
         from .logger import logger
@@ -357,24 +372,26 @@ class QuaffOverlapAligner:
             from .dp.debug import write_dp_matrix
 
             write_dp_matrix(
-                x, y, env,
-                np.asarray(res["mat"])[0], np.asarray(res["ins"])[0],
-                np.asarray(res["del"])[0], score,
+                x, y, env, res["mat"][b], res["ins"][b], res["del"][b], score
             )
         a = overlap_traceback(
-            x,
-            y,
-            env,
-            tables,
-            np.asarray(res["mat"])[0],
-            np.asarray(res["ins"])[0],
-            np.asarray(res["del"])[0],
+            x, y, env, tables, res["mat"][b], res["ins"][b], res["del"][b],
             score,
         )
         x_null = self.null_model.log_likelihood(x)
         y_null = self.null_model.log_likelihood(y.revcomp() if y_complemented else y)
         a.score -= x_null + y_null
         return a
+
+    def overlap_pair(
+        self, x: FastSeq, y: FastSeq, y_complemented: bool
+    ) -> Optional[Alignment]:
+        tables, tdev = self._tables(y_complemented)
+        y_index = KmerIndex(y, self.config.kmer_len)
+        env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
+        batch = OverlapBatch([(x, y, env)], tables)
+        res = self._exact_fill(batch, tables, tdev)
+        return self._finish_pair(x, y, y_complemented, env, tables, res, 0)
 
     def _use_fast_scores(self) -> bool:
         import jax
@@ -546,15 +563,93 @@ class QuaffOverlapAligner:
                     scored[(nx, ny)] = float(sc)
 
         # exact pass for candidates above threshold (with slack for the
-        # kernel's exact-lse vs truncated-table difference)
+        # kernel's exact-lse vs truncated-table difference), batched per
+        # padded shape bucket so the f64 parity fill amortises its
+        # row-scan and its per-shape compile across candidates
         slack = 1.0
-        for nx, ny, y_comp, env in jobs:
+        cands = []
+        for job in jobs:
+            nx, ny, y_comp, env = job
             sc = scored[(nx, ny)]
             if not math.isfinite(sc):
                 continue
             adj = sc - null_ll(nx) - null_ll(ny, y_comp)
             if adj < printer.log_odds_threshold - slack:
                 continue
-            a = self.overlap_pair(seqs[nx], seqs[ny], y_comp)
+            cands.append(job)
+        results = self._exact_pass(seqs, cands)
+        for nx, ny, y_comp, env in cands:
+            a = results[(nx, ny)]
             if a is not None:
                 printer.write_alignment(out, a)
+
+    def _exact_pass(self, seqs, cands, max_segs: int = 4,
+                    max_elems: int = 20_000_000) -> dict:
+        """Batched f64 parity fills for the candidate pairs, one batch row
+        per envelope STRIP rather than per bounding band: the always-
+        included diagonal 0 (diagenv.cpp:53) routinely leaves the seed
+        cluster thousands of diagonals away, so the bounding band is
+        mostly gap lanes the reference's ragged storage never touches.
+        Strips are independent DP subproblems (envelope.strips), so the
+        pair score is the max of its strip scores and the traceback runs
+        inside the winning strip.  Candidates are bucketed by padded
+        shape and chunked whole (all strips of a pair in one fill) so a
+        chunk's matrices can be dropped as soon as its pairs finish."""
+        from .envelope import pack_strips
+
+        def round_up(v, m):
+            return ((v + m - 1) // m) * m
+
+        results: dict = {}
+        buckets: dict = {}
+        for job in cands:
+            nx, ny, y_comp, env = job
+            strips = pack_strips(env, max_segs)
+            wp = round_up(max(max(s.band_width for s in strips), 64), 64)
+            key = (
+                y_comp,
+                wp,
+                round_up(len(seqs[ny].seq), 512),
+                round_up(len(seqs[nx].seq), 512),
+            )
+            buckets.setdefault(key, []).append((job, strips))
+        for (y_comp, wp, lyp, lxp), js in sorted(buckets.items()):
+            tables, tdev = self._tables(y_comp)
+            # cap the f64 matrix footprint (3 matrices x B x lyp x wp),
+            # keeping each pair's strips within a single chunk
+            max_b = max(1, int(max_elems // (lyp * wp)))
+            chunk: list = []
+
+            def flush():
+                if not chunk:
+                    return
+                entries = [
+                    (seqs[j[0]], seqs[j[1]], s) for j, ss in chunk for s in ss
+                ]
+                ob = OverlapBatch(
+                    entries, tables, width=wp, max_y_len=lyp, max_x_len=lxp
+                )
+                res = self._exact_fill(ob, tables, tdev)
+                b = 0
+                for (nx, ny, yc, env), ss in chunk:
+                    best_b, best_sc = b, float(res["score"][b])
+                    for k in range(1, len(ss)):
+                        sc = float(res["score"][b + k])
+                        if sc > best_sc:
+                            best_b, best_sc = b + k, sc
+                    results[(nx, ny)] = self._finish_pair(
+                        seqs[nx], seqs[ny], yc, ss[best_b - b], tables, res,
+                        best_b,
+                    )
+                    b += len(ss)
+                chunk.clear()
+
+            n_in_chunk = 0
+            for job, strips in js:
+                if chunk and n_in_chunk + len(strips) > max_b:
+                    flush()
+                    n_in_chunk = 0
+                chunk.append((job, strips))
+                n_in_chunk += len(strips)
+            flush()
+        return results

@@ -45,6 +45,79 @@ def test_c8f30_self_overlap_golden(data_dir, copy_file):
     assert out.getvalue() == (data_dir / "c8f30-self-overlap.json").read_text()
 
 
+def test_batched_exact_pass_matches_per_pair():
+    """The TPU path's bucketed exact pass (padded, multi-pair fills) must
+    produce byte-identical alignments to the sequential per-pair path —
+    padding lanes/rows sit outside the envelope so the banded fill and
+    the traceback never read them."""
+    import numpy as np
+
+    from quaff_tpu.dp.pallas_v2 import _round_up
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.overlap import OverlapBatch
+    import io as _io
+
+    from quaff_tpu.aligner import VITERBI_CELL_SIZE
+
+    def format_alignment(a):
+        s = _io.StringIO()
+        a.write_stockholm(s)
+        return s.getvalue()
+
+    rng = np.random.default_rng(7)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 2000))
+    reads = []
+    for i in range(4):
+        ln = int(rng.integers(400, 600))
+        # spread start offsets so shared segments sit on diagonals far
+        # from the always-included diagonal 0 -> multi-strip envelopes
+        s0 = int(rng.integers(0, 1200))
+        seq = list(base[s0 : s0 + ln])
+        for _ in range(len(seq) // 20):
+            p = int(rng.integers(0, len(seq)))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append(
+            FastSeq(
+                name=f"r{i}",
+                seq="".join(seq),
+                qual="".join(
+                    chr(33 + int(q)) for q in rng.integers(3, 40, ln)
+                ),
+            )
+        )
+    null = QuaffNullParams.fit(reads)
+    cfg = DPConfig()
+    aligner = QuaffOverlapAligner(default_params(), null, cfg)
+
+    jobs = []
+    for nx, ny, y_comp in aligner.enumerate_pairs(reads, len(reads)):
+        x, y = reads[nx], reads[ny]
+        env = cfg.make_envelope(x, KmerIndex(y, cfg.kmer_len), VITERBI_CELL_SIZE)
+        jobs.append((nx, ny, y_comp, env))
+
+    # sequential reference results (full bounding-band fills)
+    want = [
+        aligner.overlap_pair(reads[nx], reads[ny], yc)
+        for nx, ny, yc, _ in jobs
+    ]
+
+    # multi-strip envelopes must be exercised (diagonal 0 is always a
+    # member, and these overlaps sit on distant diagonals)
+    assert any(len(env.strips()) > 1 for *_, env in jobs)
+
+    # the production TPU exact pass: per-strip batched fills
+    results = aligner._exact_pass(reads, jobs)
+    got = [results[(nx, ny)] for nx, ny, _, _ in jobs]
+
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        assert a.score == b.score
+        assert format_alignment(a) == format_alignment(b)
+
+
 def test_overlap_pair_enumeration():
     from quaff_tpu.io.fastseq import FastSeq
 
