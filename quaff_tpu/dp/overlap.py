@@ -249,6 +249,14 @@ def overlap_fill(
       x_has_qual [B], and precomputed x_insert_score + y_insert_score [B].
     Returns 'score' [B] (= end + full-sequence insert scores) and
     optionally the three matrices.
+
+    Optional "j_off" [B] shifts each pair's row window: batch row r
+    holds true row j = j_off + r + 1, with the y-side arrays pre-shifted
+    by the caller (OverlapBatch row_off).  A strip whose member
+    diagonals are all >= d only has valid cells from row max(1, 1-d_max)
+    to min(y_len, x_len-d_min), so trimming the dead rows (exact: they
+    are entirely outside the envelope) nearly halves the fill for
+    overlap strips on distant diagonals.
     """
     x_tok = batch_dev["x_tok"]
     x_len = batch_dev["x_len"]
@@ -268,6 +276,10 @@ def overlap_fill(
     B, W = member.shape
     Ly = y_tok.shape[1]
     neg_inf = jnp.array(NEG_INF, dtype=dtype)
+    j_off = batch_dev.get("j_off")
+    if j_off is None:
+        j_off = jnp.zeros((B,), jnp.int32)
+    j_off_c = j_off.astype(jnp.int32)[:, None]  # [B, 1]
 
     pair_qq = tdev["pair_qq"].astype(dtype)
     pair_xq = tdev["pair_xq"].astype(dtype)
@@ -294,8 +306,9 @@ def overlap_fill(
     def row_step(carry, j):
         mat_p, ins_p, del_p, end = carry
 
-        idx = d_lo[:, None] + (j - 1) + lane  # i-1 per lane
-        valid = member & (idx >= 0) & (idx < x_len[:, None]) & (j <= y_len)[:, None]
+        jt = j_off_c + j  # true row number per pair, [B, 1]
+        idx = d_lo[:, None] + (jt - 1) + lane  # i-1 per lane
+        valid = member & (idx >= 0) & (idx < x_len[:, None]) & (jt <= y_len[:, None])
 
         # per-lane x context
         xkm = gather_x(x_match_kmer, idx)
@@ -327,7 +340,7 @@ def overlap_fill(
             ),
             ins_p + i2m_e,
         )
-        start_ok = (j == 1) | (idx == 0)  # overlap: both ends free
+        start_ok = (jt == 1) | (idx == 0)  # overlap: both ends free
         mat_c = jnp.maximum(mat_c, jnp.where(start_ok, jnp.zeros((), dtype), neg_inf))
         mat_c = jnp.where(valid, mat_c + emit, neg_inf)
 
@@ -349,7 +362,7 @@ def overlap_fill(
         del_c = jnp.where(valid, _mixed_recurrence(c_vec, k_vec, b_vec, neg_inf), neg_inf)
 
         # end: free at either sequence's end (qoverlap.cpp:151-153)
-        end_ok = valid & ((j == y_len)[:, None] | (idx == x_len[:, None] - 1))
+        end_ok = valid & ((jt == y_len[:, None]) | (idx == x_len[:, None] - 1))
         end = jnp.maximum(end, jnp.max(jnp.where(end_ok, mat_c, neg_inf), axis=1))
 
         return (mat_c, ins_c, del_c, end), (

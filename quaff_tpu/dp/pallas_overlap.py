@@ -48,23 +48,26 @@ from .pallas_v2 import (
 # streamed per-row channels (f32)
 C_MSY0 = 0  # ..3: y-side match score given ref symbol r (strand-folded)
 C_INSY = 4  # y-side insert emission
-C_NEWA0 = 5  # ..8: new column for x-side windows msX[r]
-C_NEWC = 9  # new column for x-side insert window
-C_PAD = 10
-NUM_CH = 16
+C_NEW = 5  # + seg*5 + w: incoming column for x-side window w of segment
+#            seg (w = 0..3: msX[r], w = 4: insert window)
+MAX_SEGS = 3  # lane-packed strips per pair (more get merged)
+NUM_CH = 24
 
 
 def _ov_kernel(
     rows_ref,  # [1, NUM_CH, B] f32 streamed
     member_ref,  # [B, W]
     a0_ref, a1_ref, a2_ref, a3_ref, c0_ref,  # initial windows [B, W]
-    meta_ref,  # [8, B]: d_lo, x_len, y_len
+    meta_ref,  # [8, B]: rows 1..3 = x_len, y_len, j_off
+    doff_ref,  # [B, W] f32: diagonal of each lane (segment-packed)
+    snew_ref,  # [B, W] f32: segment id at segment-last lanes, else -1
     out_ref,  # [B, W] end accumulator
     mat_ref, ins_ref, del_ref,
     wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref,
     *,
     width: int,
     trans: Tuple[float, ...],
+    n_segs: int = 1,
 ):
     j0 = pl.program_id(0)
     (m2m_t, m2i_t, m2d_t, i2m_e, i2i_e, i2d_e, d2m_e, d2i_e, d2d_e) = trans
@@ -87,19 +90,20 @@ def _ov_kernel(
 
     @pl.when(j0 > 0)
     def _advance():
-        lane_ = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        for k, w_ref in enumerate(wins):
-            newcol = rows_ref[0, C_NEWA0 + k, :][:, None]
-            w_ref[:] = jnp.where(
-                lane_ == W - 1, newcol, pltpu.roll(w_ref[:], jnp.int32(W - 1), 1)
-            )
+        slot = snew_ref[:]
+        for w, w_ref in enumerate(wins):
+            win = pltpu.roll(w_ref[:], jnp.int32(W - 1), 1)
+            for k in range(n_segs):
+                newcol = rows_ref[0, C_NEW + k * 5 + w, :][:, None]
+                win = jnp.where(slot == float(k), newcol, win)
+            w_ref[:] = win
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    d_lo = meta_ref[0, :][:, None]
     x_len = meta_ref[1, :][:, None]
     y_len = meta_ref[2, :][:, None]
-    jf = (j0 + 1).astype(jnp.float32)
-    idx = d_lo + (jf - 1.0) + lane.astype(jnp.float32)
+    j_off = meta_ref[3, :][:, None]
+    jf = j_off + (j0 + 1).astype(jnp.float32)  # true row per pair
+    idx = doff_ref[:] + (jf - 1.0)
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
     # emission: lse over the 4 marginalised ref symbols
@@ -160,11 +164,14 @@ def _ov_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "b_pad", "n_rows", "trans", "interpret"),
+    static_argnames=("width", "b_pad", "n_rows", "trans", "n_segs",
+                     "interpret"),
 )
-def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta,
-             width, b_pad, n_rows, trans, interpret=False):
-    kernel = functools.partial(_ov_kernel, width=width, trans=trans)
+def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta, doff, snew,
+             width, b_pad, n_rows, trans, n_segs=1, interpret=False):
+    kernel = functools.partial(
+        _ov_kernel, width=width, trans=trans, n_segs=n_segs
+    )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -181,12 +188,14 @@ def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta,
             resident((b_pad, width)),
             resident((b_pad, width)),
             resident(meta.shape),
+            resident((b_pad, width)),
+            resident((b_pad, width)),
         ],
         out_specs=resident((b_pad, width)),
         out_shape=jax.ShapeDtypeStruct((b_pad, width), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b_pad, width), jnp.float32)] * 8,
         interpret=interpret,
-    )(rows, member, a0, a1, a2, a3, c0, meta)
+    )(rows, member, a0, a1, a2, a3, c0, meta, doff, snew)
     return out
 
 
@@ -225,14 +234,22 @@ def _ov_tabs(tables):
 def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
                        n_rows=None):
     """Device-side overlap input prep from the already-transferred narrow
-    int batch arrays: banded x-side views via per-pair variable lane
-    rolls, emission/insert resolution via small-table gathers.  Replaces
-    the previous host-side assembly, whose [Ly, 16, B] f32 stream cost
+    int batch arrays: banded x-side views via per-pair variable rolls,
+    emission/insert resolution via small-table gathers.  Replaces the
+    previous host-side assembly, whose [Ly, 16, B] f32 stream cost
     ~54 MB of host->device transfer per batch on a tunnelled TPU.
 
     Sequence-bank batches ("x_row" present) carry each distinct
     (sequence, strand) ONCE in bank_* arrays plus per-pair row indices —
-    all-vs-all overlap would otherwise re-transfer every read per pair."""
+    all-vs-all overlap would otherwise re-transfer every read per pair.
+
+    Lane-packed batches carry seg_d_lo/seg_start/seg_width [B, S]
+    descriptors (engine.PairBatch.build_packed layout: each envelope
+    strip side by side on the lane axis with its ±1 halo) and an
+    optional per-pair row offset "j_off" trimming the dead leading rows;
+    legacy batches synthesize one segment spanning the band."""
+    from .pallas_v2 import _lane_tables, _roll_rows_per_column, _cyclic_rows
+
     Q = QUAL_SCORE_RANGE
     if "x_row" in batch:
         bt = batch["bank_tok"].astype(jnp.int32)
@@ -245,9 +262,9 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         x_mk = jnp.take(bm, xr, axis=0)
         x_q = jnp.take(bqv, xr, axis=0)
         x_hq = jnp.take(bh, xr)
-        y_mk = jnp.take(bm, yr, axis=0)[:, :n_rows]
-        y_tok = jnp.take(bt, yr, axis=0)[:, :n_rows]
-        y_q = jnp.take(bqv, yr, axis=0)[:, :n_rows]
+        y_mk = jnp.take(bm, yr, axis=0)
+        y_tok = jnp.take(bt, yr, axis=0)
+        y_q = jnp.take(bqv, yr, axis=0)
         y_hq = jnp.take(bh, yr)
     else:
         x_tok = batch["x_tok"].astype(jnp.int32)
@@ -260,90 +277,193 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         y_hq = batch["y_has_qual"]
     x_len = batch["x_len"].astype(jnp.int32)
     y_len = batch["y_len"].astype(jnp.int32)
-    d_lo = batch["d_lo"].astype(jnp.int32)
     member = batch["member"]
 
     B, W0 = member.shape
-    Ly = y_mk.shape[1]
+    R = int(n_rows) if n_rows is not None else y_mk.shape[1]
     W, Bp = width, b_pad
-    T = Ly + W
     KmQ = tabs["msx2"].shape[0]
     Km = tabs["msxn2"].shape[0]
 
-    # banded x views (x value at band coordinate t = x[d_lo + t])
-    def band(v):
-        return _cyclic_lanes(_roll_lanes_per_row(v, d_lo), T)
+    if "seg_d_lo" in batch:
+        seg_d_lo = batch["seg_d_lo"].astype(jnp.int32)
+        seg_start = batch["seg_start"].astype(jnp.int32)
+        seg_width = batch["seg_width"].astype(jnp.int32)
+    else:
+        d_lo = batch["d_lo"].astype(jnp.int32)
+        zeros = jnp.zeros((B,), jnp.int32)
+        seg_d_lo = d_lo[:, None]
+        seg_start = zeros[:, None]
+        seg_width = (zeros + W)[:, None]
+    j_off = batch.get("j_off")
+    if j_off is None:
+        j_off = jnp.zeros((B,), jnp.int32)
+    j_off = j_off.astype(jnp.int32)
+    n_segs = seg_d_lo.shape[1]
 
-    idx = d_lo[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    ok = (idx >= 0) & (idx < x_len[:, None])
-    xkm_b = band(x_mk)
-    xq_b = band(x_q)
-    xtok_b = band(x_tok)
-
-    key_x = jnp.clip(xkm_b * Q + xq_b, 0, KmQ - 1)
-    vals_q4 = jnp.take(tabs["msx2"], key_x, axis=0)  # [B, T, 4]
-    vals_n4 = jnp.take(tabs["msxn2"], jnp.clip(xkm_b, 0, Km - 1), axis=0)
-    vals4 = (
-        jnp.where(x_hq[:, None, None], vals_q4, vals_n4)
-        + tabs["log_rb"][None, None, :]
+    doff_f, snew_f, _sold, doff_i = _lane_tables(
+        seg_d_lo, seg_start, seg_width, W, B, Bp
     )
-    a_bands = [
-        jnp.where(ok, vals4[..., r], NEG_INF) for r in range(ALPHABET_SIZE)
+
+    # combined per-x-position key: ((xkm*Q + xq)*4 + xtok); one variable
+    # roll then div/mod decode replaces three rolls per segment
+    pk = (jnp.clip(x_mk, 0, Km - 1) * Q + jnp.clip(x_q, 0, Q - 1)) * 4 \
+        + jnp.clip(x_tok, 0, 3)  # [B, Lx]
+    log_rb = tabs["log_rb"]
+
+    def x_values(pk_sel, hq):
+        """Resolve the 4 match-given-ref values (+log ref base) and the
+        insert value from combined keys.  pk_sel [..., ], hq broadcast."""
+        kmq = pk_sel // 4
+        tok = pk_sel % 4
+        km = kmq // Q
+        v_q4 = jnp.take(tabs["msx2"], jnp.clip(kmq, 0, KmQ - 1), axis=0)
+        v_n4 = jnp.take(tabs["msxn2"], jnp.clip(km, 0, Km - 1), axis=0)
+        v4 = jnp.where(hq[..., None], v_q4, v_n4) + log_rb
+        iq = jnp.take(tabs["ins2"], jnp.clip(kmq % Q + tok * Q, 0, 4 * Q - 1))
+        inn = jnp.take(tabs["insn2"], tok)
+        ins = jnp.where(hq, iq, inn)
+        return v4, ins
+
+    # initial windows (row j_off+1's view): lane l of segment k holds the
+    # x value at t0 = seg_d_lo + (l - seg_start) + j_off; banded index ->
+    # per-segment lane roll
+    lane_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    pk0 = jnp.zeros((B, W), jnp.int32)
+    for k in range(n_segs):
+        start = seg_start[:, k][:, None]
+        wk = seg_width[:, k][:, None]
+        in_seg = (wk > 0) & (lane_w >= start) & (lane_w < start + wk)
+        rolled = _cyclic_lanes(_roll_lanes_per_row(
+            pk, seg_d_lo[:, k] - seg_start[:, k] + j_off
+        ), W)
+        pk0 = jnp.where(in_seg, rolled, pk0)
+    t0 = doff_i + j_off[:, None]
+    ok0 = (t0 >= 0) & (t0 < x_len[:, None])
+    v4_0, ins_0 = x_values(pk0, x_hq[:, None])
+    a_init = [
+        jnp.where(ok0, v4_0[..., r], NEG_INF) for r in range(ALPHABET_SIZE)
     ]
-    c_q = jnp.take(
-        tabs["ins2"], jnp.clip(xtok_b * Q + xq_b, 0, 4 * Q - 1)
-    )
-    c_n = jnp.take(tabs["insn2"], jnp.clip(xtok_b, 0, 3))
-    c_band = jnp.where(ok, jnp.where(x_hq[:, None], c_q, c_n), 0.0)
+    c_init = jnp.where(ok0, ins_0, 0.0)
 
-    # y-side per-row values (strand fold baked into msy2/msyn2)
-    key_y = jnp.clip(y_mk * Q + y_q, 0, KmQ - 1)
+    # streamed incoming columns: segment k's last lane (diagonal d_last)
+    # receives the value at t = d_last + j_off + r when advancing into
+    # grid row r; banded index -> per-segment variable row roll
+    rows_i = jnp.arange(R, dtype=jnp.int32)[:, None]  # [R, 1]
+    pk_t = pk.T  # [Lx, B]
+    new_chans = []
+    for k in range(n_segs):
+        d_last = seg_d_lo[:, k] + jnp.maximum(seg_width[:, k] - 1, 0) + j_off
+        t_new = rows_i + d_last[None, :]
+        ok_new = (
+            (seg_width[None, :, k] > 0)
+            & (t_new >= 0)
+            & (t_new < x_len[None, :])
+        )
+        rk = _cyclic_rows(_roll_rows_per_column(pk_t, d_last), R)
+        v4_k, ins_k = x_values(rk, x_hq[None, :])
+        for r in range(4):
+            new_chans.append(jnp.where(ok_new, v4_k[..., r], NEG_INF))
+        new_chans.append(jnp.where(ok_new, ins_k, 0.0))
+
+    # y-side per-row values at true rows j_off + 1 + r (strand fold baked
+    # into msy2/msyn2): per-pair row roll of the y arrays
+    def y_rows(a):
+        return _cyclic_rows(_roll_rows_per_column(a.T, j_off), R)  # [R, B]
+
+    ykm_r = y_rows(y_mk)
+    ytok_r = y_rows(y_tok)
+    yq_r = y_rows(y_q)
+    key_y = jnp.clip(ykm_r * Q + yq_r, 0, KmQ - 1)
     msy4 = jnp.where(
-        y_hq[:, None, None],
+        y_hq[None, :, None],
         jnp.take(tabs["msy2"], key_y, axis=0),
-        jnp.take(tabs["msyn2"], jnp.clip(y_mk, 0, Km - 1), axis=0),
-    )  # [B, Ly, 4]
+        jnp.take(tabs["msyn2"], jnp.clip(ykm_r, 0, Km - 1), axis=0),
+    )  # [R, B, 4]
     insy = jnp.where(
-        y_hq[:, None],
-        jnp.take(tabs["ins2"], jnp.clip(y_tok * Q + y_q, 0, 4 * Q - 1)),
-        jnp.take(tabs["insn2"], jnp.clip(y_tok, 0, 3)),
+        y_hq[None, :],
+        jnp.take(tabs["ins2"], jnp.clip(ytok_r * Q + yq_r, 0, 4 * Q - 1)),
+        jnp.take(tabs["insn2"], jnp.clip(ytok_r, 0, 3)),
     )
 
-    def padB_rows(a):  # [B, Ly] -> [Ly, Bp]
-        return jnp.pad(a.T.astype(jnp.float32), ((0, 0), (0, Bp - B)))
+    def padB_rows(a):  # [R, B] -> [R, Bp]
+        return jnp.pad(a.astype(jnp.float32), ((0, 0), (0, Bp - B)))
 
     channels = [padB_rows(msy4[..., r]) for r in range(4)]
     channels.append(padB_rows(insy))
-    for k in range(4):
-        channels.append(padB_rows(a_bands[k][:, W - 1 : W - 1 + Ly]))
-    channels.append(padB_rows(c_band[:, W - 1 : W - 1 + Ly]))
-    zeros = jnp.zeros((Ly, Bp), jnp.float32)
-    rows = jnp.stack(channels + [zeros] * (NUM_CH - len(channels)), axis=1)
+    channels.extend(padB_rows(c) for c in new_chans)
+    zeros_r = jnp.zeros((R, Bp), jnp.float32)
+    rows = jnp.stack(
+        channels + [zeros_r] * (NUM_CH - len(channels)), axis=1
+    )
 
     def padW(a, fill):
         return jnp.full((Bp, W), fill, jnp.float32).at[:B].set(
             a[:, :W].astype(jnp.float32)
         )
 
-    a0, a1, a2, a3 = (padW(a_bands[k], NEG_INF) for k in range(4))
-    c0 = padW(c_band, 0.0)
+    a0, a1, a2, a3 = (padW(a_init[k], NEG_INF) for k in range(4))
+    c0 = padW(c_init, 0.0)
     member_f = jnp.zeros((Bp, W), jnp.float32).at[:B, :W0].set(
         member.astype(jnp.float32)
     )
     meta = jnp.zeros((8, Bp), jnp.float32)
-    meta = meta.at[0, :B].set(d_lo.astype(jnp.float32))
     meta = meta.at[1, :B].set(x_len.astype(jnp.float32))
     meta = meta.at[2, :B].set(y_len.astype(jnp.float32))
-    return rows, member_f, a0, a1, a2, a3, c0, meta
+    meta = meta.at[3, :B].set(j_off.astype(jnp.float32))
+    return rows, member_f, a0, a1, a2, a3, c0, meta, doff_f, snew_f
+
+
+def packed_overlap_descriptors(envs, x_lens, y_lens, max_segs: int = MAX_SEGS):
+    """Lane-packed layout + live-row windows for a list of envelopes.
+
+    Returns (member [B, Wp], seg_d_lo, seg_start, seg_width [B, S],
+    j_off [B], max_rows): each envelope's strips (merged to <= max_segs)
+    laid side by side on the lane axis with their ±1 halos, and the row
+    window [j_off+1, j_off+rows] outside which the pair has no
+    in-envelope cells (member diagonal d covers rows 1-d .. x_len-d)."""
+    from ..envelope import pack_strips
+    from .pallas_v2 import D_SENTINEL
+
+    B = len(envs)
+    seg_d_lo = np.full((B, max_segs), D_SENTINEL, np.int32)
+    seg_start = np.zeros((B, max_segs), np.int32)
+    seg_width = np.zeros((B, max_segs), np.int32)
+    j_off = np.zeros(B, np.int32)
+    rows = np.zeros(B, np.int32)
+    masks = []
+    for b, env in enumerate(envs):
+        segs = pack_strips(env, max_segs)
+        lane = 0
+        parts = []
+        for k, s in enumerate(segs):
+            seg_d_lo[b, k] = s.band_lo
+            seg_start[b, k] = lane
+            seg_width[b, k] = s.band_width
+            lane += s.band_width
+            parts.append(s.member_mask())
+        masks.append(np.concatenate(parts))
+        d1 = int(segs[0].diagonals[0])
+        d2 = int(segs[-1].diagonals[-1])
+        j0 = max(1, 1 - d2)
+        j_off[b] = j0 - 1
+        rows[b] = max(min(int(y_lens[b]), int(x_lens[b]) - d1) - j0 + 1, 1)
+    Wp = max(len(m) for m in masks)
+    member = np.zeros((B, Wp), bool)
+    for b, m in enumerate(masks):
+        member[b, : len(m)] = m
+    return member, seg_d_lo, seg_start, seg_width, j_off, int(rows.max())
 
 
 def overlap_scores_kernel(tables, batch, interpret: bool = False,
                           n_rows: int = None):
     """Overlap end scores [B] for an overlap batch (OverlapBatch.device()
     dict, or a sequence-bank dict with x_row/y_row indices — then n_rows
-    gives the padded read length).  Requires gap order 0.  Returns
-    end + x/y insert scores, i.e. the same quantity as
-    dp.overlap.overlap_fill's 'score'."""
+    gives the padded row count).  Lane-packed batches additionally carry
+    seg_* descriptors and an optional per-pair "j_off" row offset (the
+    live rows of pair b are j_off[b]+1 .. j_off[b]+n_rows).  Requires
+    gap order 0.  Returns end + x/y insert scores, i.e. the same
+    quantity as dp.overlap.overlap_fill's 'score'."""
     if tables.indel_kmer_len != 0:
         raise ValueError("overlap kernel supports gap order 0 only")
     member = np.asarray(batch["member"])
@@ -354,10 +474,15 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
     )
     W = _round_up(max(W0, 128), 128)
     Bp = _round_up(B, 8)
+    n_segs = (
+        int(np.asarray(batch["seg_d_lo"]).shape[1])
+        if "seg_d_lo" in batch
+        else 1
+    )
 
-    rows, member_f, a0, a1, a2, a3, c0, meta = _ov_prepare_device(
+    rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew = _ov_prepare_device(
         _ov_tabs(tables), batch, W, Bp,
-        n_rows=Ly if "x_row" in batch else None,
+        n_rows=Ly if ("x_row" in batch or "j_off" in batch) else None,
     )
 
     trans = (
@@ -372,8 +497,9 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
         tables.d2d_eff,
     )
     out = _ov_fill(
-        rows, member_f, a0, a1, a2, a3, c0, meta,
-        width=W, b_pad=Bp, n_rows=Ly, trans=trans, interpret=interpret,
+        rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew,
+        width=W, b_pad=Bp, n_rows=Ly, trans=trans, n_segs=n_segs,
+        interpret=interpret,
     )
     end = jnp.max(out[:B], axis=1)
     end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)

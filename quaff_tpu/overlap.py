@@ -65,7 +65,9 @@ class OverlapBatch:
                  tables: OverlapScoreTables,
                  width: Optional[int] = None,
                  max_y_len: Optional[int] = None,
-                 max_x_len: Optional[int] = None):
+                 max_x_len: Optional[int] = None,
+                 row_off: Optional[List[int]] = None,
+                 n_rows: Optional[int] = None):
         st = ScoreTables.__new__(ScoreTables)  # only kmer lens used by build
         st.match_kmer_len = tables.match_kmer_len
         st.indel_kmer_len = tables.indel_kmer_len
@@ -98,6 +100,29 @@ class OverlapBatch:
             self.base.y_indel_kmer_pad[b, 1 : ly + 1] = y_ik
             self.y_insert_score[b] = _insert_score_sum(tables, y_tok, y_q)
             self.y_arrays.append((y_tok, y_mk, y_ik, y_q))
+        self.row_off = None
+        if row_off is not None:
+            # trim each pair's y-side arrays to its live row window
+            # [row_off+1, row_off+n_rows] (overlap_fill "j_off"); kmer
+            # contexts were computed on the full sequence, so slicing
+            # keeps them exact
+            R = n_rows
+            base = self.base
+            yt = np.zeros((B, R), base.y_tok.dtype)
+            ym = np.zeros((B, R), base.y_match_kmer.dtype)
+            yq_a = np.zeros((B, R), base.y_qual.dtype)
+            yik = np.zeros((B, R + 1), base.y_indel_kmer_pad.dtype)
+            for b in range(B):
+                o = int(row_off[b])
+                n = max(0, min(R, int(base.y_len[b]) - o))
+                yt[b, :n] = base.y_tok[b, o : o + n]
+                ym[b, :n] = base.y_match_kmer[b, o : o + n]
+                yq_a[b, :n] = base.y_qual[b, o : o + n]
+                yik[b, : n + 1] = base.y_indel_kmer_pad[b, o : o + n + 1]
+            base.y_tok, base.y_match_kmer = yt, ym
+            base.y_qual, base.y_indel_kmer_pad = yq_a, yik
+            base.max_y_len = R
+            self.row_off = np.asarray(row_off, np.int32)
 
     def device(self) -> dict:
         import jax.numpy as jnp
@@ -120,6 +145,8 @@ class OverlapBatch:
                 "y_insert_score": jnp.asarray(self.y_insert_score),
             }
         )
+        if self.row_off is not None:
+            d["j_off"] = jnp.asarray(self.row_off)
         return d
 
 
@@ -132,8 +159,13 @@ def overlap_traceback(
     ins: np.ndarray,
     dele: np.ndarray,
     result: float,
+    row_off: int = 0,
 ) -> Alignment:
-    """QuaffOverlapViterbiMatrix::alignment (qoverlap.cpp:162-290)."""
+    """QuaffOverlapViterbiMatrix::alignment (qoverlap.cpp:162-290).
+
+    row_off: matrices from a row-trimmed fill store true row j at array
+    row j - row_off (rows outside the window are outside the envelope,
+    hence -inf)."""
     x_len, y_len = len(x.seq), len(y.seq)
     x_tok = x.tokens()
     x_mk = x.kmers(tables.match_kmer_len)
@@ -150,7 +182,10 @@ def overlap_traceback(
         w = i - j - d_lo
         if w < 0 or w >= W:
             return NEG_INF
-        return float(arr[j, w])
+        r = j - row_off
+        if r < 0 or r >= arr.shape[0]:
+            return NEG_INF
+        return float(arr[r, w])
 
     def match_emit(i, j):
         xi, yj = x_mk[i - 1], y_mk[j - 1]
@@ -362,13 +397,14 @@ class QuaffOverlapAligner:
         tables: OverlapScoreTables,
         res: dict,
         b: int,
+        row_off: int = 0,
     ) -> Optional[Alignment]:
         score = float(res["score"][b])
         if not math.isfinite(score):
             return None
         from .logger import logger
 
-        if logger.logging_tag("dpmatrix"):
+        if logger.logging_tag("dpmatrix") and row_off == 0:
             from .dp.debug import write_dp_matrix
 
             write_dp_matrix(
@@ -376,7 +412,7 @@ class QuaffOverlapAligner:
             )
         a = overlap_traceback(
             x, y, env, tables, res["mat"][b], res["ins"][b], res["del"][b],
-            score,
+            score, row_off=row_off,
         )
         x_null = self.null_model.log_likelihood(x)
         y_null = self.null_model.log_likelihood(y.revcomp() if y_complemented else y)
@@ -409,8 +445,15 @@ class QuaffOverlapAligner:
         printer: AlignmentPrinter,
     ) -> None:
         printer.write_header(out, seqs, group_by_query=False)
+        from .logger import logger
+
         pair_list = list(self.enumerate_pairs(seqs, n_originals))
-        if self._use_fast_scores() and len(pair_list) > 1:
+        if (
+            self._use_fast_scores()
+            and len(pair_list) > 1
+            # full-envelope dpmatrix dumps need the sequential fills
+            and not logger.logging_tag("dpmatrix")
+        ):
             self._align_all_batched(out, seqs, pair_list, printer)
             return
         for nx, ny, y_comp in pair_list:
@@ -447,17 +490,27 @@ class QuaffOverlapAligner:
                 index_cache[ny] = KmerIndex(seqs[ny], self.config.kmer_len)
             return index_cache[ny]
 
+        from .dp.pallas_overlap import packed_overlap_descriptors
+
         jobs = []
+        packed: dict = {}
         for nx, ny, y_comp in pair_list:
             env = self.config.make_envelope(seqs[nx], y_index(ny), VITERBI_CELL_SIZE)
-            jobs.append((nx, ny, y_comp, env))
+            job = (nx, ny, y_comp, env)
+            jobs.append(job)
+            # lane-packed strips + live-row window: the kernel pays member
+            # lanes and live rows only, not the bounding band / full read
+            packed[(nx, ny)] = packed_overlap_descriptors(
+                [env], [len(seqs[nx].seq)], [len(seqs[ny].seq)]
+            )
         buckets: dict = {}
         for job in jobs:
             nx, ny, y_comp, env = job
+            member1, _, _, _, _, rows1 = packed[(nx, ny)]
             key = (
                 y_comp,
-                round_up(max(env.band_width, 128), 128),
-                round_up(len(seqs[ny].seq), 512),
+                round_up(max(member1.shape[1], 128), 128),
+                round_up(max(rows1, 1), 512),
             )
             buckets.setdefault(key, []).append(job)
 
@@ -515,11 +568,18 @@ class QuaffOverlapAligner:
                 chunk = js[i : i + max_batch]
                 B = len(chunk)
                 member = np.zeros((B, wp), bool)
-                d_lo = np.zeros(B, np.int32)
+                n_segs = packed[(chunk[0][0], chunk[0][1])][1].shape[1]
+                seg_d_lo = np.zeros((B, n_segs), np.int32)
+                seg_start = np.zeros((B, n_segs), np.int32)
+                seg_width = np.zeros((B, n_segs), np.int32)
+                j_off = np.zeros(B, np.int32)
                 for b, (nx, ny, yc, env) in enumerate(chunk):
-                    mask = env.member_mask()
-                    member[b, : len(mask)] = mask
-                    d_lo[b] = env.band_lo
+                    m1, sd, ss, sw, jo, _ = packed[(nx, ny)]
+                    member[b, : m1.shape[1]] = m1[0]
+                    seg_d_lo[b] = sd[0]
+                    seg_start[b] = ss[0]
+                    seg_width[b] = sw[0]
+                    j_off[b] = jo[0]
                 d = dict(bank)
                 d.update(
                     {
@@ -539,8 +599,11 @@ class QuaffOverlapAligner:
                             [len(seqs[ny].seq) for _, ny, _, _ in chunk],
                             jnp.int32,
                         ),
-                        "d_lo": jnp.asarray(d_lo),
                         "member": jnp.asarray(member),
+                        "seg_d_lo": jnp.asarray(seg_d_lo),
+                        "seg_start": jnp.asarray(seg_start),
+                        "seg_width": jnp.asarray(seg_width),
+                        "j_off": jnp.asarray(j_off),
                         "x_insert_score": jnp.asarray(
                             [
                                 insert_score(nx, False, yc)
@@ -604,13 +667,21 @@ class QuaffOverlapAligner:
         buckets: dict = {}
         for job in cands:
             nx, ny, y_comp, env = job
-            strips = pack_strips(env, max_segs)
-            wp = round_up(max(max(s.band_width for s in strips), 64), 64)
+            x_len, y_len = len(seqs[nx].seq), len(seqs[ny].seq)
+            strips = []
+            for s in pack_strips(env, max_segs):
+                # live row window of the strip: member diagonal d has
+                # cells at rows j with 1 <= d + j <= x_len
+                d1, d2 = int(s.diagonals[0]), int(s.diagonals[-1])
+                j0 = max(1, 1 - d2)
+                rows = max(min(y_len, x_len - d1) - j0 + 1, 1)
+                strips.append((s, j0 - 1, rows))
+            wp = round_up(max(max(s.band_width for s, _, _ in strips), 64), 64)
             key = (
                 y_comp,
                 wp,
-                round_up(len(seqs[ny].seq), 512),
-                round_up(len(seqs[nx].seq), 512),
+                round_up(max(r for _, _, r in strips), 512),
+                round_up(x_len, 512),
             )
             buckets.setdefault(key, []).append((job, strips))
         for (y_comp, wp, lyp, lxp), js in sorted(buckets.items()):
@@ -624,10 +695,14 @@ class QuaffOverlapAligner:
                 if not chunk:
                     return
                 entries = [
-                    (seqs[j[0]], seqs[j[1]], s) for j, ss in chunk for s in ss
+                    (seqs[j[0]], seqs[j[1]], s)
+                    for j, ss in chunk
+                    for s, _, _ in ss
                 ]
+                offs = [o for _, ss in chunk for _, o, _ in ss]
                 ob = OverlapBatch(
-                    entries, tables, width=wp, max_y_len=lyp, max_x_len=lxp
+                    entries, tables, width=wp, max_x_len=lxp,
+                    row_off=offs, n_rows=lyp,
                 )
                 res = self._exact_fill(ob, tables, tdev)
                 b = 0
@@ -637,9 +712,10 @@ class QuaffOverlapAligner:
                         sc = float(res["score"][b + k])
                         if sc > best_sc:
                             best_b, best_sc = b + k, sc
+                    s_env, s_off, _ = ss[best_b - b]
                     results[(nx, ny)] = self._finish_pair(
-                        seqs[nx], seqs[ny], yc, ss[best_b - b], tables, res,
-                        best_b,
+                        seqs[nx], seqs[ny], yc, s_env, tables, res,
+                        best_b, row_off=s_off,
                     )
                     b += len(ss)
                 chunk.clear()

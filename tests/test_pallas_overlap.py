@@ -66,6 +66,76 @@ def test_overlap_kernel_matches_xla(y_comp):
 
 
 @pytest.mark.parametrize("y_comp", [False, True])
+def test_overlap_kernel_packed_trimmed(y_comp):
+    """Lane-packed strips + live-row trimming must score identically to
+    the full bounding-band kernel batch (which itself matches XLA)."""
+    from quaff_tpu.dp.pallas_overlap import packed_overlap_descriptors
+    from quaff_tpu.dp.pallas_v2 import _round_up
+
+    rng = np.random.default_rng(23)
+    params = default_params()
+    tables = OverlapScoreTables.from_params(params, y_comp)
+
+    # overlaps on diagonals far from 0 -> multi-strip envelopes with a
+    # dead leading-row region
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1400))
+    pairs = []
+    for b in range(4):
+        xl = int(rng.integers(500, 700))
+        x0 = int(rng.integers(0, 200))
+        yl = int(rng.integers(300, 400))
+        y0 = int(rng.integers(600, 900))
+        xs = base[x0 : x0 + xl]
+        ys = list(base[y0 : y0 + yl])
+        for i in range(len(ys)):
+            if rng.random() < 0.08:
+                ys[i] = DNA_ALPHABET[int(rng.integers(0, 4))]
+        x = FastSeq(
+            name=f"x{b}", seq=xs,
+            qual="".join(chr(33 + int(q)) for q in rng.integers(3, 40, xl)),
+        )
+        # stored copy forward-matches x (production: x overlaps the
+        # original's minus strand, so its revcomp copy matches forward);
+        # y_comp only selects the strand-folded tables
+        y = FastSeq(
+            name=f"y{b}", seq="".join(ys),
+            qual="".join(chr(33 + int(q)) for q in rng.integers(3, 40, yl)),
+        )
+        env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=14)
+        pairs.append((x, y, env))
+    assert any(len(e.strips()) > 1 for *_, e in pairs)
+
+    batch = OverlapBatch(pairs, tables)
+    want = np.asarray(
+        overlap_scores_kernel(tables, batch.device(), interpret=True),
+        dtype=np.float64,
+    )
+
+    member, seg_d_lo, seg_start, seg_width, j_off, rows = (
+        packed_overlap_descriptors(
+            [e for *_, e in pairs],
+            [len(x.seq) for x, _, _ in pairs],
+            [len(y.seq) for _, y, _ in pairs],
+        )
+    )
+    assert member.shape[1] < max(e.band_width for *_, e in pairs)
+    d = dict(batch.device())
+    d["member"] = jnp.asarray(member)
+    d["seg_d_lo"] = jnp.asarray(seg_d_lo)
+    d["seg_start"] = jnp.asarray(seg_start)
+    d["seg_width"] = jnp.asarray(seg_width)
+    d["j_off"] = jnp.asarray(j_off)
+    got = np.asarray(
+        overlap_scores_kernel(
+            tables, d, interpret=True,
+            n_rows=_round_up(max(rows, 1), 256),
+        ),
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("y_comp", [False, True])
 def test_overlap_kernel_bank_path(y_comp):
     """The sequence-bank batch form (unique rows + per-pair indices) must
     score identically to the per-pair OverlapBatch form."""
