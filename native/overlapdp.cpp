@@ -1,0 +1,165 @@
+// Native exact banded overlap Viterbi fill.
+//
+// Host-side f64 engine for the overlap exact pass (the reference's
+// QuaffOverlapViterbiMatrix fill, src/qoverlap.cpp:122-160), matching the
+// semantics of the JAX engine in quaff_tpu/dp/overlap.py::overlap_fill:
+// 3-state (M/I/D) banded recursion with max path choice, log-sum-exp
+// merging of the degenerate insert/delete orderings inside the gap
+// states, both-ends-free start/end, and an optional live-row window
+// (j_off) for lane-packed envelope strips.
+//
+// The XLA engine evaluates the in-row delete recursion with an
+// associative scan (tree-order rounding); this fill evaluates it
+// sequentially, so cell values agree to ~1 ulp per log-sum-exp rather
+// than bitwise.  Scores print at 6 significant digits and the traceback
+// is argmax-based, so outputs are identical in practice; the golden
+// tests pin this.
+//
+// Exposed via the plain C ABI at the bottom (ctypes: quaff_tpu/native.py).
+// ctypes releases the GIL during calls, so Python-side thread pools give
+// one fill per core.
+
+#include <cmath>
+#include <cstdint>
+#include <limits>
+
+namespace {
+
+const double NEG_INF = -std::numeric_limits<double>::infinity();
+
+// jnp.logaddexp semantics: exact, -inf transparent
+static inline double lse2(double a, double b) {
+  if (a == NEG_INF) return b;
+  if (b == NEG_INF) return a;
+  double m = a > b ? a : b;
+  double d = a > b ? a - b : b - a;
+  return m + std::log1p(std::exp(-d));
+}
+
+static inline double max2(double a, double b) { return a > b ? a : b; }
+
+}  // namespace
+
+extern "C" {
+
+// Fill one banded overlap Viterbi matrix.
+//
+// Band: lane w of row j holds cell (i, j) with i = d_lo + j + w; only
+// lanes with member[w] != 0 are in the envelope.  Rows are local
+// 1..n_rows with true row jt = j_off + j (y-side arrays are pre-sliced
+// to the window: local index r reads the value at true position
+// j_off + r).  x arrays are full length.
+//
+// Outputs mat/ins/del are [n_rows+1, W] row-major with row 0 = -inf
+// (the traceback's zero row); *end_out gets the best end-cell score
+// (add the full-sequence insert scores host-side for the final score).
+void qdp_overlap_fill(
+    const int32_t* x_mk, const int32_t* x_ik_pad, const int32_t* x_q,
+    int64_t x_len, int32_t x_has_qual,
+    const int32_t* y_mk, const int32_t* y_ik_pad, const int32_t* y_q,
+    int64_t y_len, int32_t y_has_qual,
+    int64_t j_off, int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* pair_qq, const double* pair_xq, const double* pair_yq,
+    const double* pair_nn, int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d, int64_t Ki,
+    const double* trans6,
+    double* mat, double* ins, double* del_, double* end_out) {
+  // trans6[2] (i2d) only appears in the traceback, not the fill
+  const double i2m = trans6[0], i2i = trans6[1];
+  const double d2m = trans6[3], d2i = trans6[4], d2d = trans6[5];
+
+  for (int64_t w = 0; w < W; ++w)
+    mat[w] = ins[w] = del_[w] = NEG_INF;
+
+  double end = NEG_INF;
+  const int qq = x_has_qual && y_has_qual;
+  const int xq_only = x_has_qual && !y_has_qual;
+  const int yq_only = !x_has_qual && y_has_qual;
+
+  for (int64_t j = 1; j <= n_rows; ++j) {
+    const double* mat_p = mat + (j - 1) * W;
+    const double* ins_p = ins + (j - 1) * W;
+    const double* del_p = del_ + (j - 1) * W;
+    double* mat_c = mat + j * W;
+    double* ins_c = ins + j * W;
+    double* del_c = del_ + j * W;
+
+    const int64_t jt = j_off + j;
+    if (jt > y_len) {
+      for (int64_t w = 0; w < W; ++w)
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+      continue;
+    }
+    const int32_t ykm = y_mk[j - 1];
+    const int32_t yqv = y_has_qual ? y_q[j - 1] : 0;
+    const int32_t yik_j = y_ik_pad[j];
+    const int32_t yik_jm1 = y_ik_pad[j - 1];
+    // emission row slices for this y position
+    const double* eq_row =
+        qq ? pair_qq + ((int64_t)ykm * Q * Q + yqv) : nullptr;  // + xkm*Km*Q*Q + xq*Q
+    const double* ex_row = xq_only ? pair_xq + (int64_t)ykm * Q : nullptr;
+    const double* ey_row = yq_only ? pair_yq + ((int64_t)ykm * Q + yqv) : nullptr;
+    const double* en_row = (!x_has_qual && !y_has_qual) ? pair_nn + ykm : nullptr;
+
+    // lanes outside [w_min, w_max) have i-1 outside [0, x_len)
+    int64_t w_min = -(d_lo + jt - 1);
+    if (w_min < 0) w_min = 0;
+    int64_t w_max = x_len - (d_lo + jt - 1);
+    if (w_max > W) w_max = W;
+
+    double del_prev = NEG_INF;  // in-row carry
+    for (int64_t w = 0; w < W; ++w) {
+      if (w < w_min || w >= w_max || !member[w]) {
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+        del_prev = NEG_INF;
+        continue;
+      }
+      const int64_t idx = d_lo + jt - 1 + w;  // i-1
+      const int32_t xkm = x_mk[idx];
+      const int32_t xik_im1 = x_ik_pad[idx];
+      const int32_t xik_i = x_ik_pad[idx + 1];
+
+      double emit;
+      if (qq)
+        emit = eq_row[((int64_t)xkm * Km * Q + x_q[idx]) * Q];
+      else if (xq_only)
+        emit = ex_row[((int64_t)xkm * Km + 0) * Q + x_q[idx]];
+      else if (yq_only)
+        emit = ey_row[(int64_t)xkm * Km * Q];
+      else
+        emit = en_row[(int64_t)xkm * Km];
+
+      // mat: sources (i-1, j-1) on the same lane of the previous row
+      double m = max2(
+          max2(mat_p[w] + m2m[(int64_t)xik_im1 * Ki + yik_jm1],
+               del_p[w] + d2m),
+          ins_p[w] + i2m);
+      if (jt == 1 || idx == 0) m = max2(m, 0.0);  // both ends free
+      m += emit;
+      mat_c[w] = m;
+
+      // ins: sources on lane w+1 of the previous row; D->I merged via lse
+      double mp1 = (w + 1 < W) ? mat_p[w + 1] : NEG_INF;
+      double ip1 = (w + 1 < W) ? ins_p[w + 1] : NEG_INF;
+      double dp1 = (w + 1 < W) ? del_p[w + 1] : NEG_INF;
+      double ic = max2(lse2(ip1 + i2i, dp1 + d2i),
+                       mp1 + m2i[(int64_t)xik_i * Ki + yik_jm1]);
+      ins_c[w] = ic;
+
+      // del: in-row recursion over lanes w-1 -> w (I->D merged via lse)
+      double k = (w > 0 ? ins_c[w - 1] : NEG_INF) + d2i;
+      double b = (w > 0 ? mat_c[w - 1] : NEG_INF) +
+                 m2d[(int64_t)xik_im1 * Ki + yik_j];
+      double dc = max2(lse2(del_prev + d2d, k), b);
+      del_c[w] = dc;
+      del_prev = dc;
+
+      // end: free at either sequence's end
+      if (jt == y_len || idx == x_len - 1) end = max2(end, m);
+    }
+  }
+  *end_out = end;
+}
+
+}  // extern "C"

@@ -82,6 +82,22 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "qdp_overlap_fill"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        lib.qdp_overlap_fill.restype = None
+        lib.qdp_overlap_fill.argtypes = [
+            i32p, i32p, i32p, i64, ctypes.c_int32,  # x side
+            i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
+            i64, i64,  # j_off, n_rows
+            i64, i64, u8p,  # d_lo, W, member
+            f64p, f64p, f64p, f64p, i64, i64,  # pair tables, Km, Q
+            f64p, f64p, f64p, i64,  # m2m/m2i/m2d, Ki
+            f64p,  # trans6
+            f64p, f64p, f64p, f64p,  # mat, ins, del, end
+        ]
     _LIB = lib
     return lib
 
@@ -135,6 +151,104 @@ def tokenize_native(seq: str) -> Optional[np.ndarray]:
     if bad >= 0:
         raise ValueError(f"Unknown symbol {seq[bad]} in sequence")
     return out
+
+
+def overlap_fill_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "qdp_overlap_fill")
+
+
+def overlap_fill_native(batch, tables) -> Optional[dict]:
+    """Exact banded overlap fill for an OverlapBatch via the native
+    engine (native/overlapdp.cpp), one C call per pair on a thread pool
+    (ctypes releases the GIL).  Same contract as dp.overlap.overlap_fill
+    with return_matrices=True: {"score" [B], "end" [B],
+    "mat"/"ins"/"del" [B, R+1, W] float64}.  None if the library is not
+    built."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_overlap_fill"):
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+    import os
+
+    base = batch.base
+    B, W = base.member.shape
+    R = base.max_y_len
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    # table arrays cached per OverlapScoreTables instance
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "pair_qq": c64(tables.pair_qq),
+            "pair_xq": c64(tables.pair_xq),
+            "pair_yq": c64(tables.pair_yq),
+            "pair_nn": c64(tables.pair_nn),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "trans": np.array(
+                [tables.i2m_eff, tables.i2i_eff, tables.i2d_eff,
+                 tables.d2m_eff, tables.d2i_eff, tables.d2d_eff],
+                dtype=np.float64,
+            ),
+        }
+        tables._native_tabs = tabs
+    Km = tabs["pair_qq"].shape[0]
+    Q = tabs["pair_qq"].shape[2]
+    Ki = tabs["m2m"].shape[0]
+
+    x_mk = np.ascontiguousarray(batch.x_match_kmer, np.int32)
+    x_ik = np.ascontiguousarray(batch.x_indel_kmer_pad, np.int32)
+    x_q = np.ascontiguousarray(batch.x_qual, np.int32)
+    y_mk = np.ascontiguousarray(base.y_match_kmer, np.int32)
+    y_ik = np.ascontiguousarray(base.y_indel_kmer_pad, np.int32)
+    y_q = np.ascontiguousarray(base.y_qual, np.int32)
+    member = np.ascontiguousarray(base.member, np.uint8)
+    j_off = (
+        batch.row_off if batch.row_off is not None else np.zeros(B, np.int32)
+    )
+
+    mat = np.empty((B, R + 1, W), np.float64)
+    ins = np.empty((B, R + 1, W), np.float64)
+    dele = np.empty((B, R + 1, W), np.float64)
+    end = np.empty(B, np.float64)
+
+    def p32(a):
+        return a.ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    def run(b):
+        lib.qdp_overlap_fill(
+            p32(x_mk[b]), p32(x_ik[b]), p32(x_q[b]),
+            int(base.x_len[b]), int(batch.x_has_qual[b]),
+            p32(y_mk[b]), p32(y_ik[b]), p32(y_q[b]),
+            int(base.y_len[b]), int(base.y_has_qual[b]),
+            int(j_off[b]), R,
+            int(base.d_lo[b]), W, member[b].ctypes.data_as(u8p),
+            p64(tabs["pair_qq"]), p64(tabs["pair_xq"]),
+            p64(tabs["pair_yq"]), p64(tabs["pair_nn"]), Km, Q,
+            p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]), Ki,
+            p64(tabs["trans"]),
+            p64(mat[b]), p64(ins[b]), p64(dele[b]),
+            end[b:].ctypes.data_as(f64p),
+        )
+
+    if B == 1:
+        run(0)
+    else:
+        with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(run, range(B)))
+
+    score = end + batch.x_insert_score + batch.y_insert_score
+    return {"score": score, "end": end, "mat": mat, "ins": ins, "del": dele}
 
 
 def diag_kmer_counts_native(

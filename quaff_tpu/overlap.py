@@ -363,9 +363,17 @@ class QuaffOverlapAligner:
     def _exact_fill(self, batch: "OverlapBatch", tables, tdev) -> dict:
         """Run the exact banded fill for a (possibly padded) overlap batch
         and return host numpy arrays: score [B] and mat/ins/del
-        [B, Ly, W].  On accelerator backends the f64 parity fill runs on
+        [B, Ly, W].  The native C++ engine (native/overlapdp.cpp) is used
+        when built — one threaded f64 fill per pair, no XLA dispatch; on
+        accelerator backends the XLA fallback runs the f64 parity fill on
         the host CPU device (matrices never cross the device link)."""
         import jax
+
+        from .native import overlap_fill_native
+
+        res = overlap_fill_native(batch, tables)
+        if res is not None:
+            return res
 
         bdev = batch.device()
         if jax.default_backend() != "cpu":

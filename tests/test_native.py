@@ -60,3 +60,107 @@ def test_native_diag_counts(data_dir):
     d2, c2 = diagonal_kmer_counts(tok, KmerIndex(seq, 6), len(seq.seq), len(seq.seq))
     np.testing.assert_array_equal(d, d2)
     np.testing.assert_array_equal(c, c2)
+
+
+def test_native_overlap_fill_matches_xla():
+    """The C++ exact overlap fill (native/overlapdp.cpp) must agree with
+    the XLA f64 engine cell-by-cell (sequential vs associative-scan
+    rounding differs by ~1 ulp per lse, hence the tight tolerance rather
+    than bitwise equality)."""
+    from quaff_tpu.io.fastseq import FastSeq
+    from quaff_tpu.alphabet import DNA_ALPHABET
+    from quaff_tpu.envelope import sparse_envelope
+    from quaff_tpu.io.fastseq import KmerIndex
+    from quaff_tpu.model.params import default_params
+    from quaff_tpu.dp.overlap import (
+        OverlapScoreTables, overlap_device_tables, overlap_fill,
+    )
+    from quaff_tpu.overlap import OverlapBatch
+    from quaff_tpu.native import overlap_fill_native
+    from quaff_tpu.precision import x64_scope
+
+    rng = np.random.default_rng(7)
+    params = default_params()
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1200))
+    cases = []
+    for b in range(3):
+        xl = int(rng.integers(400, 600))
+        x0 = int(rng.integers(0, 150))
+        yl = int(rng.integers(250, 350))
+        y0 = int(rng.integers(400, 700))
+        xs = base[x0 : x0 + xl]
+        ys = list(base[y0 : y0 + yl])
+        for i in range(len(ys)):
+            if rng.random() < 0.1:
+                ys[i] = DNA_ALPHABET[int(rng.integers(0, 4))]
+        x = FastSeq(
+            name=f"x{b}", seq=xs,
+            qual="".join(chr(33 + int(q)) for q in rng.integers(3, 40, xl)),
+        )
+        # one no-qual case exercises the pair_yq emission table
+        y = FastSeq(
+            name=f"y{b}", seq="".join(ys),
+            qual="" if b == 2 else
+            "".join(chr(33 + int(q)) for q in rng.integers(3, 40, yl)),
+        )
+        env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=14)
+        cases.append((x, y, env))
+
+    for y_comp in (False, True):
+        tables = OverlapScoreTables.from_params(params, y_comp)
+        batch = OverlapBatch(cases, tables)
+        nat = overlap_fill_native(batch, tables)
+        assert nat is not None
+        with x64_scope():
+            tdev = overlap_device_tables(tables)
+            ref = overlap_fill(
+                tdev, batch.device(), return_matrices=True, dtype=np.float64
+            )
+        ref = {k: np.asarray(v) for k, v in ref.items()}
+        np.testing.assert_allclose(nat["score"], ref["score"], rtol=1e-12)
+        for k in ("mat", "ins", "del"):
+            a, b2 = nat[k], ref[k]
+            fin = np.isfinite(b2)
+            assert (np.isfinite(a) == fin).all()
+            np.testing.assert_allclose(
+                a[fin], b2[fin], rtol=1e-11, atol=1e-11
+            )
+
+
+def test_native_overlap_fill_trimmed_rows():
+    """Per-strip live-row trimming (row_off/n_rows), as used by the
+    exact pass, must not change native strip scores."""
+    from quaff_tpu.io.fastseq import FastSeq
+    from quaff_tpu.envelope import sparse_envelope, pack_strips
+    from quaff_tpu.io.fastseq import KmerIndex
+    from quaff_tpu.model.params import default_params
+    from quaff_tpu.dp.overlap import OverlapScoreTables
+    from quaff_tpu.overlap import OverlapBatch
+    from quaff_tpu.native import overlap_fill_native
+
+    rng = np.random.default_rng(11)
+    params = default_params()
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1600))
+    # x matches deep inside y -> overlap strip on strongly negative
+    # diagonals, whose live rows start far below y_len
+    x = FastSeq(name="x", seq=base[600:900],
+                qual="".join(chr(40) for _ in range(300)))
+    y = FastSeq(name="y", seq=base[:1000],
+                qual="".join(chr(40) for _ in range(1000)))
+    env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=14)
+    tables = OverlapScoreTables.from_params(params, False)
+
+    entries, offs, rows = [], [], []
+    for s in pack_strips(env, 4):
+        d1, d2 = int(s.diagonals[0]), int(s.diagonals[-1])
+        j0 = max(1, 1 - d2)
+        entries.append((x, y, s))
+        offs.append(j0 - 1)
+        rows.append(max(min(len(y.seq), len(x.seq) - d1) - j0 + 1, 1))
+    assert any(o > 0 for o in offs)
+    full = overlap_fill_native(OverlapBatch(entries, tables), tables)
+    trimmed = overlap_fill_native(
+        OverlapBatch(entries, tables, row_off=offs, n_rows=max(rows)),
+        tables,
+    )
+    np.testing.assert_allclose(trimmed["score"], full["score"], rtol=1e-12)
