@@ -162,4 +162,122 @@ void qdp_overlap_fill(
   *end_out = end;
 }
 
+// Fill one banded read-vs-ref DP matrix (the reference's QuaffDPMatrix
+// fill, src/qmodel.cpp:1343-1560; JAX equivalent:
+// quaff_tpu/dp/engine.py::dp_fill).  mode 0 = Viterbi (max combine),
+// mode 1 = Forward (log-sum-exp combine).  local selects
+// read-global/ref-local vs global start/end conditions.
+//
+// Outputs mat/ins/del are [n_rows+1, W] row-major with row 0 = -inf;
+// *end_out gets the end score.
+void qdp_align_fill(
+    const int32_t* x_tok, int64_t x_len,
+    const int32_t* y_tok, const int32_t* y_mk, const int32_t* y_ik_pad,
+    const int32_t* y_q, int64_t y_len, int32_t y_has_qual,
+    int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* match_score, const double* match_score_noq,
+    const double* insert_score, const double* insert_score_noq,
+    int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d,
+    const double* m2e,
+    double d2d, double d2m, double i2i, double i2m,
+    int32_t mode, int32_t local,
+    double* mat, double* ins, double* del_, double* end_out) {
+  const bool fwd = mode != 0;
+  auto comb = [fwd](double a, double b) {
+    return fwd ? lse2(a, b) : max2(a, b);
+  };
+
+  for (int64_t w = 0; w < W; ++w)
+    mat[w] = ins[w] = del_[w] = NEG_INF;
+
+  double end = NEG_INF;
+  for (int64_t j = 1; j <= n_rows; ++j) {
+    const double* mat_p = mat + (j - 1) * W;
+    const double* ins_p = ins + (j - 1) * W;
+    const double* del_p = del_ + (j - 1) * W;
+    double* mat_c = mat + j * W;
+    double* ins_c = ins + j * W;
+    double* del_c = del_ + j * W;
+
+    if (j > y_len) {
+      for (int64_t w = 0; w < W; ++w)
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+      continue;
+    }
+    const int32_t ik_prev = y_ik_pad[j - 1];
+    const int32_t ik_cur = y_ik_pad[j];
+    const double m2m_j = m2m[ik_prev];
+    const double m2i_j = m2i[ik_prev];
+    const double m2d_j = m2d[ik_cur];
+    const double m2e_j = m2e[ik_cur];
+
+    const int32_t ykm = y_mk[j - 1];
+    const int32_t yqv = y_has_qual ? y_q[j - 1] : 0;
+    const int32_t yt = y_tok[j - 1];
+    double mrow[4];
+    for (int r = 0; r < 4; ++r)
+      mrow[r] = y_has_qual
+                    ? match_score[((int64_t)r * Km + ykm) * Q + yqv]
+                    : match_score_noq[(int64_t)r * Km + ykm];
+    const double ins_emit = y_has_qual
+                                ? insert_score[(int64_t)yt * Q + yqv]
+                                : insert_score_noq[yt];
+
+    int64_t w_min = -(d_lo + j - 1);
+    if (w_min < 0) w_min = 0;
+    int64_t w_max = x_len - (d_lo + j - 1);
+    if (w_max > W) w_max = W;
+
+    double del_prev = NEG_INF;
+    // forward end row accumulates lse across lanes XLA-style
+    // (max + log sum exp(x - max)): gather contributions first
+    double row_end_max = NEG_INF, row_end_sum = 0.0;
+    for (int64_t w = 0; w < W; ++w) {
+      if (w < w_min || w >= w_max || !member[w]) {
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+        del_prev = NEG_INF;
+        continue;
+      }
+      const int64_t idx = d_lo + j - 1 + w;  // i-1
+
+      double m = comb(comb(mat_p[w] + m2m_j, del_p[w] + d2m),
+                      ins_p[w] + i2m);
+      if (j == 1 && (local || idx == 0)) m = comb(m, 0.0);
+      m += mrow[x_tok[idx]];
+      mat_c[w] = m;
+
+      double mp1 = (w + 1 < W) ? mat_p[w + 1] : NEG_INF;
+      double ip1 = (w + 1 < W) ? ins_p[w + 1] : NEG_INF;
+      ins_c[w] = ins_emit + comb(ip1 + i2i, mp1 + m2i_j);
+
+      double b = (w > 0 ? mat_c[w - 1] : NEG_INF) + m2d_j;
+      double dc = comb(del_prev + d2d, b);
+      del_c[w] = dc;
+      del_prev = dc;
+
+      if (j == y_len && (local || idx == x_len - 1)) {
+        double re = m + m2e_j;
+        if (fwd) {
+          if (re > row_end_max) {
+            if (row_end_max != NEG_INF)
+              row_end_sum = row_end_sum * std::exp(row_end_max - re) + 1.0;
+            else
+              row_end_sum = 1.0;
+            row_end_max = re;
+          } else if (re != NEG_INF) {
+            row_end_sum += std::exp(re - row_end_max);
+          }
+        } else {
+          end = max2(end, re);
+        }
+      }
+    }
+    if (fwd && j == y_len && row_end_max != NEG_INF)
+      end = lse2(end, row_end_max + std::log(row_end_sum));
+  }
+  *end_out = end;
+}
+
 }  // extern "C"

@@ -211,22 +211,29 @@ class QuaffAligner:
             wbatch = PairBatch.build(
                 [(refs[nx], y, envs[nx]) for nx in picks], self.tables
             )
-            with x64_scope(), jax.default_device(cpu):
-                wdev = {
-                    k: jax.device_put(v, cpu)
-                    for k, v in device_batch(wbatch).items()
-                }
-                # rebuild tables in f64 inside the scope: the cached device
-                # tables were materialised in 32-bit mode on the accelerator
-                wtab = device_tables(self.tables)
-                res = dp_fill(
-                    wtab,
-                    wdev,
-                    mode="viterbi",
-                    local=self.config.local,
-                    return_matrices=True,
-                    dtype=self.config.resolve_dtype(),
-                )
+            from .native import align_fill_native
+
+            res = align_fill_native(
+                wbatch, self.tables, mode="viterbi", local=self.config.local
+            )
+            if res is None:
+                with x64_scope(), jax.default_device(cpu):
+                    wdev = {
+                        k: jax.device_put(v, cpu)
+                        for k, v in device_batch(wbatch).items()
+                    }
+                    # rebuild tables in f64 inside the scope: the cached
+                    # device tables were materialised in 32-bit mode on the
+                    # accelerator
+                    wtab = device_tables(self.tables)
+                    res = dp_fill(
+                        wtab,
+                        wdev,
+                        mode="viterbi",
+                        local=self.config.local,
+                        return_matrices=True,
+                        dtype=self.config.resolve_dtype(),
+                    )
             scores_w = np.asarray(res["score"], dtype=np.float64)
             mats = np.asarray(res["mat"])
             inss = np.asarray(res["ins"])
@@ -400,40 +407,48 @@ class QuaffAligner:
         per_read = {}
         if not winners:
             return per_read
+        from .native import align_fill_native
         from .precision import x64_scope
 
         cpu = jax.devices("cpu")[0]
         null_cache = {}
-        with x64_scope(), jax.default_device(cpu):
-            wtab = device_tables(self.tables)
-            for i in range(0, len(winners), 32):
-                chunk = winners[i : i + 32]
-                wbatch = PairBatch.build(
-                    [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
-                    self.tables,
-                )
-                wdev = {
-                    k: jax.device_put(v, cpu)
-                    for k, v in device_batch(wbatch).items()
-                }
-                res = dp_fill(
-                    wtab, wdev, mode="viterbi", local=self.config.local,
-                    return_matrices=True, dtype=self.config.resolve_dtype(),
-                )
-                sw = np.asarray(res["score"], dtype=np.float64)
-                mats = np.asarray(res["mat"])
-                inss = np.asarray(res["ins"])
-                dels = np.asarray(res["del"])
-                for k, (ny, nx, env) in enumerate(chunk):
-                    a = viterbi_traceback(
-                        refs[nx], reads[ny], env, self.tables,
-                        mats[k], inss[k], dels[k], float(sw[k]),
-                        local=self.config.local,
+        wtab = None
+        for i in range(0, len(winners), 32):
+            chunk = winners[i : i + 32]
+            wbatch = PairBatch.build(
+                [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
+                self.tables,
+            )
+            res = align_fill_native(
+                wbatch, self.tables, mode="viterbi", local=self.config.local
+            )
+            if res is None:
+                with x64_scope(), jax.default_device(cpu):
+                    if wtab is None:
+                        wtab = device_tables(self.tables)
+                    wdev = {
+                        k: jax.device_put(v, cpu)
+                        for k, v in device_batch(wbatch).items()
+                    }
+                    res = dp_fill(
+                        wtab, wdev, mode="viterbi", local=self.config.local,
+                        return_matrices=True,
+                        dtype=self.config.resolve_dtype(),
                     )
-                    if ny not in null_cache:
-                        null_cache[ny] = self.null_model.log_likelihood(reads[ny])
-                    a.score -= null_cache[ny]
-                    per_read.setdefault(ny, []).append(a)
+            sw = np.asarray(res["score"], dtype=np.float64)
+            mats = np.asarray(res["mat"])
+            inss = np.asarray(res["ins"])
+            dels = np.asarray(res["del"])
+            for k, (ny, nx, env) in enumerate(chunk):
+                a = viterbi_traceback(
+                    refs[nx], reads[ny], env, self.tables,
+                    mats[k], inss[k], dels[k], float(sw[k]),
+                    local=self.config.local,
+                )
+                if ny not in null_cache:
+                    null_cache[ny] = self.null_model.log_likelihood(reads[ny])
+                a.score -= null_cache[ny]
+                per_read.setdefault(ny, []).append(a)
         for ny in per_read:
             per_read[ny].sort(key=lambda a: -a.score)
         return per_read

@@ -98,6 +98,24 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p,  # trans6
             f64p, f64p, f64p, f64p,  # mat, ins, del, end
         ]
+    if hasattr(lib, "qdp_align_fill"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        f64 = ctypes.c_double
+        lib.qdp_align_fill.restype = None
+        lib.qdp_align_fill.argtypes = [
+            i32p, i64,  # x_tok, x_len
+            i32p, i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
+            i64,  # n_rows
+            i64, i64, u8p,  # d_lo, W, member
+            f64p, f64p, f64p, f64p, i64, i64,  # emission tables, Km, Q
+            f64p, f64p, f64p, f64p,  # m2m/m2i/m2d/m2e
+            f64, f64, f64, f64,  # d2d, d2m, i2i, i2m
+            ctypes.c_int32, ctypes.c_int32,  # mode, local
+            f64p, f64p, f64p, f64p,  # mat, ins, del, end
+        ]
     _LIB = lib
     return lib
 
@@ -249,6 +267,89 @@ def overlap_fill_native(batch, tables) -> Optional[dict]:
 
     score = end + batch.x_insert_score + batch.y_insert_score
     return {"score": score, "end": end, "mat": mat, "ins": ins, "del": dele}
+
+
+def align_fill_native(batch, tables, mode: str = "viterbi",
+                      local: bool = True) -> Optional[dict]:
+    """Exact banded read-vs-ref fill for a PairBatch via the native
+    engine, one C call per pair on a thread pool.  Same contract as
+    dp.engine.dp_fill with return_matrices=True (host numpy).  None if
+    the library is not built."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_align_fill"):
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+    import os
+
+    B, W = batch.member.shape
+    R = batch.max_y_len
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "match_score": c64(tables.match_score),
+            "match_score_noq": c64(tables.match_score_noq),
+            "insert_score": c64(tables.insert_score),
+            "insert_score_noq": c64(tables.insert_score_noq),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "m2e": c64(tables.m2e),
+        }
+        tables._native_tabs = tabs
+    Km = tabs["match_score"].shape[1]
+    Q = tabs["match_score"].shape[2]
+
+    x_tok = np.ascontiguousarray(batch.x_tok, np.int32)
+    y_tok = np.ascontiguousarray(batch.y_tok, np.int32)
+    y_mk = np.ascontiguousarray(batch.y_match_kmer, np.int32)
+    y_ik = np.ascontiguousarray(batch.y_indel_kmer_pad, np.int32)
+    y_q = np.ascontiguousarray(batch.y_qual, np.int32)
+    member = np.ascontiguousarray(batch.member, np.uint8)
+
+    mat = np.empty((B, R + 1, W), np.float64)
+    ins = np.empty((B, R + 1, W), np.float64)
+    dele = np.empty((B, R + 1, W), np.float64)
+    end = np.empty(B, np.float64)
+
+    def p32(a):
+        return a.ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    def run(b):
+        lib.qdp_align_fill(
+            p32(x_tok[b]), int(batch.x_len[b]),
+            p32(y_tok[b]), p32(y_mk[b]), p32(y_ik[b]), p32(y_q[b]),
+            int(batch.y_len[b]), int(batch.y_has_qual[b]),
+            R,
+            int(batch.d_lo[b]), W, member[b].ctypes.data_as(u8p),
+            p64(tabs["match_score"]), p64(tabs["match_score_noq"]),
+            p64(tabs["insert_score"]), p64(tabs["insert_score_noq"]),
+            Km, Q,
+            p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]),
+            p64(tabs["m2e"]),
+            float(tables.d2d), float(tables.d2m),
+            float(tables.i2i), float(tables.i2m),
+            0 if mode == "viterbi" else 1, int(bool(local)),
+            p64(mat[b]), p64(ins[b]), p64(dele[b]),
+            end[b:].ctypes.data_as(f64p),
+        )
+
+    if B == 1:
+        run(0)
+    else:
+        with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(run, range(B)))
+
+    return {"score": end, "mat": mat, "ins": ins, "del": dele}
 
 
 def diag_kmer_counts_native(

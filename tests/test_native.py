@@ -164,3 +164,56 @@ def test_native_overlap_fill_trimmed_rows():
         tables,
     )
     np.testing.assert_allclose(trimmed["score"], full["score"], rtol=1e-12)
+
+
+@pytest.mark.parametrize("mode,local", [("viterbi", True), ("viterbi", False),
+                                        ("forward", True)])
+def test_native_align_fill_matches_xla(mode, local):
+    """The C++ read-vs-ref fill must agree with the XLA f64 engine."""
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.alphabet import DNA_ALPHABET
+    from quaff_tpu.envelope import sparse_envelope
+    from quaff_tpu.model.params import default_params
+    from quaff_tpu.dp.scores import ScoreTables
+    from quaff_tpu.dp.engine import (
+        PairBatch, device_batch, device_tables, dp_fill,
+    )
+    from quaff_tpu.native import align_fill_native
+    from quaff_tpu.precision import x64_scope
+
+    rng = np.random.default_rng(5)
+    params = default_params()
+    tables = ScoreTables.from_params(params)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1200))
+    pairs = []
+    for b in range(3):
+        x = FastSeq(name=f"x{b}", seq=base)
+        s0 = int(rng.integers(0, 500))
+        ln = int(rng.integers(300, 500))
+        ys = list(base[s0 : s0 + ln])
+        for i in range(len(ys)):
+            if rng.random() < 0.1:
+                ys[i] = DNA_ALPHABET[int(rng.integers(0, 4))]
+        y = FastSeq(
+            name=f"y{b}", seq="".join(ys),
+            qual="" if b == 2 else
+            "".join(chr(33 + int(q)) for q in rng.integers(3, 40, ln)),
+        )
+        env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=20)
+        pairs.append((x, y, env))
+
+    batch = PairBatch.build(pairs, tables)
+    nat = align_fill_native(batch, tables, mode=mode, local=local)
+    assert nat is not None
+    with x64_scope():
+        ref = dp_fill(
+            device_tables(tables), device_batch(batch), mode=mode,
+            local=local, return_matrices=True, dtype=np.float64,
+        )
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    np.testing.assert_allclose(nat["score"], ref["score"], rtol=1e-11)
+    for k in ("mat", "ins", "del"):
+        a, b2 = nat[k], ref[k]
+        fin = np.isfinite(b2)
+        assert (np.isfinite(a) == fin).all()
+        np.testing.assert_allclose(a[fin], b2[fin], rtol=1e-10, atol=1e-10)
