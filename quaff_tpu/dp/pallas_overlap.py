@@ -455,15 +455,38 @@ def packed_overlap_descriptors(envs, x_lens, y_lens, max_segs: int = MAX_SEGS):
     return member, seg_d_lo, seg_start, seg_width, j_off, int(rows.max())
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _ov_reduce_segments(n_segs, out, seg_start, seg_width, x_ins, y_ins):
+    """Per-pair end score + per-segment end maxima from the [B, W]
+    per-lane end accumulator.  Lane-packed strips are independent DP
+    subproblems whose lanes never mix (halo lanes block the in-row
+    recursion at seams), so the max over segment k's lane range is that
+    strip's end score."""
+    lane = jnp.arange(out.shape[1], dtype=jnp.int32)[None, None, :]
+    lo = seg_start.astype(jnp.int32)[:, :, None]
+    hi = lo + seg_width.astype(jnp.int32)[:, :, None]
+    in_seg = (lane >= lo) & (lane < hi)
+    segmax = jnp.max(
+        jnp.where(in_seg, out[:, None, :], NEG_INF), axis=2
+    )
+    segmax = jnp.where(segmax <= NEG_INF / 2, -jnp.inf, segmax)
+    end = jnp.max(out, axis=1)
+    end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)
+    return end + x_ins + y_ins, segmax
+
+
 def overlap_scores_kernel(tables, batch, interpret: bool = False,
-                          n_rows: int = None):
+                          n_rows: int = None, return_segments: bool = False):
     """Overlap end scores [B] for an overlap batch (OverlapBatch.device()
     dict, or a sequence-bank dict with x_row/y_row indices — then n_rows
     gives the padded row count).  Lane-packed batches additionally carry
     seg_* descriptors and an optional per-pair "j_off" row offset (the
     live rows of pair b are j_off[b]+1 .. j_off[b]+n_rows).  Requires
     gap order 0.  Returns end + x/y insert scores, i.e. the same
-    quantity as dp.overlap.overlap_fill's 'score'."""
+    quantity as dp.overlap.overlap_fill's 'score'.  With
+    return_segments=True (lane-packed batches only) also returns the
+    per-strip raw end maxima [B, S] — insert scores NOT added, so they
+    rank strips within a pair, matching pack_strips order."""
     if tables.indel_kmer_len != 0:
         raise ValueError("overlap kernel supports gap order 0 only")
     member = np.asarray(batch["member"])
@@ -501,6 +524,15 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
         width=W, b_pad=Bp, n_rows=Ly, trans=trans, n_segs=n_segs,
         interpret=interpret,
     )
+    if return_segments:
+        if "seg_d_lo" not in batch:
+            raise ValueError("return_segments needs a lane-packed batch")
+        return _ov_reduce_segments(
+            n_segs, out[:B],
+            jnp.asarray(batch["seg_start"]), jnp.asarray(batch["seg_width"]),
+            jnp.asarray(batch["x_insert_score"], jnp.float32),
+            jnp.asarray(batch["y_insert_score"], jnp.float32),
+        )
     end = jnp.max(out[:B], axis=1)
     end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)
     return end + jnp.asarray(batch["x_insert_score"], jnp.float32) + jnp.asarray(

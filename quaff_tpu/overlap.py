@@ -570,6 +570,7 @@ class QuaffOverlapAligner:
             return ins_cache[key]
 
         scored = {}
+        seg_scored = {}
         for (y_comp, wp, lp), js in sorted(buckets.items()):
             tables, _ = self._tables(y_comp)
             for i in range(0, len(js), max_batch):
@@ -626,12 +627,14 @@ class QuaffOverlapAligner:
                         ),
                     }
                 )
-                s = np.asarray(
-                    overlap_scores_kernel(tables, d, n_rows=lp),
-                    dtype=np.float64,
+                s_dev, seg_dev = overlap_scores_kernel(
+                    tables, d, n_rows=lp, return_segments=True
                 )
-                for (nx, ny, yc, env), sc in zip(chunk, s):
-                    scored[(nx, ny)] = float(sc)
+                s = np.asarray(s_dev, dtype=np.float64)
+                segs = np.asarray(seg_dev, dtype=np.float64)
+                for b, (nx, ny, yc, env) in enumerate(chunk):
+                    scored[(nx, ny)] = float(s[b])
+                    seg_scored[(nx, ny)] = segs[b]
 
         # exact pass for candidates above threshold (with slack for the
         # kernel's exact-lse vs truncated-table difference), batched per
@@ -648,14 +651,15 @@ class QuaffOverlapAligner:
             if adj < printer.log_odds_threshold - slack:
                 continue
             cands.append(job)
-        results = self._exact_pass(seqs, cands)
+        results = self._exact_pass(seqs, cands, seg_scores=seg_scored)
         for nx, ny, y_comp, env in cands:
             a = results[(nx, ny)]
             if a is not None:
                 printer.write_alignment(out, a)
 
-    def _exact_pass(self, seqs, cands, max_segs: int = 4,
-                    max_elems: int = 20_000_000) -> dict:
+    def _exact_pass(self, seqs, cands, max_segs: int = None,
+                    max_elems: int = 20_000_000, seg_scores: dict = None,
+                    seg_slack: float = 1.0) -> dict:
         """Batched f64 parity fills for the candidate pairs, one batch row
         per envelope STRIP rather than per bounding band: the always-
         included diagonal 0 (diagenv.cpp:53) routinely leaves the seed
@@ -665,8 +669,20 @@ class QuaffOverlapAligner:
         pair score is the max of its strip scores and the traceback runs
         inside the winning strip.  Candidates are bucketed by padded
         shape and chunked whole (all strips of a pair in one fill) so a
-        chunk's matrices can be dropped as soon as its pairs finish."""
+        chunk's matrices can be dropped as soon as its pairs finish.
+
+        When the kernel's per-strip end maxima are available (seg_scores,
+        pack_strips order — see overlap_scores_kernel return_segments),
+        only strips within seg_slack nats of the pair's best strip are
+        filled: the non-winning strips (typically the always-included
+        diagonal-0 strip, diagenv.cpp:53) never supply the traceback, so
+        their f64 matrices are pure waste."""
         from .envelope import pack_strips
+        from .dp.pallas_overlap import MAX_SEGS
+
+        if max_segs is None:
+            # must match the kernel's packing for seg_scores to line up
+            max_segs = MAX_SEGS
 
         def round_up(v, m):
             return ((v + m - 1) // m) * m
@@ -676,8 +692,21 @@ class QuaffOverlapAligner:
         for job in cands:
             nx, ny, y_comp, env = job
             x_len, y_len = len(seqs[nx].seq), len(seqs[ny].seq)
+            segs = pack_strips(env, max_segs)
+            keep = range(len(segs))
+            if seg_scores is not None and (nx, ny) in seg_scores:
+                sm = seg_scores[(nx, ny)]
+                best = max(
+                    (sm[k] for k in range(len(segs))), default=-math.inf
+                )
+                if math.isfinite(best):
+                    keep = [
+                        k for k in range(len(segs))
+                        if sm[k] >= best - seg_slack
+                    ]
             strips = []
-            for s in pack_strips(env, max_segs):
+            for k in keep:
+                s = segs[k]
                 # live row window of the strip: member diagonal d has
                 # cells at rows j with 1 <= d + j <= x_len
                 d1, d2 = int(s.diagonals[0]), int(s.diagonals[-1])

@@ -189,6 +189,22 @@ class QuaffCounter:
             return_post=want_post,
         )
         fwd = np.asarray(res["fwd_score"], dtype=np.float64)
+        back = np.asarray(res["back_score"], dtype=np.float64)
+        # fwd/back self-check (MAX_FRACTIONAL_FWDBACK_ERROR,
+        # qmodel.cpp:20,1496-1497: warn when |fwd-back| exceeds 1e-4
+        # of min(|fwd|,|back|))
+        for pos in range(len(sort_order)):
+            f, bk = fwd[pos], back[pos]
+            if (
+                math.isfinite(f)
+                and math.isfinite(bk)
+                and abs(f - bk) > 1e-4 * min(abs(f), abs(bk))
+            ):
+                logger.log(
+                    0,
+                    f"\n\nWarning: forward score ({f:g}) does not match "
+                    f"backward score ({bk:g})\n\n\n",
+                )
 
         # replicate the reference's running-loglike backward-skip logic
         xy_loglike = np.full(len(refs), -math.inf)

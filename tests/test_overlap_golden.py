@@ -117,6 +117,44 @@ def test_batched_exact_pass_matches_per_pair():
         assert a.score == b.score
         assert format_alignment(a) == format_alignment(b)
 
+    # seg-score strip filtering (kernel per-strip end maxima in
+    # production) must not change any output: build the per-strip scores
+    # from exact fills and re-run the pass with the filter active
+    from quaff_tpu.dp.overlap import overlap_device_tables, overlap_fill
+    from quaff_tpu.dp.pallas_overlap import MAX_SEGS
+    from quaff_tpu.envelope import pack_strips
+    from quaff_tpu.overlap import OverlapBatch
+    import jax.numpy as jnp
+
+    seg_scores = {}
+    for nx, ny, yc, env in jobs:
+        tables, tdev = aligner._tables(yc)
+        segs = pack_strips(env, MAX_SEGS)
+        sm = np.full(MAX_SEGS, -np.inf)
+        for k, s in enumerate(segs):
+            sm[k] = float(
+                np.asarray(
+                    overlap_fill(
+                        tdev,
+                        OverlapBatch([(reads[nx], reads[ny], s)], tables).device(),
+                        return_matrices=False, dtype=jnp.float64,
+                    )["end"]
+                )[0]
+            )
+        seg_scores[(nx, ny)] = sm
+    assert any(
+        np.sum(np.isfinite(sm) & (sm < np.max(sm) - 1.0)) > 0
+        for sm in seg_scores.values()
+    ), "need at least one prunable strip for the filter to bite"
+    results2 = aligner._exact_pass(reads, jobs, seg_scores=seg_scores)
+    for nx, ny, _, _ in jobs:
+        a, b = results[(nx, ny)], results2[(nx, ny)]
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        assert a.score == b.score
+        assert format_alignment(a) == format_alignment(b)
+
 
 def test_overlap_pair_enumeration():
     from quaff_tpu.io.fastseq import FastSeq

@@ -135,6 +135,93 @@ def test_overlap_kernel_packed_trimmed(y_comp):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
 
 
+def test_overlap_kernel_segment_scores():
+    """return_segments must expose each lane-packed strip's end maximum
+    (pack_strips order): strip k's segment max + the pair's insert
+    scores equals the exact f64 fill of that strip alone, and the
+    per-pair score is the max over strips."""
+    from quaff_tpu.dp.pallas_overlap import (
+        MAX_SEGS,
+        packed_overlap_descriptors,
+    )
+    from quaff_tpu.dp.pallas_v2 import _round_up
+    from quaff_tpu.envelope import pack_strips
+    from quaff_tpu.overlap import OverlapBatch
+
+    rng = np.random.default_rng(23)
+    params = default_params()
+    tables = OverlapScoreTables.from_params(params, False)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1400))
+    pairs = []
+    for b in range(4):
+        xl = int(rng.integers(500, 700))
+        x0 = int(rng.integers(0, 200))
+        yl = int(rng.integers(300, 400))
+        y0 = int(rng.integers(600, 900))
+        xs = base[x0 : x0 + xl]
+        ys = list(base[y0 : y0 + yl])
+        for i in range(len(ys)):
+            if rng.random() < 0.08:
+                ys[i] = DNA_ALPHABET[int(rng.integers(0, 4))]
+        x = FastSeq(
+            name=f"x{b}", seq=xs,
+            qual="".join(chr(33 + int(q)) for q in rng.integers(3, 40, xl)),
+        )
+        y = FastSeq(
+            name=f"y{b}", seq="".join(ys),
+            qual="".join(chr(33 + int(q)) for q in rng.integers(3, 40, yl)),
+        )
+        env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=14)
+        pairs.append((x, y, env))
+    assert any(len(pack_strips(e, MAX_SEGS)) > 1 for *_, e in pairs)
+
+    batch = OverlapBatch(pairs, tables)
+    member, seg_d_lo, seg_start, seg_width, j_off, rows = (
+        packed_overlap_descriptors(
+            [e for *_, e in pairs],
+            [len(x.seq) for x, _, _ in pairs],
+            [len(y.seq) for _, y, _ in pairs],
+        )
+    )
+    d = dict(batch.device())
+    d["member"] = jnp.asarray(member)
+    d["seg_d_lo"] = jnp.asarray(seg_d_lo)
+    d["seg_start"] = jnp.asarray(seg_start)
+    d["seg_width"] = jnp.asarray(seg_width)
+    d["j_off"] = jnp.asarray(j_off)
+    score_dev, seg_dev = overlap_scores_kernel(
+        tables, d, interpret=True,
+        n_rows=_round_up(max(rows, 1), 256), return_segments=True,
+    )
+    score = np.asarray(score_dev, np.float64)
+    segmax = np.asarray(seg_dev, np.float64)
+
+    tdev = overlap_device_tables(tables)
+    for b, (x, y, env) in enumerate(pairs):
+        segs = pack_strips(env, MAX_SEGS)
+        ins = float(batch.x_insert_score[b] + batch.y_insert_score[b])
+        for k, s in enumerate(segs):
+            ref = float(
+                np.asarray(
+                    overlap_fill(
+                        tdev, OverlapBatch([(x, y, s)], tables).device(),
+                        return_matrices=False, dtype=jnp.float64,
+                    )["end"]
+                )[0]
+            )
+            got = segmax[b, k]
+            if not np.isfinite(ref):
+                assert not np.isfinite(got)
+            else:
+                np.testing.assert_allclose(got, ref, rtol=1e-5, atol=0.05)
+        # unused segment slots report -inf
+        for k in range(len(segs), segmax.shape[1]):
+            assert not np.isfinite(segmax[b, k])
+        np.testing.assert_allclose(
+            score[b], np.max(segmax[b]) + ins, rtol=1e-6, atol=1e-4
+        )
+
+
 @pytest.mark.parametrize("y_comp", [False, True])
 def test_overlap_kernel_bank_path(y_comp):
     """The sequence-bank batch form (unique rows + per-pair indices) must
