@@ -199,7 +199,7 @@ int64_t qio_diag_kmer_counts(const int32_t* x_tok, int64_t x_len,
                              const int32_t* y_tok, int64_t y_len, int32_t k,
                              int64_t* out_diags, int64_t* out_counts) {
   if (x_len < k || y_len < k) return 0;
-  const int64_t nx = x_len - k + 1, ny = y_len - k + 1;
+  const int64_t ny = y_len - k + 1;
   // rolling codes over y -> hash code -> positions
   std::unordered_map<uint64_t, std::vector<int32_t>> index;
   index.reserve((size_t)ny * 2);

@@ -24,6 +24,15 @@ NEG_INF = -math.inf
 MATCH, INSERT, DELETE, START = 0, 1, 2, 3
 
 
+def _cols_to_str(cols: np.ndarray, seq: str, gap: str) -> str:
+    """Per-column characters from 0-based index columns (-1 = gap)."""
+    chars = np.frombuffer(seq.encode("latin-1"), np.uint8)
+    out = np.where(
+        cols >= 0, chars[np.clip(cols, 0, None)], np.uint8(ord(gap))
+    ).astype(np.uint8)
+    return out.tobytes().decode("latin-1")
+
+
 class _Cells:
     def __init__(self, arr: np.ndarray, env: Envelope):
         self.arr = arr
@@ -60,6 +69,34 @@ def viterbi_traceback(
     y_ik = np.concatenate([[0], y.kmers(tables.indel_kmer_len)])  # padded
     has_qual = y.has_qual()
     y_q = y.qual_scores() if has_qual else None
+
+    if not check:
+        from ..native import viterbi_traceback_cols
+
+        cols = viterbi_traceback_cols(
+            x_tok, x_len, y.tokens(), y_km, y_ik, y_q, y_len, has_qual,
+            tables, local, env.band_lo, mat, ins, dele,
+        )
+        if cols is not None:
+            col_x, col_y, x_start, x_end = cols
+            ref_row = FastSeq(name="Ref")
+            read_row = FastSeq(name="Read")
+            if local:
+                ref_row.comment = f"substr({x.name},{x_start}..{x_end})"
+            else:
+                ref_row.comment = x.name
+            read_row.comment = y.name
+            ref_row.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
+            read_row.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
+            if has_qual:
+                read_row.qual = _cols_to_str(col_y, y.qual, "~")
+            ref_row.source = SeqIntervalCoords(
+                x.name, x_start, x_end, False
+            ).compose(x.source)
+            read_row.source = SeqIntervalCoords(
+                y.name, 1, y_len, False
+            ).compose(y.source)
+            return Alignment(gapped_seq=[ref_row, read_row], score=result)
 
     m = _Cells(mat, env)
     i_ = _Cells(ins, env)

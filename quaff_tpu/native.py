@@ -98,6 +98,36 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p,  # trans6
             f64p, f64p, f64p, f64p,  # mat, ins, del, end
         ]
+    if hasattr(lib, "qdp_viterbi_traceback"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        f64 = ctypes.c_double
+        lib.qdp_viterbi_traceback.restype = i64
+        lib.qdp_viterbi_traceback.argtypes = [
+            i32p, i64,  # x_tok, x_len
+            i32p, i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
+            i64, i64, i64,  # n_rows, d_lo, W
+            f64p, f64p, f64p, f64p, i64, i64,  # emission tables, Km, Q
+            f64p, f64p, f64p, f64p,  # m2m/m2i/m2d/m2e
+            f64, f64, f64, f64,  # d2d, d2m, i2i, i2m
+            ctypes.c_int32,  # local
+            f64p, f64p, f64p,  # mat, ins, del
+            i32p, i32p, i64p,  # col_x, col_y, bounds
+        ]
+        lib.qdp_overlap_traceback.restype = i64
+        lib.qdp_overlap_traceback.argtypes = [
+            i32p, i32p, i32p, i64, ctypes.c_int32,  # x side
+            i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
+            i64, i64,  # row_off, n_rows
+            i64, i64,  # d_lo, W
+            f64p, f64p, f64p, f64p, i64, i64,  # pair tables, Km, Q
+            f64p, f64p, f64p, i64,  # m2m/m2i/m2d, Ki
+            f64p,  # trans6
+            f64p, f64p, f64p,  # mat, ins, del
+            i32p, i32p, i64p,  # col_x, col_y, bounds
+        ]
     if hasattr(lib, "qdp_align_fill"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -350,6 +380,154 @@ def align_fill_native(batch, tables, mode: str = "viterbi",
             list(ex.map(run, range(B)))
 
     return {"score": end, "mat": mat, "ins": ins, "del": dele}
+
+
+def viterbi_traceback_cols(
+    x_tok, x_len, y_tok, y_mk, y_ik_pad, y_q, y_len, y_has_qual,
+    tables, local, d_lo, mat, ins, dele,
+):
+    """Native read-vs-ref traceback path.  Returns (col_x, col_y,
+    x_start, x_end) with -1 = gap, or None if the library is missing.
+    Raises on a broken traceback (no finite source), matching the
+    Python walk."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_viterbi_traceback"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "match_score": c64(tables.match_score),
+            "match_score_noq": c64(tables.match_score_noq),
+            "insert_score": c64(tables.insert_score),
+            "insert_score_noq": c64(tables.insert_score_noq),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "m2e": c64(tables.m2e),
+        }
+        tables._native_tabs = tabs
+    Km = tabs["match_score"].shape[1]
+    Q = tabs["match_score"].shape[2]
+
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    mat = c64(mat)
+    ins = c64(ins)
+    dele = c64(dele)
+    n_rows, W = mat.shape[0] - 1, mat.shape[1]
+    cap = int(x_len) + int(y_len)
+    col_x = np.empty(cap, np.int32)
+    col_y = np.empty(cap, np.int32)
+    bounds = np.zeros(4, np.int64)
+    zq = np.zeros(max(int(y_len), 1), np.int32)
+    n = lib.qdp_viterbi_traceback(
+        p32(x_tok), int(x_len),
+        p32(y_tok), p32(y_mk), p32(y_ik_pad),
+        p32(y_q if y_q is not None else zq), int(y_len), int(y_has_qual),
+        n_rows, int(d_lo), W,
+        p64(tabs["match_score"]), p64(tabs["match_score_noq"]),
+        p64(tabs["insert_score"]), p64(tabs["insert_score_noq"]),
+        Km, Q,
+        p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]),
+        p64(tabs["m2e"]),
+        float(tables.d2d), float(tables.d2m),
+        float(tables.i2i), float(tables.i2m),
+        int(bool(local)),
+        p64(mat), p64(ins), p64(dele),
+        col_x.ctypes.data_as(i32p), col_y.ctypes.data_as(i32p),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        raise RuntimeError("Traceback error: no finite source")
+    return (
+        col_x[cap - n :], col_y[cap - n :],
+        int(bounds[0]), int(bounds[1]),
+    )
+
+
+def overlap_traceback_cols(
+    x_mk, x_ik_pad, x_q, x_len, x_has_qual,
+    y_mk, y_ik_pad, y_q, y_len, y_has_qual,
+    tables, row_off, d_lo, mat, ins, dele,
+):
+    """Native overlap traceback path.  Returns (col_x, col_y, x_start,
+    x_end, y_start, y_end), or None if the library is missing."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_overlap_traceback"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "pair_qq": c64(tables.pair_qq),
+            "pair_xq": c64(tables.pair_xq),
+            "pair_yq": c64(tables.pair_yq),
+            "pair_nn": c64(tables.pair_nn),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "trans": np.array(
+                [tables.i2m_eff, tables.i2i_eff, tables.i2d_eff,
+                 tables.d2m_eff, tables.d2i_eff, tables.d2d_eff],
+                dtype=np.float64,
+            ),
+        }
+        tables._native_tabs = tabs
+    Km = tabs["pair_qq"].shape[0]
+    Q = tabs["pair_qq"].shape[2]
+    Ki = tabs["m2m"].shape[0]
+
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    mat = c64(mat)
+    ins = c64(ins)
+    dele = c64(dele)
+    n_rows, W = mat.shape[0] - 1, mat.shape[1]
+    cap = int(x_len) + int(y_len)
+    col_x = np.empty(cap, np.int32)
+    col_y = np.empty(cap, np.int32)
+    bounds = np.zeros(4, np.int64)
+    zx = np.zeros(max(int(x_len), 1), np.int32)
+    zy = np.zeros(max(int(y_len), 1), np.int32)
+    n = lib.qdp_overlap_traceback(
+        p32(x_mk), p32(x_ik_pad),
+        p32(x_q if x_q is not None else zx), int(x_len), int(x_has_qual),
+        p32(y_mk), p32(y_ik_pad),
+        p32(y_q if y_q is not None else zy), int(y_len), int(y_has_qual),
+        int(row_off), n_rows, int(d_lo), W,
+        p64(tabs["pair_qq"]), p64(tabs["pair_xq"]),
+        p64(tabs["pair_yq"]), p64(tabs["pair_nn"]), Km, Q,
+        p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]), Ki,
+        p64(tabs["trans"]),
+        p64(mat), p64(ins), p64(dele),
+        col_x.ctypes.data_as(i32p), col_y.ctypes.data_as(i32p),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        raise RuntimeError("Overlap traceback error: no finite source")
+    return (
+        col_x[cap - n :], col_y[cap - n :],
+        int(bounds[0]), int(bounds[1]), int(bounds[2]), int(bounds[3]),
+    )
 
 
 def diag_kmer_counts_native(

@@ -176,6 +176,37 @@ def overlap_traceback(
 
     d_lo, W = env.band_lo, env.band_width
 
+    from .native import overlap_traceback_cols
+
+    cols = overlap_traceback_cols(
+        x_mk, x_ik, x_q, x_len, x_q is not None,
+        y_mk, y_ik, y_q, y_len, y_q is not None,
+        tables, row_off, d_lo, mat, ins, dele,
+    )
+    if cols is not None:
+        from .dp.traceback import _cols_to_str
+
+        col_x, col_y, x_start, x_end, y_start, y_end = cols
+        row_x = FastSeq(
+            name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
+        )
+        row_y = FastSeq(
+            name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
+        )
+        row_x.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
+        row_y.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
+        if x_q is not None:
+            row_x.qual = _cols_to_str(col_x, x.qual, "~")
+        if y_q is not None:
+            row_y.qual = _cols_to_str(col_y, y.qual, "~")
+        row_x.source = SeqIntervalCoords(
+            x.name, x_start, x_end, False
+        ).compose(x.source)
+        row_y.source = SeqIntervalCoords(
+            y.name, y_start, y_end, False
+        ).compose(y.source)
+        return Alignment(gapped_seq=[row_x, row_y], score=result)
+
     def cell(arr, i, j):
         if j < 0 or j > y_len or i < 0 or i > x_len:
             return NEG_INF

@@ -217,3 +217,107 @@ def test_native_align_fill_matches_xla(mode, local):
         fin = np.isfinite(b2)
         assert (np.isfinite(a) == fin).all()
         np.testing.assert_allclose(a[fin], b2[fin], rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("qual", [True, False])
+def test_native_viterbi_traceback_matches_python(qual, monkeypatch):
+    """The C traceback walk must reproduce the Python walk's alignment
+    byte-for-byte (same strict-greater candidate order and f64
+    association), over quality and no-quality reads."""
+    import io
+
+    from quaff_tpu.dp import traceback as tbmod
+    from quaff_tpu.dp.engine import PairBatch
+    from quaff_tpu.dp.scores import ScoreTables
+    from quaff_tpu.envelope import sparse_envelope
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.model.params import default_params
+    from quaff_tpu.native import align_fill_native
+
+    rng = np.random.default_rng(11)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1500))
+    tables = ScoreTables.from_params(default_params())
+    x = FastSeq(name="ref", seq=base)
+    ln = 900
+    seq = list(base[200 : 200 + ln])
+    for _ in range(int(ln * 0.07)):
+        p = int(rng.integers(0, ln))
+        seq[p] = "acgt"[int(rng.integers(0, 4))]
+    y = FastSeq(
+        name="read", seq="".join(seq),
+        qual="".join(chr(33 + int(v)) for v in rng.integers(3, 40, ln))
+        if qual else "",
+    )
+    env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=20)
+    res = align_fill_native(
+        PairBatch.build([(x, y, env)], tables), tables,
+        mode="viterbi", local=True,
+    )
+    assert res is not None
+    mat, ins, dele = res["mat"][0], res["ins"][0], res["del"][0]
+    sc = float(res["score"][0])
+
+    def fmt(a):
+        s = io.StringIO()
+        a.write_stockholm(s)
+        return s.getvalue()
+
+    got = fmt(tbmod.viterbi_traceback(x, y, env, tables, mat, ins, dele, sc))
+    monkeypatch.setattr(
+        native, "viterbi_traceback_cols", lambda *a, **k: None
+    )
+    want = fmt(tbmod.viterbi_traceback(x, y, env, tables, mat, ins, dele, sc))
+    assert got == want
+    assert "Ref" in got and "-" in got  # a real gapped alignment
+
+
+@pytest.mark.parametrize("xq,yq", [(True, True), (True, False),
+                                   (False, True), (False, False)])
+def test_native_overlap_traceback_matches_python(xq, yq, monkeypatch):
+    """Overlap traceback parity incl. the adjacent-ins/del squash and all
+    four quality-presence combinations."""
+    import io
+
+    from quaff_tpu import overlap as ovmod
+    from quaff_tpu.dp.overlap import OverlapScoreTables
+    from quaff_tpu.envelope import sparse_envelope
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.model.params import default_params
+    from quaff_tpu.native import overlap_fill_native
+    from quaff_tpu.overlap import OverlapBatch
+
+    rng = np.random.default_rng(17)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1500))
+
+    def mkread(s0, ln, q):
+        seq = list(base[s0 : s0 + ln])
+        for _ in range(int(ln * 0.07)):
+            p = int(rng.integers(0, ln))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        return FastSeq(
+            name=f"r{s0}", seq="".join(seq),
+            qual="".join(
+                chr(33 + int(v)) for v in rng.integers(3, 40, ln)
+            ) if q else "",
+        )
+
+    tables = OverlapScoreTables.from_params(default_params(), False)
+    x = mkread(100, 800, xq)
+    y = mkread(400, 700, yq)
+    env = sparse_envelope(x, KmerIndex(y, 6), band_size=64, kmer_threshold=14)
+    res = overlap_fill_native(OverlapBatch([(x, y, env)], tables), tables)
+    assert res is not None
+    mat, ins, dele = res["mat"][0], res["ins"][0], res["del"][0]
+    sc = float(res["score"][0])
+
+    def fmt(a):
+        s = io.StringIO()
+        a.write_stockholm(s)
+        return s.getvalue()
+
+    got = fmt(ovmod.overlap_traceback(x, y, env, tables, mat, ins, dele, sc))
+    monkeypatch.setattr(
+        native, "overlap_traceback_cols", lambda *a, **k: None
+    )
+    want = fmt(ovmod.overlap_traceback(x, y, env, tables, mat, ins, dele, sc))
+    assert got == want

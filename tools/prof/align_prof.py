@@ -1,3 +1,6 @@
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
 import io, time, sys
 import numpy as np
 from quaff_tpu.io.fastseq import read_fast_seqs, FastSeq

@@ -1,4 +1,7 @@
 """Measure overlap_fill CPU f64 cost vs batch size and padding."""
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
 import time, pathlib, sys
 import numpy as np
 import jax

@@ -1,4 +1,7 @@
 """Phase-timed profile of the all-vs-all overlap TPU pipeline."""
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
 import io, time, sys, pathlib
 import numpy as np
 
