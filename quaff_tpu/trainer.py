@@ -312,31 +312,75 @@ class QuaffCounter:
                     refs[nx], y_index, FWDBACK_CELL_SIZE
                 )
                 jobs.append((ny, nx, env))
-        buckets = {}
+        # Chunking strategy.  The kernel's cost is dominated by grid rows
+        # (one step per read row), so two dispatches at 2048 and 2560
+        # rows cost ~4600 row-steps where one merged 2560-row dispatch
+        # costs 2560: mixed read lengths are CHUNKED greedily (longest
+        # first) rather than bucketed per padded length.  A chunk stops
+        # accepting shorter reads once the padding rows it would add
+        # exceed one full extra scan (waste > lp).  A read's pairs all
+        # go in ONE chunk — the in-kernel posterior weights normalise
+        # over the read's refs present in the batch, so splitting a read
+        # across dispatches would mis-weight its counts.
+        per_read: dict = {}
         for job in jobs:
             ny, nx, env = job
             wp = round_up(
                 max(sum(s.band_width for s in pack_strips(env)), 128), 128
             )
-            lp = round_up(len(reads[ny].seq), 512)
-            buckets.setdefault((wp, lp), []).append(job)
+            ent = per_read.setdefault(ny, [0, []])
+            ent[0] = max(ent[0], wp)
+            ent[1].append(job)
+        groups: dict = {}
+        for ny, (wp, js) in per_read.items():
+            groups.setdefault(wp, []).append((ny, js))
 
         total = QuaffParamCounts.zero(mk, ik)
         xy_ll = {}
         n_done = 0
-        for (wp, lp), js in sorted(buckets.items()):
-            # bound the forward row streams (3 x [Ly, B, W] f32 in HBM)
-            max_b = max(8, min(256, int(3.5e9 // (12 * wp * lp))))
-            for i in range(0, len(js), max_b):
-                chunk = js[i : i + max_b]
+        for wp, rj in sorted(groups.items()):
+            rj.sort(key=lambda e: -len(reads[e[0]].seq))
+            i = 0
+            while i < len(rj):
+                lp = round_up(len(reads[rj[i][0]].seq), 512)
+                # bound the forward row streams (3 x [Ly, B, W] f32 in HBM)
+                max_b = max(8, min(256, int(3.5e9 // (12 * wp * lp))))
+                chunk = list(rj[i][1])
+                i += 1
+                waste = 0
+                while i < len(rj):
+                    ny_j, js_j = rj[i]
+                    lp_j = round_up(len(reads[ny_j].seq), 512)
+                    w_j = (lp - lp_j) * len(js_j)
+                    if len(chunk) + len(js_j) > max_b or waste + w_j > lp:
+                        break
+                    waste += w_j
+                    chunk.extend(js_j)
+                    i += 1
                 group_of, gid, null_g = {}, [], []
                 for ny, nx, env in chunk:
                     if ny not in group_of:
                         group_of[ny] = len(null_g)
                         null_g.append(null_lls[ny])
                     gid.append(group_of[ny])
+                # pad B to a power-of-two quantum so recompiles are
+                # bounded: pad pairs repeat the last entry but map to a
+                # sentinel read group whose huge "null" drives their
+                # posterior weight to exp(fwd - 1e30) = 0, so they add
+                # nothing to the count totals
+                B = len(chunk)
+                bq = 8
+                while bq < B:
+                    bq *= 2
+                pairs = [
+                    (refs[nx], reads[ny], env) for ny, nx, env in chunk
+                ]
+                if bq > B:
+                    pairs.extend([pairs[-1]] * (bq - B))
+                    gid.extend([len(null_g)] * (bq - B))
+                    null_g.append(1e30)
                 batch = PairBatch.build_packed(
-                    [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
+                    pairs,
                     self.tables,
                     width=wp,
                     max_y_len=lp,
@@ -346,7 +390,7 @@ class QuaffCounter:
                     np.asarray(gid, np.int32), np.asarray(null_g),
                     local=self.config.local,
                 )
-                fwd = np.asarray(fwd_dev, dtype=np.float64)
+                fwd = np.asarray(fwd_dev, dtype=np.float64)[:B]
                 qc = QuaffCounts(
                     match_kmer_len=mk,
                     indel_kmer_len=ik,

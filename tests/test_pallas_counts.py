@@ -169,3 +169,89 @@ def test_estep_fused_multi_reads():
         np.testing.assert_allclose(
             np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3, err_msg=name
         )
+
+
+def test_counts_kernel_batched_chunking_matches_exact():
+    """The TPU batched E-step driver (greedy whole-read chunking, mixed
+    read lengths, power-of-two batch padding with the zero-weight
+    sentinel group) must reproduce the exact per-read engine path's
+    totals, log-likelihood and ref orderings.  Runs the Pallas kernels
+    in interpreter mode so the full production driver is exercised on
+    CPU."""
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.dp import pallas_counts as pc
+    from quaff_tpu.io.fastseq import FastSeq
+    from quaff_tpu.model.params import QuaffNullParams
+    from quaff_tpu.trainer import QuaffCounter
+
+    rng = np.random.default_rng(31)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 2200))
+    refs = [
+        FastSeq(name="refA", seq=base[:1600]),
+        FastSeq(name="refB", seq=base[400:2200]),
+    ]
+    reads = []
+    for i, (s0, ln) in enumerate(
+        [(100, 600), (300, 1100), (700, 800), (900, 500)]
+    ):
+        seq = list(base[s0 : s0 + ln])
+        for _ in range(int(ln * 0.06)):
+            p = int(rng.integers(0, ln))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append(
+            FastSeq(
+                name=f"r{i}", seq="".join(seq),
+                qual="".join(
+                    chr(33 + int(q)) for q in rng.integers(3, 40, ln)
+                ),
+            )
+        )
+    null = QuaffNullParams.fit(reads)
+    params = default_params()
+    config = DPConfig()
+    sort_order = [list(range(len(refs))) for _ in reads]
+
+    exact = QuaffCounter(params, null, config, True)
+    want_counts, want_ll, want_so = exact.get_counts(refs, reads, sort_order)
+
+    orig = pc.estep_fused_multi
+    calls = []
+
+    def fused_interp(tables, v2tab, batch, gid, null_lls, local=True):
+        calls.append(int(np.asarray(batch["member"]).shape[0]))
+        return orig(tables, v2tab, batch, gid, null_lls,
+                    local=local, interpret=True)
+
+    kern = QuaffCounter(params, null, config, True)
+    kern._use_kernel = lambda y: True
+    pc.estep_fused_multi = fused_interp
+    try:
+        got_counts, got_ll, got_so = kern._get_counts_kernel_batched(
+            refs, reads, sort_order, type(
+                "P", (), {"log_progress": lambda *a, **k: None}
+            )()
+        )
+    finally:
+        pc.estep_fused_multi = orig
+
+    assert calls, "kernel path not exercised"
+    assert all(b in (8, 16, 32, 64, 128, 256) for b in calls), calls
+    assert got_so == want_so
+    np.testing.assert_allclose(got_ll, want_ll, rtol=1e-5)
+    import io
+
+    a, b = io.StringIO(), io.StringIO()
+    want_counts.write_json(a)
+    got_counts.write_json(b)
+    wt = np.array(
+        [float(x) for x in a.getvalue().replace(",", " ").split()
+         if x.replace(".", "").replace("-", "").replace("e", "")
+         .replace("+", "").isdigit()]
+    )
+    gt = np.array(
+        [float(x) for x in b.getvalue().replace(",", " ").split()
+         if x.replace(".", "").replace("-", "").replace("e", "")
+         .replace("+", "").isdigit()]
+    )
+    assert wt.shape == gt.shape
+    np.testing.assert_allclose(gt, wt, rtol=5e-3, atol=5e-3)
