@@ -543,15 +543,37 @@ class QuaffOverlapAligner:
                 [env], [len(seqs[nx].seq)], [len(seqs[ny].seq)]
             )
         buckets: dict = {}
+        # Greedy chunking per strand, longest live-row window first: the
+        # kernel's cost is dominated by grid rows, so merging pairs of
+        # mixed row counts into one dispatch at the max lp beats one
+        # dispatch per padded shape.  A chunk stops accepting shorter
+        # pairs once the padding rows added exceed one extra full scan.
+        by_strand: dict = {}
         for job in jobs:
             nx, ny, y_comp, env = job
             member1, _, _, _, _, rows1 = packed[(nx, ny)]
-            key = (
-                y_comp,
-                round_up(max(member1.shape[1], 128), 128),
-                round_up(max(rows1, 1), 512),
-            )
-            buckets.setdefault(key, []).append(job)
+            wp1 = round_up(max(member1.shape[1], 128), 128)
+            rp1 = round_up(max(rows1, 1), 512)
+            by_strand.setdefault(y_comp, []).append((rp1, wp1, job))
+        for y_comp, ents in by_strand.items():
+            ents.sort(key=lambda e: (-e[0], -e[1]))
+            i = 0
+            while i < len(ents):
+                lp = ents[i][0]
+                chunk = [ents[i]]
+                i += 1
+                waste = 0
+                while i < len(ents) and len(chunk) < max_batch:
+                    w_j = lp - ents[i][0]
+                    if waste + w_j > lp:
+                        break
+                    waste += w_j
+                    chunk.append(ents[i])
+                    i += 1
+                wp = max(e[1] for e in chunk)
+                buckets[(y_comp, wp, lp)] = buckets.get(
+                    (y_comp, wp, lp), []
+                ) + [e[2] for e in chunk]
 
         # sequence bank: each distinct (sequence, strand) transferred ONCE;
         # chunks carry only row indices + envelope masks (all-vs-all would
