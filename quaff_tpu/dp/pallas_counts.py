@@ -102,11 +102,17 @@ def _fwd_kernel(
     doff_ref, snew_ref,
     out_ref, mrow_ref, irow_ref, drow_ref,
     mat_ref, ins_ref, del_ref, win_ref,
-    *, width: int, local: bool, trans: Tuple[float, float, float, float],
+    *, width: int, local: bool,
     n_segs: int = MAX_SEGS,
 ):
     j0 = pl.program_id(0)
-    d2d, d2m, i2i, i2m = trans
+    # gap transitions ride meta rows 3-6 (set per call) rather than being
+    # baked into the compiled program: EM updates them every iteration,
+    # and a static tuple would force a recompile per E-step dispatch
+    d2d = meta_ref[3, :][:, None]
+    d2m = meta_ref[4, :][:, None]
+    i2i = meta_ref[5, :][:, None]
+    i2m = meta_ref[6, :][:, None]
     B = member_ref.shape[0]
     W = width
     lse = jnp.logaddexp
@@ -194,11 +200,15 @@ def _bwd_kernel(
     d_emis_ref, d_insv_ref, d_ik_ref, d_sc_ref,  # outputs (accumulated)
     bm_ref, bi_ref, bd_ref, win_ref, menext_ref, ienext_ref,
     *, width: int, n_rows: int, local: bool,
-    trans: Tuple[float, float, float, float], n_segs: int = MAX_SEGS,
+    n_segs: int = MAX_SEGS,
 ):
     g = pl.program_id(0)
     j = n_rows - g  # row index, Ly..1
-    d2d, d2m, i2i, i2m = trans
+    # dynamic gap transitions from meta rows 3-6 (see _fwd_kernel)
+    d2d = meta_ref[3, :][:, None]
+    d2m = meta_ref[4, :][:, None]
+    i2i = meta_ref[5, :][:, None]
+    i2m = meta_ref[6, :][:, None]
     B = member_ref.shape[0]
     W = width
     lse = jnp.logaddexp
@@ -455,14 +465,14 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "b_pad", "n_rows", "local", "trans", "interpret", "n_segs",
+        "width", "b_pad", "n_rows", "local", "interpret", "n_segs",
     ),
 )
 def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
-               width, b_pad, n_rows, local, trans, interpret=False,
+               width, b_pad, n_rows, local, interpret=False,
                n_segs=MAX_SEGS):
     kernel = functools.partial(
-        _fwd_kernel, width=width, local=local, trans=trans, n_segs=n_segs
+        _fwd_kernel, width=width, local=local, n_segs=n_segs
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -506,15 +516,15 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "b_pad", "n_rows", "local", "trans", "interpret", "n_segs",
+        "width", "b_pad", "n_rows", "local", "interpret", "n_segs",
     ),
 )
 def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
                 mrows, irows, drows,
-                width, b_pad, n_rows, local, trans, interpret=False,
+                width, b_pad, n_rows, local, interpret=False,
                 n_segs=MAX_SEGS):
     kernel = functools.partial(
-        _bwd_kernel, width=width, n_rows=n_rows, local=local, trans=trans,
+        _bwd_kernel, width=width, n_rows=n_rows, local=local,
         n_segs=n_segs,
     )
     resident = lambda shape: pl.BlockSpec(
@@ -579,10 +589,10 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("local", "Km", "Ki", "trans", "interpret")
+    jax.jit, static_argnames=("local", "Km", "Ki", "interpret")
 )
-def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll,
-                     local, Km, Ki, trans, interpret=False):
+def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
+                     local, Km, Ki, interpret=False):
     """One dispatch for a whole E-step batch: input prep, forward fill
     (stored rows), read-level posterior weights from the forward scores
     and each read's null log-likelihood, and the weighted backward-counts
@@ -602,13 +612,16 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll,
     keys, xs0, meta, member_f, doff, snew, sold = _prepare_device(
         {}, batch, W, Bp
     )
+    meta = meta.at[3:7, :].set(
+        jnp.broadcast_to(trans4.astype(jnp.float32)[:, None], (4, Bp))
+    )
     oldtoks, xsl = _prepare_bwd_extras(batch, W, Bp)
     for k in range(n_segs):
         keys = keys.at[:, K_OLDTOK0 + k, :].set(oldtoks[k])
 
     out, mrows, irows, drows = _fwd_store(
         keys, emis, insv, ik, member_f, xs0, meta, doff, snew,
-        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
+        width=W, b_pad=Bp, n_rows=Ly, local=local,
         interpret=interpret, n_segs=n_segs,
     )
     fwd = jax.nn.logsumexp(out[:B], axis=1)
@@ -634,7 +647,7 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll,
     d_emis, d_insv, d_ik, d_sc = _bwd_counts(
         keys, emis, insv, ik, member_f, xsl, meta, doff, sold, wrow,
         mrows, irows, drows,
-        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=trans,
+        width=W, b_pad=Bp, n_rows=Ly, local=local,
         interpret=interpret, n_segs=n_segs,
     )
     counts = {
@@ -684,7 +697,8 @@ def estep_fused_multi(tables, v2tab: V2Tables, batch: dict, gid, null_lls,
     return _estep_fused_jit(
         v2tab.emis, v2tab.insv, v2tab.ik, batch,
         jnp.asarray(gid, jnp.int32), nl,
-        local=local, Km=Km, Ki=Ki, trans=v2tab.trans, interpret=interpret,
+        jnp.asarray(v2tab.trans, jnp.float32),
+        local=local, Km=Km, Ki=Ki, interpret=interpret,
     )
 
 
@@ -706,6 +720,11 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
     keys, xs0, meta, member_f, doff, snew, sold = _prepare_device(
         {}, batch, W, Bp
     )
+    meta = meta.at[3:7, :].set(
+        jnp.broadcast_to(
+            jnp.asarray(v2tab.trans, jnp.float32)[:, None], (4, Bp)
+        )
+    )
     oldtoks, xsl = _prepare_bwd_extras(batch, W, Bp)
     for k in range(n_segs):
         keys = keys.at[:, K_OLDTOK0 + k, :].set(oldtoks[k])
@@ -713,7 +732,7 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
     out, mrows, irows, drows = _fwd_store(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
         doff, snew,
-        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
+        width=W, b_pad=Bp, n_rows=Ly, local=local,
         interpret=interpret, n_segs=n_segs,
     )
     fwd = jax.nn.logsumexp(out[:B], axis=1)
@@ -728,7 +747,7 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xsl, meta,
         doff, sold, wrow,
         mrows, irows, drows,
-        width=W, b_pad=Bp, n_rows=Ly, local=local, trans=v2tab.trans,
+        width=W, b_pad=Bp, n_rows=Ly, local=local,
         interpret=interpret, n_segs=n_segs,
     )
     Km = np.asarray(tables.match_score).shape[1]
