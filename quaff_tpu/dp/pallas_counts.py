@@ -31,7 +31,6 @@ to f32 accuracy, where counts_pair matches dp_forward_backward.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ kernel's exact-lse emission differs from the golden tables at ~1e-5).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +57,7 @@ def _ov_kernel(
     rows_ref,  # [1, NUM_CH, B] f32 streamed
     member_ref,  # [B, W]
     a0_ref, a1_ref, a2_ref, a3_ref, c0_ref,  # initial windows [B, W]
-    meta_ref,  # [8, B]: rows 1..3 = x_len, y_len, j_off
+    meta_ref,  # [16, B]: rows 1..3 = x_len, y_len, j_off; 4..12 = trans
     doff_ref,  # [B, W] f32: diagonal of each lane (segment-packed)
     snew_ref,  # [B, W] f32: segment id at segment-last lanes, else -1
     out_ref,  # [B, W] end accumulator
@@ -66,11 +65,20 @@ def _ov_kernel(
     wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref,
     *,
     width: int,
-    trans: Tuple[float, ...],
     n_segs: int = 1,
 ):
     j0 = pl.program_id(0)
-    (m2m_t, m2i_t, m2d_t, i2m_e, i2i_e, i2d_e, d2m_e, d2i_e, d2d_e) = trans
+    # transitions ride meta rows 4-12 as device data (not compiled-in
+    # constants), so per-job params do not recompile the kernel
+    m2m_t = meta_ref[4, :][:, None]
+    m2i_t = meta_ref[5, :][:, None]
+    m2d_t = meta_ref[6, :][:, None]
+    i2m_e = meta_ref[7, :][:, None]
+    i2i_e = meta_ref[8, :][:, None]
+    i2d_e = meta_ref[9, :][:, None]
+    d2m_e = meta_ref[10, :][:, None]
+    d2i_e = meta_ref[11, :][:, None]
+    d2d_e = meta_ref[12, :][:, None]
     B = member_ref.shape[0]
     W = width
     lse = jnp.logaddexp
@@ -164,13 +172,13 @@ def _ov_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "b_pad", "n_rows", "trans", "n_segs",
+    static_argnames=("width", "b_pad", "n_rows", "n_segs",
                      "interpret"),
 )
 def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta, doff, snew,
-             width, b_pad, n_rows, trans, n_segs=1, interpret=False):
+             width, b_pad, n_rows, n_segs=1, interpret=False):
     kernel = functools.partial(
-        _ov_kernel, width=width, trans=trans, n_segs=n_segs
+        _ov_kernel, width=width, n_segs=n_segs
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -232,7 +240,7 @@ def _ov_tabs(tables):
 
 @functools.partial(jax.jit, static_argnames=("width", "b_pad", "n_rows"))
 def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
-                       n_rows=None):
+                       n_rows=None, trans9=None):
     """Device-side overlap input prep from the already-transferred narrow
     int batch arrays: banded x-side views via per-pair variable rolls,
     emission/insert resolution via small-table gathers.  Replaces the
@@ -407,10 +415,16 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
     member_f = jnp.zeros((Bp, W), jnp.float32).at[:B, :W0].set(
         member.astype(jnp.float32)
     )
-    meta = jnp.zeros((8, Bp), jnp.float32)
+    meta = jnp.zeros((16, Bp), jnp.float32)
     meta = meta.at[1, :B].set(x_len.astype(jnp.float32))
     meta = meta.at[2, :B].set(y_len.astype(jnp.float32))
     meta = meta.at[3, :B].set(j_off.astype(jnp.float32))
+    if trans9 is not None:
+        meta = meta.at[4:13, :].set(
+            jnp.broadcast_to(
+                jnp.asarray(trans9, jnp.float32)[:, None], (9, Bp)
+            )
+        )
     return rows, member_f, a0, a1, a2, a3, c0, meta, doff_f, snew_f
 
 
@@ -503,25 +517,29 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
         else 1
     )
 
+    trans9 = jnp.asarray(
+        [
+            float(tables.m2m[0, 0]),
+            float(tables.m2i[0, 0]),
+            float(tables.m2d[0, 0]),
+            tables.i2m_eff,
+            tables.i2i_eff,
+            tables.i2d_eff,
+            tables.d2m_eff,
+            tables.d2i_eff,
+            tables.d2d_eff,
+        ],
+        jnp.float32,
+    )
     rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew = _ov_prepare_device(
         _ov_tabs(tables), batch, W, Bp,
         n_rows=Ly if ("x_row" in batch or "j_off" in batch) else None,
+        trans9=trans9,
     )
 
-    trans = (
-        float(tables.m2m[0, 0]),
-        float(tables.m2i[0, 0]),
-        float(tables.m2d[0, 0]),
-        tables.i2m_eff,
-        tables.i2i_eff,
-        tables.i2d_eff,
-        tables.d2m_eff,
-        tables.d2i_eff,
-        tables.d2d_eff,
-    )
     out = _ov_fill(
         rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew,
-        width=W, b_pad=Bp, n_rows=Ly, trans=trans, n_segs=n_segs,
+        width=W, b_pad=Bp, n_rows=Ly, n_segs=n_segs,
         interpret=interpret,
     )
     if return_segments:

@@ -21,7 +21,6 @@ State/dependency mapping is identical to v1 and dp/engine.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +81,6 @@ def _row_kernel(
     width: int,
     mode: str,
     local: bool,
-    trans: Tuple[float, float, float, float],
     rows_per_step: int = 1,
     n_segs: int = MAX_SEGS,
 ):
@@ -92,7 +90,7 @@ def _row_kernel(
             keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref,
             meta_ref, doff_ref, snew_ref, out_ref, mat_ref, ins_ref,
             del_ref, win_ref,
-            width=width, mode=mode, local=local, trans=trans,
+            width=width, mode=mode, local=local,
             g=g, r=_r, rows_per_step=rows_per_step, n_segs=n_segs,
         )
 
@@ -100,10 +98,16 @@ def _row_kernel(
 def _one_row(
     keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
     doff_ref, snew_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
-    *, width, mode, local, trans, g, r, rows_per_step, n_segs,
+    *, width, mode, local, g, r, rows_per_step, n_segs,
 ):
     j0 = g * rows_per_step + r
-    d2d, d2m, i2i, i2m = trans
+    # gap transitions ride meta rows 3-6 as device data (not compiled-in
+    # constants): params change per EM iteration / per server job, and a
+    # static tuple would recompile the kernel each time
+    d2d = meta_ref[3, :][:, None]
+    d2m = meta_ref[4, :][:, None]
+    i2i = meta_ref[5, :][:, None]
+    i2m = meta_ref[6, :][:, None]
     B = member_ref.shape[0]
     W = width
     combine = jnp.maximum if mode == "viterbi" else jnp.logaddexp
@@ -310,6 +314,10 @@ def prepare_inputs(tables, batch: dict) -> dict:
     meta = np.zeros((8, Bp), np.float32)
     meta[1, :B] = x_len
     meta[2, :B] = y_len
+    meta[3, :] = float(tables.d2d)
+    meta[4, :] = float(tables.d2m)
+    meta[5, :] = float(tables.i2i)
+    meta[6, :] = float(tables.i2m)
     member_f = np.zeros((Bp, W), np.float32)
     member_f[:B, :W0] = member.astype(np.float32)
 
@@ -346,14 +354,14 @@ def prepare_inputs(tables, batch: dict) -> dict:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "b_pad", "n_rows", "mode", "local", "trans", "interpret",
+        "width", "b_pad", "n_rows", "mode", "local", "interpret",
         "rows_per_step", "n_segs",
     ),
 )
 def fill_v2(
     keys, emis, insv, ik, member, xs0, meta, doff, snew,
     width, b_pad, n_rows, mode="viterbi", local=True,
-    trans=(0.0, 0.0, 0.0, 0.0), interpret=False, rows_per_step=1,
+    interpret=False, rows_per_step=1,
     n_segs=MAX_SEGS,
 ):
     R = rows_per_step
@@ -361,7 +369,7 @@ def fill_v2(
     if keys.shape[0] < n_steps * R:
         keys = jnp.pad(keys, ((0, n_steps * R - keys.shape[0]), (0, 0), (0, 0)))
     kernel = functools.partial(
-        _row_kernel, width=width, mode=mode, local=local, trans=trans,
+        _row_kernel, width=width, mode=mode, local=local,
         rows_per_step=R, n_segs=n_segs,
     )
     resident = lambda shape: pl.BlockSpec(
@@ -404,7 +412,7 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
         prep["keys"], prep["emis"], prep["insv"], prep["ik"], prep["member"],
         prep["xs0"], prep["meta"], prep["doff"], prep["snew"],
         width=prep["width"], b_pad=prep["b_pad"], n_rows=prep["n_rows"],
-        mode=mode, local=local, trans=prep["trans"], interpret=interpret,
+        mode=mode, local=local, interpret=interpret,
         n_segs=1,
     )
     B = prep["batch"]
@@ -656,7 +664,9 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
     """Jit-traceable device path: prep + kernel + end reduction, with no
     host round-trips — suitable for wrapping in an outer `jax.jit`
     (the driver's single-chip compile check uses this).  `v2tab` is any
-    object with .emis/.insv/.ik device arrays and a static .trans tuple.
+    object with .emis/.insv/.ik device arrays and a .trans 4-sequence
+    (d2d, d2m, i2i, i2m) — converted to a traced f32 array, so changing
+    params does NOT recompile.
 
     The production eager path (`scores_v2_device`) instead fetches the
     band row and reduces host-side — see the comment there for why.
@@ -670,11 +680,16 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
     keys, xs0, meta, member_f, doff, snew, _ = _prepare_device(
         {}, batch, W, Bp
     )
+    meta = meta.at[3:7, :].set(
+        jnp.broadcast_to(
+            jnp.asarray(v2tab.trans, jnp.float32)[:, None], (4, Bp)
+        )
+    )
     out = fill_v2(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
         doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
-        trans=v2tab.trans, rows_per_step=rows_per_step, interpret=interpret,
+        rows_per_step=rows_per_step, interpret=interpret,
         n_segs=n_segs,
     )
     o = out[:B]
@@ -689,12 +704,12 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "local", "trans", "rows_per_step")
+    jax.jit, static_argnames=("mode", "local", "rows_per_step")
 )
-def _scores_v2_jit(emis, insv, ik, batch, mode, local, trans, rows_per_step=1):
+def _scores_v2_jit(emis, insv, ik, batch, trans4, mode, local, rows_per_step=1):
     import types
 
-    tab = types.SimpleNamespace(emis=emis, insv=insv, ik=ik, trans=trans)
+    tab = types.SimpleNamespace(emis=emis, insv=insv, ik=ik, trans=trans4)
     return scores_v2_traceable(
         tab, batch, mode=mode, local=local, rows_per_step=rows_per_step
     )
@@ -712,7 +727,8 @@ def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
     s = np.asarray(
         _scores_v2_jit(
             v2tab.emis, v2tab.insv, v2tab.ik, batch,
-            mode=mode, local=local, trans=v2tab.trans,
+            jnp.asarray(v2tab.trans, jnp.float32),
+            mode=mode, local=local,
             rows_per_step=rows_per_step,
         )
     ).astype(np.float64)
