@@ -60,9 +60,13 @@ from .pallas_v2 import (
 _DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
-def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B):
+def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik=0):
     """Shared one-hot emission/transition resolution; returns
-    (emit4 [B,8], ins_emit [B,1], tr_prev [B,8], tr_cur [B,8])."""
+    (emit4 [B,8], ins_emit [B,1], tr_prev, tr_cur, oh_kq, oh_tq,
+    oh_prev, oh_cur).  tr_prev/tr_cur are [B,8] — except at n_ik == 1
+    (gap order 0, the default), where the single indel context makes the
+    lookup trivial: they come back [1,8] (broadcastable) and the one-hot
+    dots are skipped (oh_prev/oh_cur None)."""
     kq = keys_ref[0, K_KQ, :]
     tq = keys_ref[0, K_TQ, :]
     kmq = emis_ref.shape[0]
@@ -75,6 +79,9 @@ def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B):
         jax.lax.broadcasted_iota(jnp.int32, (B, tql), 1) == tq[:, None]
     ).astype(jnp.float32)
     ins_emit = jnp.dot(oh_tq, insv_ref[:], **_DOT)[:, 0][:, None]
+    if n_ik == 1:
+        # kernels read the transition scalars straight from ik_ref
+        return emit4, ins_emit, None, None, oh_kq, oh_tq, None, None
     ki = ik_ref.shape[0]
     ik_prev = keys_ref[0, K_IK_PREV, :]
     ik_cur = keys_ref[0, K_IK_CUR, :]
@@ -102,7 +109,7 @@ def _fwd_kernel(
     out_ref, mrow_ref, irow_ref, drow_ref,
     mat_ref, ins_ref, del_ref, win_ref,
     *, width: int, local: bool,
-    n_segs: int = MAX_SEGS,
+    n_segs: int = MAX_SEGS, n_ik: int = 0,
 ):
     j0 = pl.program_id(0)
     # gap transitions ride meta rows 3-6 (set per call) rather than being
@@ -137,12 +144,20 @@ def _fwd_kernel(
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
     emit4, ins_emit, tr_prev, tr_cur, *_ = _emission_lookup(
-        keys_ref, emis_ref, insv_ref, ik_ref, B
+        keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik
     )
-    m2m_j = tr_prev[:, 0][:, None]
-    m2i_j = tr_prev[:, 1][:, None]
-    m2d_j = tr_cur[:, 2][:, None]
-    m2e_j = tr_cur[:, 3][:, None]
+    if n_ik == 1:
+        # single indel context: plain scalar reads (a [1,1] slice would
+        # need a both-axes broadcast, which Mosaic does not implement)
+        m2m_j = ik_ref[0, 0]
+        m2i_j = ik_ref[0, 1]
+        m2d_j = ik_ref[0, 2]
+        m2e_j = ik_ref[0, 3]
+    else:
+        m2m_j = tr_prev[:, 0][:, None]
+        m2i_j = tr_prev[:, 1][:, None]
+        m2d_j = tr_cur[:, 2][:, None]
+        m2e_j = tr_cur[:, 3][:, None]
     emit = _select_emit(win_ref[:], emit4, B, W)
 
     mat_p = mat_ref[:]
@@ -199,7 +214,7 @@ def _bwd_kernel(
     d_emis_ref, d_insv_ref, d_ik_ref, d_sc_ref,  # outputs (accumulated)
     bm_ref, bi_ref, bd_ref, win_ref, menext_ref, ienext_ref,
     *, width: int, n_rows: int, local: bool,
-    n_segs: int = MAX_SEGS,
+    n_segs: int = MAX_SEGS, n_ik: int = 0,
 ):
     g = pl.program_id(0)
     j = n_rows - g  # row index, Ly..1
@@ -245,16 +260,23 @@ def _bwd_kernel(
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
     (emit4, ins_emit, tr_prev, tr_cur, oh_kq, oh_tq, oh_prev, oh_cur) = (
-        _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B)
+        _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik)
     )
     # back recursion uses row-j transitions (ik_cur context)
-    m2m_c = tr_cur[:, 0][:, None]
-    m2i_c = tr_cur[:, 1][:, None]
-    m2d_c = tr_cur[:, 2][:, None]
-    m2e_c = tr_cur[:, 3][:, None]
-    # count weights use the row's own (prev-context) transitions
-    m2m_p = tr_prev[:, 0][:, None]
-    m2i_p = tr_prev[:, 1][:, None]
+    if n_ik == 1:
+        m2m_c = ik_ref[0, 0]
+        m2i_c = ik_ref[0, 1]
+        m2d_c = ik_ref[0, 2]
+        m2e_c = ik_ref[0, 3]
+        m2m_p, m2i_p = m2m_c, m2i_c
+    else:
+        m2m_c = tr_cur[:, 0][:, None]
+        m2i_c = tr_cur[:, 1][:, None]
+        m2d_c = tr_cur[:, 2][:, None]
+        m2e_c = tr_cur[:, 3][:, None]
+        # count weights use the row's own (prev-context) transitions
+        m2m_p = tr_prev[:, 0][:, None]
+        m2i_p = tr_prev[:, 1][:, None]
 
     me_cur = _select_emit(win_ref[:], emit4, B, W)
     ie_cur = ins_emit
@@ -368,9 +390,15 @@ def _bwd_kernel(
     )
     prev_pack = jnp.pad(prev_pack, ((0, 0), (0, 4)))
     cur_pack = jnp.pad(cur_pack, ((0, 0), (0, 4)))
-    d_ik_ref[:] += jax.lax.dot_general(
-        oh_prev, prev_pack, (((0,), (0,)), ((), ())), **_DOT
-    ) + jax.lax.dot_general(oh_cur, cur_pack, (((0,), (0,)), ((), ())), **_DOT)
+    if n_ik == 1:
+        # single indel context: both one-hots are the all-ones first
+        # column, so the transposed dots collapse to a batch sum into
+        # table row 0
+        d_ik_ref[0, :] += jnp.sum(prev_pack + cur_pack, axis=0)
+    else:
+        d_ik_ref[:] += jax.lax.dot_general(
+            oh_prev, prev_pack, (((0,), (0,)), ((), ())), **_DOT
+        ) + jax.lax.dot_general(oh_cur, cur_pack, (((0,), (0,)), ((), ())), **_DOT)
 
     d_sc_ref[0, :] += jnp.sum(w_i2i, axis=1)
     d_sc_ref[1, :] += jnp.sum(w_i2m, axis=1)
@@ -464,14 +492,14 @@ def _prepare_bwd_extras(batch: dict, width: int, b_pad: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "b_pad", "n_rows", "local", "interpret", "n_segs",
+        "width", "b_pad", "n_rows", "local", "interpret", "n_segs", "n_ik",
     ),
 )
 def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
                width, b_pad, n_rows, local, interpret=False,
-               n_segs=MAX_SEGS):
+               n_segs=MAX_SEGS, n_ik=0):
     kernel = functools.partial(
-        _fwd_kernel, width=width, local=local, n_segs=n_segs
+        _fwd_kernel, width=width, local=local, n_segs=n_segs, n_ik=n_ik
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -515,16 +543,16 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "b_pad", "n_rows", "local", "interpret", "n_segs",
+        "width", "b_pad", "n_rows", "local", "interpret", "n_segs", "n_ik",
     ),
 )
 def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
                 mrows, irows, drows,
                 width, b_pad, n_rows, local, interpret=False,
-                n_segs=MAX_SEGS):
+                n_segs=MAX_SEGS, n_ik=0):
     kernel = functools.partial(
         _bwd_kernel, width=width, n_rows=n_rows, local=local,
-        n_segs=n_segs,
+        n_segs=n_segs, n_ik=n_ik,
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda g: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -621,7 +649,7 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
     out, mrows, irows, drows = _fwd_store(
         keys, emis, insv, ik, member_f, xs0, meta, doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, local=local,
-        interpret=interpret, n_segs=n_segs,
+        interpret=interpret, n_segs=n_segs, n_ik=Ki,
     )
     fwd = jax.nn.logsumexp(out[:B], axis=1)
     fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
@@ -647,7 +675,7 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
         keys, emis, insv, ik, member_f, xsl, meta, doff, sold, wrow,
         mrows, irows, drows,
         width=W, b_pad=Bp, n_rows=Ly, local=local,
-        interpret=interpret, n_segs=n_segs,
+        interpret=interpret, n_segs=n_segs, n_ik=Ki,
     )
     counts = {
         "match_counts": d_emis[: Km * Q, :4]
@@ -732,7 +760,7 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta,
         doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, local=local,
-        interpret=interpret, n_segs=n_segs,
+        interpret=interpret, n_segs=n_segs, n_ik=int(np.asarray(tables.m2m).shape[0]),
     )
     fwd = jax.nn.logsumexp(out[:B], axis=1)
     fwd = jnp.where(fwd <= NEG_INF / 2, -jnp.inf, fwd)
@@ -747,7 +775,7 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
         doff, sold, wrow,
         mrows, irows, drows,
         width=W, b_pad=Bp, n_rows=Ly, local=local,
-        interpret=interpret, n_segs=n_segs,
+        interpret=interpret, n_segs=n_segs, n_ik=int(np.asarray(tables.m2m).shape[0]),
     )
     Km = np.asarray(tables.match_score).shape[1]
     Ki = len(np.asarray(tables.m2m))

@@ -83,6 +83,7 @@ def _row_kernel(
     local: bool,
     rows_per_step: int = 1,
     n_segs: int = MAX_SEGS,
+    n_ik: int = 0,
 ):
     g = pl.program_id(0)
     for _r in range(rows_per_step):
@@ -92,13 +93,14 @@ def _row_kernel(
             del_ref, win_ref,
             width=width, mode=mode, local=local,
             g=g, r=_r, rows_per_step=rows_per_step, n_segs=n_segs,
+            n_ik=n_ik,
         )
 
 
 def _one_row(
     keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
     doff_ref, snew_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
-    *, width, mode, local, g, r, rows_per_step, n_segs,
+    *, width, mode, local, g, r, rows_per_step, n_segs, n_ik,
 ):
     j0 = g * rows_per_step + r
     # gap transitions ride meta rows 3-6 as device data (not compiled-in
@@ -160,23 +162,32 @@ def _one_row(
         precision=jax.lax.Precision.HIGHEST,
     )[:, 0][:, None]
 
-    ki = ik_ref.shape[0]
-    ik_prev = keys_ref[r, K_IK_PREV, :]
-    ik_cur = keys_ref[r, K_IK_CUR, :]
-    oh_prev = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_prev[:, None]
-    ).astype(jnp.float32)
-    oh_cur = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
-    ).astype(jnp.float32)
-    tr_prev = jnp.dot(oh_prev, ik_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    tr_cur = jnp.dot(oh_cur, ik_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    m2m_j = tr_prev[:, 0][:, None]
-    m2i_j = tr_prev[:, 1][:, None]
-    m2d_j = tr_cur[:, 2][:, None]
-    m2e_j = tr_cur[:, 3][:, None]
+    if n_ik == 1:
+        # gap order 0 (the default): one indel context, so the per-row
+        # transition "lookup" is just the table's first row — skips two
+        # MXU one-hot dots per row
+        m2m_j = ik_ref[0, 0]
+        m2i_j = ik_ref[0, 1]
+        m2d_j = ik_ref[0, 2]
+        m2e_j = ik_ref[0, 3]
+    else:
+        ki = ik_ref.shape[0]
+        ik_prev = keys_ref[r, K_IK_PREV, :]
+        ik_cur = keys_ref[r, K_IK_CUR, :]
+        oh_prev = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_prev[:, None]
+        ).astype(jnp.float32)
+        oh_cur = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
+        ).astype(jnp.float32)
+        tr_prev = jnp.dot(oh_prev, ik_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        tr_cur = jnp.dot(oh_cur, ik_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        m2m_j = tr_prev[:, 0][:, None]
+        m2i_j = tr_prev[:, 1][:, None]
+        m2d_j = tr_cur[:, 2][:, None]
+        m2e_j = tr_cur[:, 3][:, None]
 
     # emission select on the token window
     tok = win_ref[:]
@@ -342,6 +353,7 @@ def prepare_inputs(tables, batch: dict) -> dict:
         "batch": B,
         "b_pad": Bp,
         "n_rows": Ly,
+        "n_ik": int(np.asarray(tables.m2m).shape[0]),
         "trans": (
             float(tables.d2d),
             float(tables.d2m),
@@ -355,14 +367,14 @@ def prepare_inputs(tables, batch: dict) -> dict:
     jax.jit,
     static_argnames=(
         "width", "b_pad", "n_rows", "mode", "local", "interpret",
-        "rows_per_step", "n_segs",
+        "rows_per_step", "n_segs", "n_ik",
     ),
 )
 def fill_v2(
     keys, emis, insv, ik, member, xs0, meta, doff, snew,
     width, b_pad, n_rows, mode="viterbi", local=True,
     interpret=False, rows_per_step=1,
-    n_segs=MAX_SEGS,
+    n_segs=MAX_SEGS, n_ik=0,
 ):
     R = rows_per_step
     n_steps = -(-n_rows // R)
@@ -370,7 +382,7 @@ def fill_v2(
         keys = jnp.pad(keys, ((0, n_steps * R - keys.shape[0]), (0, 0), (0, 0)))
     kernel = functools.partial(
         _row_kernel, width=width, mode=mode, local=local,
-        rows_per_step=R, n_segs=n_segs,
+        rows_per_step=R, n_segs=n_segs, n_ik=n_ik,
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -413,7 +425,7 @@ def scores_v2(tables, batch: dict, mode: str = "viterbi", local: bool = True,
         prep["xs0"], prep["meta"], prep["doff"], prep["snew"],
         width=prep["width"], b_pad=prep["b_pad"], n_rows=prep["n_rows"],
         mode=mode, local=local, interpret=interpret,
-        n_segs=1,
+        n_segs=1, n_ik=prep["n_ik"],
     )
     B = prep["batch"]
     # end-reduction on the host: the band row is tiny, and eager device
@@ -644,6 +656,7 @@ class V2Tables:
             ],
             axis=1,
         )
+        self.n_ik = ik_tab.shape[0]
         ik_tab = np.pad(
             ik_tab, ((0, _round_up(ik_tab.shape[0], 8) - ik_tab.shape[0]), (0, 4))
         )
@@ -690,7 +703,7 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
         doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
         rows_per_step=rows_per_step, interpret=interpret,
-        n_segs=n_segs,
+        n_segs=n_segs, n_ik=int(getattr(v2tab, "n_ik", 0)),
     )
     o = out[:B]
     if mode == "viterbi":

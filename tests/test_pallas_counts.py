@@ -255,3 +255,44 @@ def test_counts_kernel_batched_chunking_matches_exact():
     )
     assert wt.shape == gt.shape
     np.testing.assert_allclose(gt, wt, rtol=5e-3, atol=5e-3)
+
+
+def test_estep_kernel_gap_order1_matches_engine():
+    """The n_ik > 1 path (per-row one-hot transition lookup + the
+    transposed d_ik accumulation dots) must match the engine at gap
+    order 1 — the default-order tests only exercise the single-context
+    fast path."""
+    from quaff_tpu.model.params import QuaffNullParams, QuaffParamCounts
+
+    rng = np.random.default_rng(19)
+    pairs = _pairs(rng, 4)
+    null = QuaffNullParams.fit([y for _, y, _ in pairs])
+    pc = QuaffParamCounts.zero(1, 1)  # match order 1, gap order 1
+    pc.init_counts(9, 9, 5, 1, null)
+    params = pc.fit()
+    assert params.indel_kmer_len == 1 and params.num_indel_kmers == 4
+    tables = ScoreTables.from_params(params)
+    # rebuild envelopes irrelevant (sequence-only); reuse pairs
+    bdev = device_batch(PairBatch.build(pairs, tables))
+    tdev = device_tables(tables)
+
+    ref = dp_forward_backward(
+        tdev, bdev, local=True, dtype=jnp.float64,
+        num_match_kmers=params.num_match_kmers,
+        num_indel_kmers=params.num_indel_kmers,
+    )
+    fwd_ref = np.asarray(ref["fwd_score"])
+    weights = np.array([1.0, 0.5, 2.0, 0.25])
+
+    v2tab = V2Tables(tables)
+    assert v2tab.n_ik == 4
+    fwd, counts = estep_kernel(
+        tables, v2tab, bdev, weights, fwd_ref, local=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(fwd), fwd_ref, rtol=1e-5, atol=1e-3)
+    for name in ("match_counts", "insert_counts", "m2m", "m2i", "m2d", "m2e"):
+        want = np.tensordot(weights, np.asarray(ref[name]), axes=(0, 0))
+        np.testing.assert_allclose(
+            np.asarray(counts[name]), want, rtol=3e-3, atol=5e-3,
+            err_msg=name,
+        )
