@@ -337,24 +337,72 @@ class QuaffAligner:
             def kernel_width(env):
                 return env.band_width
 
-        buckets = {}
+        # Greedy row-merged chunking (longest reads first) per
+        # quality-presence group: the kernel cost is dominated by grid
+        # rows, and every distinct (B, width, rows) shape is a fresh
+        # compile through the (slow, remote) TPU compiler — so chunks
+        # merge mixed lengths at the chunk-max padded shape (stopping
+        # when padding waste exceeds one extra full row scan), take the
+        # max packed width, and pad the batch size to a power-of-two
+        # quantum with repeated trailing pairs (their scores are
+        # discarded).
+        groups: dict = {}
         for job in jobs:
             ny, nx, env = job
-            key = (
-                round_up(max(kernel_width(env), 128), 128),
-                round_up(len(reads[ny].seq), 512),
-                reads[ny].has_qual(),
-            )
-            buckets.setdefault(key, []).append(job)
+            groups.setdefault(reads[ny].has_qual(), []).append(job)
+
+        def pow2ceil(n):
+            b = 8
+            while b < n:
+                b *= 2
+            return b
+
+        # v2 kernel scoped-VMEM budget: B_pad * W <= 256 * 512 cells
+        # (B=512 at W=512 overflows the 16 MB scoped limit)
+        V2_VMEM_CELLS = 256 * 512
+
+        chunks = []
+        for hq, js in sorted(groups.items()):
+            js.sort(key=lambda j: -len(reads[j[0]].seq))
+            i = 0
+            while i < len(js):
+                lp = round_up(len(reads[js[i][0]].seq), 512)
+                chunk = [js[i]]
+                wmax = round_up(max(kernel_width(js[i][2]), 128), 128)
+                i += 1
+                waste = 0
+                while i < len(js) and len(chunk) < max_batch:
+                    w_j = lp - round_up(len(reads[js[i][0]].seq), 512)
+                    wm = max(
+                        wmax,
+                        round_up(max(kernel_width(js[i][2]), 128), 128),
+                    )
+                    if (
+                        waste + w_j > lp
+                        or pow2ceil(len(chunk) + 1) * wm > V2_VMEM_CELLS
+                    ):
+                        break
+                    waste += w_j
+                    wmax = wm
+                    chunk.append(js[i])
+                    i += 1
+                chunks.append((hq, wmax, lp, chunk))
 
         scores = {}
         n_done = 0
-        for (wp, lp, hq), js in sorted(buckets.items()):
-            for i in range(0, len(js), max_batch):
-                chunk = js[i : i + max_batch]
+        for hq, wp, lp, chunk in chunks:
+                B = len(chunk)
+                bq = 8
+                while bq < B:
+                    bq *= 2
+                pairs = [
+                    (refs[nx], reads[ny], env) for ny, nx, env in chunk
+                ]
+                if bq > B:
+                    pairs.extend([pairs[-1]] * (bq - B))
                 build = PairBatch.build_packed if fast else PairBatch.build
                 batch = build(
-                    [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
+                    pairs,
                     self.tables,
                     width=wp,
                     max_y_len=lp,
@@ -407,48 +455,106 @@ class QuaffAligner:
         per_read = {}
         if not winners:
             return per_read
+        from .envelope import pack_strips
         from .native import align_fill_native
         from .precision import x64_scope
 
         cpu = jax.devices("cpu")[0]
         null_cache = {}
         wtab = None
-        for i in range(0, len(winners), 32):
-            chunk = winners[i : i + 32]
-            wbatch = PairBatch.build(
-                [(refs[nx], reads[ny], env) for ny, nx, env in chunk],
-                self.tables,
-            )
+
+        def fill(entries):
+            wbatch = PairBatch.build(entries, self.tables)
             res = align_fill_native(
                 wbatch, self.tables, mode="viterbi", local=self.config.local
             )
-            if res is None:
-                with x64_scope(), jax.default_device(cpu):
-                    if wtab is None:
-                        wtab = device_tables(self.tables)
-                    wdev = {
-                        k: jax.device_put(v, cpu)
-                        for k, v in device_batch(wbatch).items()
-                    }
-                    res = dp_fill(
-                        wtab, wdev, mode="viterbi", local=self.config.local,
-                        return_matrices=True,
-                        dtype=self.config.resolve_dtype(),
-                    )
-            sw = np.asarray(res["score"], dtype=np.float64)
-            mats = np.asarray(res["mat"])
-            inss = np.asarray(res["ins"])
-            dels = np.asarray(res["del"])
-            for k, (ny, nx, env) in enumerate(chunk):
+            if res is not None:
+                return res
+            nonlocal wtab
+            with x64_scope(), jax.default_device(cpu):
+                if wtab is None:
+                    wtab = device_tables(self.tables)
+                wdev = {
+                    k: jax.device_put(v, cpu)
+                    for k, v in device_batch(wbatch).items()
+                }
+                res = dp_fill(
+                    wtab, wdev, mode="viterbi", local=self.config.local,
+                    return_matrices=True,
+                    dtype=self.config.resolve_dtype(),
+                )
+            return {k: np.asarray(v) for k, v in res.items()}
+
+        # The winner fill runs per envelope STRIP, not per bounding band:
+        # a far-from-diagonal-0 seed cluster leaves the bounding band
+        # thousands of mostly-dead lanes wide, and the f64 matrices of a
+        # bounding-band chunk can run to gigabytes (strips are
+        # independent DP subproblems — paths cannot cross the non-member
+        # gap between diagonal clusters, so the pair score is the max of
+        # its strip scores and the traceback lives in the winning
+        # strip).  Chunks cap total f64 matrix elements, keeping every
+        # pair's strips together.
+        max_elems = 20_000_000
+        jobs2 = []  # (ny, nx, strips)
+        for ny, nx, env in winners:
+            jobs2.append((ny, nx, pack_strips(env, 3)))
+
+        def finish(chunk, res):
+            b = 0
+            for ny, nx, strips in chunk:
+                best_b = b
+                best_sc = float(res["score"][b])
+                for k in range(1, len(strips)):
+                    sc = float(res["score"][b + k])
+                    if sc > best_sc:
+                        best_b, best_sc = b + k, sc
                 a = viterbi_traceback(
-                    refs[nx], reads[ny], env, self.tables,
-                    mats[k], inss[k], dels[k], float(sw[k]),
+                    refs[nx], reads[ny], strips[best_b - b], self.tables,
+                    res["mat"][best_b], res["ins"][best_b],
+                    res["del"][best_b], best_sc,
                     local=self.config.local,
                 )
                 if ny not in null_cache:
-                    null_cache[ny] = self.null_model.log_likelihood(reads[ny])
+                    null_cache[ny] = self.null_model.log_likelihood(
+                        reads[ny]
+                    )
                 a.score -= null_cache[ny]
                 per_read.setdefault(ny, []).append(a)
+                b += len(strips)
+
+        # PairBatch.build pads every entry to the batch max (rows,
+        # width), so the cap tracks the PADDED footprint
+        chunk: list = []
+        n_strips = wmax = rmax = 0
+        for job in jobs2:
+            ny, nx, strips = job
+            w_j = max(s.band_width for s in strips)
+            r_j = len(reads[ny].seq) + 1
+            padded = (
+                (n_strips + len(strips))
+                * max(rmax, r_j)
+                * max(wmax, w_j)
+            )
+            if chunk and padded > max_elems:
+                entries = [
+                    (refs[jx], reads[jy], s)
+                    for jy, jx, ss in chunk
+                    for s in ss
+                ]
+                finish(chunk, fill(entries))
+                chunk = []
+                n_strips = wmax = rmax = 0
+            chunk.append(job)
+            n_strips += len(strips)
+            wmax = max(wmax, w_j)
+            rmax = max(rmax, r_j)
+        if chunk:
+            entries = [
+                (refs[jx], reads[jy], s)
+                for jy, jx, ss in chunk
+                for s in ss
+            ]
+            finish(chunk, fill(entries))
         for ny in per_read:
             per_read[ny].sort(key=lambda a: -a.score)
         return per_read

@@ -548,6 +548,17 @@ class QuaffOverlapAligner:
         # mixed row counts into one dispatch at the max lp beats one
         # dispatch per padded shape.  A chunk stops accepting shorter
         # pairs once the padding rows added exceed one extra full scan.
+        def pow2ceil(n):
+            b = 8
+            while b < n:
+                b *= 2
+            return b
+
+        # scoped-VMEM budget for the overlap kernel: ~18 [B, W] f32
+        # buffers + double-buffered streams; B_pad * W beyond ~100k
+        # cells overflows the 16 MB scoped limit (observed at 128x1152)
+        OV_VMEM_CELLS = 96 * 1024
+
         by_strand: dict = {}
         for job in jobs:
             nx, ny, y_comp, env = job
@@ -561,13 +572,19 @@ class QuaffOverlapAligner:
             while i < len(ents):
                 lp = ents[i][0]
                 chunk = [ents[i]]
+                wmax = ents[i][1]
                 i += 1
                 waste = 0
                 while i < len(ents) and len(chunk) < max_batch:
                     w_j = lp - ents[i][0]
-                    if waste + w_j > lp:
+                    wm = max(wmax, ents[i][1])
+                    if (
+                        waste + w_j > lp
+                        or pow2ceil(len(chunk) + 1) * wm > OV_VMEM_CELLS
+                    ):
                         break
                     waste += w_j
+                    wmax = wm
                     chunk.append(ents[i])
                     i += 1
                 wp = max(e[1] for e in chunk)
@@ -628,6 +645,13 @@ class QuaffOverlapAligner:
             tables, _ = self._tables(y_comp)
             for i in range(0, len(js), max_batch):
                 chunk = js[i : i + max_batch]
+                # pad B to a power-of-two quantum (repeat the last pair;
+                # its extra scores are discarded) so distinct chunk
+                # sizes don't each compile a fresh kernel shape
+                bq = 8
+                while bq < len(chunk):
+                    bq *= 2
+                chunk = chunk + [chunk[-1]] * (bq - len(chunk))
                 B = len(chunk)
                 member = np.zeros((B, wp), bool)
                 n_segs = packed[(chunk[0][0], chunk[0][1])][1].shape[1]

@@ -343,8 +343,17 @@ class QuaffCounter:
             i = 0
             while i < len(rj):
                 lp = round_up(len(reads[rj[i][0]].seq), 512)
-                # bound the forward row streams (3 x [Ly, B, W] f32 in HBM)
-                max_b = max(8, min(256, int(3.5e9 // (12 * wp * lp))))
+                # bound the forward row streams (3 x [Ly, B, W] f32 in
+                # HBM) AND the kernels' scoped VMEM (B_pad * W beyond
+                # ~100k cells overflows the 16 MB limit), rounded DOWN
+                # to a power of two so the padded batch honours both
+                max_b = min(
+                    256, int(3.5e9 // (12 * wp * lp)), 98304 // wp
+                )
+                b_cap = 8
+                while b_cap * 2 <= max_b:
+                    b_cap *= 2
+                max_b = b_cap
                 chunk = list(rj[i][1])
                 i += 1
                 waste = 0
