@@ -677,22 +677,18 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
         width=W, b_pad=Bp, n_rows=Ly, local=local,
         interpret=interpret, n_segs=n_segs, n_ik=Ki,
     )
-    counts = {
-        "match_counts": d_emis[: Km * Q, :4]
-        .reshape(Km, Q, 4)
-        .transpose(2, 0, 1),  # [4, Km, Q]
-        "insert_counts": d_insv[: 4 * Q, 0].reshape(4, Q),
-        "m2m": d_ik[:Ki, 0],
-        "m2i": d_ik[:Ki, 1],
-        "m2d": d_ik[:Ki, 2],
-        "m2e": d_ik[:Ki, 3],
-        "i2i": d_sc[0, :B],
-        "i2m": d_sc[1, :B],
-        "d2d": d_sc[2, :B],
-        "d2m": d_sc[3, :B],
-        "back_start_post": d_sc[4, :B],
-    }
-    return fwd, y_ll_g, counts
+    # pack EVERYTHING into one f32 vector: a remotely-attached device
+    # pays a round trip per fetched array, and the E-step's results are
+    # a dozen small arrays — one concatenated fetch instead of twelve
+    packed = jnp.concatenate([
+        fwd,
+        y_ll_g,
+        d_emis[: Km * Q, :4].reshape(Km, Q, 4).transpose(2, 0, 1).ravel(),
+        d_insv[: 4 * Q, 0].ravel(),
+        d_ik[:Ki, :4].T.ravel(),
+        d_sc[:5, :B].ravel(),
+    ])
+    return packed
 
 
 def estep_fused(tables, v2tab: V2Tables, batch: dict, null_ll: float,
@@ -718,15 +714,42 @@ def estep_fused_multi(tables, v2tab: V2Tables, batch: dict, gid, null_lls,
     (fwd [B], y_ll [G], counts summed over the whole batch)."""
     Km = np.asarray(tables.match_score).shape[1]
     Ki = len(np.asarray(tables.m2m))
+    Q = QUAL_SCORE_RANGE
     nl = jnp.asarray(
         np.where(np.isfinite(null_lls), null_lls, -np.inf), jnp.float32
     )
-    return _estep_fused_jit(
-        v2tab.emis, v2tab.insv, v2tab.ik, batch,
-        jnp.asarray(gid, jnp.int32), nl,
-        jnp.asarray(v2tab.trans, jnp.float32),
-        local=local, Km=Km, Ki=Ki, interpret=interpret,
+    packed = np.asarray(
+        _estep_fused_jit(
+            v2tab.emis, v2tab.insv, v2tab.ik, batch,
+            jnp.asarray(gid, jnp.int32), nl,
+            jnp.asarray(v2tab.trans, jnp.float32),
+            local=local, Km=Km, Ki=Ki, interpret=interpret,
+        ),
+        dtype=np.float64,
     )
+    B = int(np.asarray(batch["member"]).shape[0])
+    G = len(null_lls)
+    o = 0
+    fwd = packed[o : o + B]; o += B
+    y_ll = packed[o : o + G]; o += G
+    match = packed[o : o + 4 * Km * Q].reshape(4, Km, Q); o += 4 * Km * Q
+    insert = packed[o : o + 4 * Q].reshape(4, Q); o += 4 * Q
+    ik4 = packed[o : o + 4 * Ki].reshape(4, Ki); o += 4 * Ki
+    sc5 = packed[o : o + 5 * B].reshape(5, B); o += 5 * B
+    counts = {
+        "match_counts": match,
+        "insert_counts": insert,
+        "m2m": ik4[0],
+        "m2i": ik4[1],
+        "m2d": ik4[2],
+        "m2e": ik4[3],
+        "i2i": sc5[0],
+        "i2m": sc5[1],
+        "d2d": sc5[2],
+        "d2m": sc5[3],
+        "back_start_post": sc5[4],
+    }
+    return fwd, y_ll, counts
 
 
 def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
