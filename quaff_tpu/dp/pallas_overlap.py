@@ -486,7 +486,8 @@ def _ov_reduce_segments(n_segs, out, seg_start, seg_width, x_ins, y_ins):
     segmax = jnp.where(segmax <= NEG_INF / 2, -jnp.inf, segmax)
     end = jnp.max(out, axis=1)
     end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)
-    return end + x_ins + y_ins, segmax
+    # one fetch on tunnelled devices: scores then row-major segment maxima
+    return jnp.concatenate([end + x_ins + y_ins, segmax.ravel()])
 
 
 def overlap_scores_kernel(tables, batch, interpret: bool = False,
@@ -545,12 +546,17 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
     if return_segments:
         if "seg_d_lo" not in batch:
             raise ValueError("return_segments needs a lane-packed batch")
-        return _ov_reduce_segments(
-            n_segs, out[:B],
-            jnp.asarray(batch["seg_start"]), jnp.asarray(batch["seg_width"]),
-            jnp.asarray(batch["x_insert_score"], jnp.float32),
-            jnp.asarray(batch["y_insert_score"], jnp.float32),
+        packed = np.asarray(
+            _ov_reduce_segments(
+                n_segs, out[:B],
+                jnp.asarray(batch["seg_start"]),
+                jnp.asarray(batch["seg_width"]),
+                jnp.asarray(batch["x_insert_score"], jnp.float32),
+                jnp.asarray(batch["y_insert_score"], jnp.float32),
+            ),
+            dtype=np.float64,
         )
+        return packed[:B], packed[B:].reshape(B, n_segs)
     end = jnp.max(out[:B], axis=1)
     end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)
     return end + jnp.asarray(batch["x_insert_score"], jnp.float32) + jnp.asarray(
