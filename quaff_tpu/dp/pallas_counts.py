@@ -14,8 +14,9 @@ the TPU production E-step.  Two kernels:
    posterior (the read-level responsibility exp(fwd_b - y_loglike), which
    subsumes the reference's Δ=20 skip), and accumulating the results
    directly into small VMEM count tables:
-     d_emis [KmQ, 8]  (cols 0-3: match counts per ref symbol)
-     d_insv [TQ, 8]   (col 0: insert counts)
+     d_emis [Km, 4*QP] (split layout: block s holds symbol-s counts per
+                        (kmer, qual) — mirrors the emission tables)
+     d_insv [8, QP]    (rows 0-3: insert counts per (token, qual))
      d_ik   [Ki, 8]   (cols 0-3: m2m / m2i / m2d / m2e)
      d_sc   [8, B]    (rows 0-3: i2i / i2m / d2d / d2m, per pair;
                        row 4: back-score contribution at j=1)
@@ -49,39 +50,33 @@ from .pallas_v2 import (
     MAX_SEGS,
     NEG_INF,
     NUM_KEYS,
+    QP,
     V2Tables,
     _advance_window,
     _lane_tables,
     _prepare_device,
     _round_up,
     _segment_arrays,
+    _split_emission_lookup,
 )
 
 _DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
 def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik=0):
-    """Shared one-hot emission/transition resolution; returns
-    (emit4 [B,8], ins_emit [B,1], tr_prev, tr_cur, oh_kq, oh_tq,
-    oh_prev, oh_cur).  tr_prev/tr_cur are [B,8] — except at n_ik == 1
-    (gap order 0, the default), where the single indel context makes the
-    lookup trivial: they come back [1,8] (broadcastable) and the one-hot
-    dots are skipped (oh_prev/oh_cur None)."""
-    kq = keys_ref[0, K_KQ, :]
-    tq = keys_ref[0, K_TQ, :]
-    kmq = emis_ref.shape[0]
-    oh_kq = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, kmq), 1) == kq[:, None]
-    ).astype(jnp.float32)
-    emit4 = jnp.dot(oh_kq, emis_ref[:], **_DOT)
-    tql = insv_ref.shape[0]
-    oh_tq = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, tql), 1) == tq[:, None]
-    ).astype(jnp.float32)
-    ins_emit = jnp.dot(oh_tq, insv_ref[:], **_DOT)[:, 0][:, None]
+    """Shared emission/transition resolution via the split lookup
+    (pallas_v2._split_emission_lookup); returns
+    (emit_cols 4-tuple of [B,1], ins_emit [B,1], tr_prev, tr_cur,
+    oh_k [B,Km], oh_q [B,QP], oh_t [B,8], oh_prev, oh_cur).
+    tr_prev/tr_cur are [B,8] — except at n_ik == 1 (gap order 0, the
+    default), where the single indel context makes the lookup trivial:
+    the one-hot dots are skipped (oh_prev/oh_cur None)."""
+    emit_cols, ins_emit, oh_k, oh_q, oh_t = _split_emission_lookup(
+        keys_ref, emis_ref, insv_ref, 0, B
+    )
     if n_ik == 1:
         # kernels read the transition scalars straight from ik_ref
-        return emit4, ins_emit, None, None, oh_kq, oh_tq, None, None
+        return emit_cols, ins_emit, None, None, oh_k, oh_q, oh_t, None, None
     ki = ik_ref.shape[0]
     ik_prev = keys_ref[0, K_IK_PREV, :]
     ik_cur = keys_ref[0, K_IK_CUR, :]
@@ -93,13 +88,13 @@ def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik=0):
     ).astype(jnp.float32)
     tr_prev = jnp.dot(oh_prev, ik_ref[:], **_DOT)
     tr_cur = jnp.dot(oh_cur, ik_ref[:], **_DOT)
-    return emit4, ins_emit, tr_prev, tr_cur, oh_kq, oh_tq, oh_prev, oh_cur
+    return emit_cols, ins_emit, tr_prev, tr_cur, oh_k, oh_q, oh_t, oh_prev, oh_cur
 
 
-def _select_emit(win, emit4, B, W):
-    emit = jnp.where(win == 0.0, emit4[:, 0][:, None], NEG_INF)
+def _select_emit(win, emit_cols, B, W):
+    emit = jnp.where(win == 0.0, emit_cols[0], NEG_INF)
     for a in (1, 2, 3):
-        emit = jnp.where(win == float(a), emit4[:, a][:, None], emit)
+        emit = jnp.where(win == float(a), emit_cols[a], emit)
     return emit
 
 
@@ -143,7 +138,7 @@ def _fwd_kernel(
     idx = doff_ref[:] + (jf - 1.0)
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
-    emit4, ins_emit, tr_prev, tr_cur, *_ = _emission_lookup(
+    emit_cols, ins_emit, tr_prev, tr_cur, *_ = _emission_lookup(
         keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik
     )
     if n_ik == 1:
@@ -158,7 +153,7 @@ def _fwd_kernel(
         m2i_j = tr_prev[:, 1][:, None]
         m2d_j = tr_cur[:, 2][:, None]
         m2e_j = tr_cur[:, 3][:, None]
-    emit = _select_emit(win_ref[:], emit4, B, W)
+    emit = _select_emit(win_ref[:], emit_cols, B, W)
 
     mat_p = mat_ref[:]
     ins_p = ins_ref[:]
@@ -259,7 +254,8 @@ def _bwd_kernel(
     idx = doff_ref[:] + (jf - 1.0)
     valid = (member_ref[:] > 0.5) & (idx >= 0.0) & (idx < x_len) & (jf <= y_len)
 
-    (emit4, ins_emit, tr_prev, tr_cur, oh_kq, oh_tq, oh_prev, oh_cur) = (
+    (emit_cols, ins_emit, tr_prev, tr_cur, oh_k, oh_q, oh_t, oh_prev,
+     oh_cur) = (
         _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik)
     )
     # back recursion uses row-j transitions (ik_cur context)
@@ -278,7 +274,7 @@ def _bwd_kernel(
         m2m_p = tr_prev[:, 0][:, None]
         m2i_p = tr_prev[:, 1][:, None]
 
-    me_cur = _select_emit(win_ref[:], emit4, B, W)
+    me_cur = _select_emit(win_ref[:], emit_cols, B, W)
     ie_cur = ins_emit
 
     def shift_hi(v):
@@ -367,16 +363,25 @@ def _bwd_kernel(
     w_d2d = post(shift_lo(fd_cur) + d2d + bd_cur) * factor
     w_m2e = jnp.where(end_ok, post(fm_cur + m2e_c), 0.0) * factor
 
-    # per-symbol match-count reduction over the window
+    # per-symbol match-count reduction over the window, scattered into the
+    # split-layout table [Km, 4*QP] via (kmer one-hot)^T @ (count ⊗ qual
+    # one-hot) — the transposed form of the split emission lookup
     tok = win_ref[:]
-    mc4 = jnp.stack(
-        [jnp.sum(jnp.where(tok == float(a), mc, 0.0), axis=1) for a in range(4)],
+    mc_sq = jnp.concatenate(
+        [
+            jnp.sum(jnp.where(tok == float(a), mc, 0.0), axis=1)[:, None]
+            * oh_q
+            for a in range(4)
+        ],
         axis=1,
-    )  # [B, 4]
-    mc8 = jnp.pad(mc4, ((0, 0), (0, 4)))
-    d_emis_ref[:] += jax.lax.dot_general(oh_kq, mc8, (((0,), (0,)), ((), ())), **_DOT)
-    ic8 = jnp.pad(ic_row[:, None], ((0, 0), (0, 7)))
-    d_insv_ref[:] += jax.lax.dot_general(oh_tq, ic8, (((0,), (0,)), ((), ())), **_DOT)
+    )  # [B, 4*QP]
+    d_emis_ref[:] += jax.lax.dot_general(
+        oh_k, mc_sq, (((0,), (0,)), ((), ())), **_DOT
+    )
+    ic_q = ic_row[:, None] * oh_q  # [B, QP]
+    d_insv_ref[:] += jax.lax.dot_general(
+        oh_t, ic_q, (((0,), (0,)), ((), ())), **_DOT
+    )
 
     t_m2m = jnp.sum(w_m2m, axis=1)
     t_m2i = jnp.sum(w_m2i, axis=1)
@@ -683,8 +688,8 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
     packed = jnp.concatenate([
         fwd,
         y_ll_g,
-        d_emis[: Km * Q, :4].reshape(Km, Q, 4).transpose(2, 0, 1).ravel(),
-        d_insv[: 4 * Q, 0].ravel(),
+        d_emis[:Km].reshape(Km, 4, QP)[:, :, :Q].transpose(1, 0, 2).ravel(),
+        d_insv[:4, :Q].ravel(),
         d_ik[:Ki, :4].T.ravel(),
         d_sc[:5, :B].ravel(),
     ])
@@ -790,8 +795,9 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
 
     wrow = jnp.zeros((8, Bp), jnp.float32)
     wrow = wrow.at[0, :B].set(jnp.asarray(weights, jnp.float32))
+    f_norm32 = jnp.asarray(f_norm, jnp.float32)
     wrow = wrow.at[1, :B].set(
-        jnp.where(jnp.isfinite(jnp.asarray(f_norm)), jnp.asarray(f_norm), 0.0)
+        jnp.where(jnp.isfinite(f_norm32), f_norm32, 0.0)
     )
     d_emis, d_insv, d_ik, d_sc = _bwd_counts(
         keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xsl, meta,
@@ -803,10 +809,10 @@ def estep_kernel(tables, v2tab: V2Tables, batch: dict, weights,
     Km = np.asarray(tables.match_score).shape[1]
     Ki = len(np.asarray(tables.m2m))
     counts = {
-        "match_counts": d_emis[: Km * Q, :4]
-        .reshape(Km, Q, 4)
-        .transpose(2, 0, 1),  # [4, Km, Q]
-        "insert_counts": d_insv[: 4 * Q, 0].reshape(4, Q),
+        "match_counts": d_emis[:Km]
+        .reshape(Km, 4, QP)[:, :, :Q]
+        .transpose(1, 0, 2),  # [4, Km, Q]
+        "insert_counts": d_insv[:4, :Q],
         "m2m": d_ik[:Ki, 0],
         "m2i": d_ik[:Ki, 1],
         "m2d": d_ik[:Ki, 2],

@@ -5,10 +5,15 @@ v1 (pallas_kernel.py) streams precomputed per-row emission values, whose
 XLA gather-based assembly costs ~2x the kernel itself and minutes of
 compile time.  v2 eliminates that: the stream carries only small integer
 keys per row (read (kmer,qual) key, insert key, indel-context ids), and
-the kernel resolves emissions with a one-hot matmul against the
+the kernel resolves emissions with a SPLIT one-hot lookup against the
 VMEM-resident score tables — MXU work overlapping the VPU recursion:
 
-  emit4[b, a] = onehot(kq[b]) . match_table[:, a]     ([B,KmQ] @ [KmQ,4])
+  emit_kq[b, :] = onehot_km(kmer[b]) . table          ([B,Km] @ [Km,4*QP])
+  emit[b, a]    = sum_q emit_kq[b, a*QP+q] * onehot_q(qual[b])[q]
+
+(one [B,Km] MXU dot plus a VPU quality contraction, instead of one-hot
+encoding the combined kmer*Q+qual key into [B, Km*Q] — 1504 lanes at
+match order 1 — and paying a Km*Q-deep, 8-wide dot per row).
 
 The x-token window is a resident int array sliced one column per row; all
 validity masks (band membership aside) are computed in-kernel from
@@ -42,12 +47,96 @@ K_NEWTOK = 4  # x token entering segment 0's window this row (-1 = none)
 # channels 7..9: tokens entering each segment when sweeping BACKWARD
 # (used by the counts kernels)
 K_OLDTOK0 = 7
+K_QUAL = 10  # y quality value alone (0 when the read has no qualities)
 MAX_SEGS = 3  # lane-packed strips per pair (more get merged)
 NUM_KEYS = 12
+
+# lane-padded quality block: emission tables store each ref symbol's
+# [Km, Q] slab in its own 128-lane block so per-symbol slices are
+# lane-aligned (Q = 94 quality levels, padded with zeros to 128)
+QP = 128
 
 # sentinel diagonal for absent segments / padding lanes: far beyond any
 # real x index, so idx-validity masks every row out
 D_SENTINEL = 1 << 24
+
+
+def _split_emission_lookup(keys_ref, emis_ref, insv_ref, r, B):
+    """In-kernel emission resolution with SPLIT keys.
+
+    The combined-key lookup one-hot-encoded kmer*Q+qual into a [B, Km*Q]
+    matrix (1504 lanes at order 1) and paid a Km*Q-deep, 8-wide MXU dot
+    per row.  Splitting the key into its kmer and quality parts makes it
+    a [B, Km] one-hot MXU dot against the [Km, 4*QP] table followed by a
+    cheap VPU contraction with a [B, QP] quality one-hot — and shrinks
+    the VMEM-resident table from [Km*Q, 8] (lane-padded to 128) to
+    [Km, 4*QP].
+
+    Returns (emit_cols, ins_emit, oh_k, oh_q, oh_t): emit_cols is a
+    4-tuple of [B, 1] emission columns (one per ref symbol), ins_emit is
+    [B, 1], and the one-hots are reused by the counts kernel's transposed
+    accumulation dots.
+    """
+    Q = QUAL_SCORE_RANGE
+    kq = keys_ref[r, K_KQ, :]
+    tq = keys_ref[r, K_TQ, :]
+    qv = keys_ref[r, K_QUAL, :]
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    oh_q = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, QP), 1) == qv[:, None]
+    ).astype(jnp.float32)
+    kmp = emis_ref.shape[0]
+    # kq - qv == Q * kmer: compare against the scaled iota (no int div)
+    oh_k = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, kmp), 1) * Q
+        == (kq - qv)[:, None]
+    ).astype(jnp.float32)
+    emit_kq = dot(oh_k, emis_ref[:])  # [B, 4*QP]
+    emit_cols = tuple(
+        jnp.sum(emit_kq[:, s * QP : (s + 1) * QP] * oh_q, axis=1)[:, None]
+        for s in range(4)
+    )
+    oh_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1) * Q
+        == (tq - qv)[:, None]
+    ).astype(jnp.float32)
+    ins_kq = dot(oh_t, insv_ref[:])  # [B, QP]
+    ins_emit = jnp.sum(ins_kq * oh_q, axis=1)[:, None]
+    return emit_cols, ins_emit, oh_k, oh_q, oh_t
+
+
+def _split_tables(tables, has_q):
+    """Emission tables for the split lookup.
+
+    emis2 [Km_pad8, 4*QP]: emis2[k, s*QP + q] = match emission of read
+    (k-mer k, quality q) given ref symbol s (match_score[s, k, q]).
+    insv2 [8, QP]: insv2[t, q] = insert emission of read token t at
+    quality q (rows 4..7 zero).  No-qual reads replicate the no-qual
+    scores across the quality axis (their K_QUAL channel is 0).
+    """
+    Km = np.asarray(tables.match_score).shape[1]
+    Q = QUAL_SCORE_RANGE
+    kmp = _round_up(Km, 8)
+    emis2 = np.zeros((kmp, 4 * QP), np.float32)
+    ev = emis2.reshape(kmp, 4, QP)
+    if has_q:
+        ms = np.asarray(tables.match_score, np.float32)  # [4, Km, Q]
+        ev[:Km, :, :Q] = ms.transpose(1, 0, 2)
+    else:
+        msn = np.asarray(tables.match_score_noq, np.float32)  # [4, Km]
+        ev[:Km, :, :Q] = msn.T[:, :, None]
+    insv2 = np.zeros((8, QP), np.float32)
+    if has_q:
+        insv2[:4, :Q] = np.asarray(tables.insert_score, np.float32)
+    else:
+        insv2[:4, :Q] = np.asarray(tables.insert_score_noq, np.float32)[
+            :, None
+        ]
+    return emis2, insv2
 
 
 def _advance_window(win_ref, keys_ref, snew_ref, r, B, W, n_segs=MAX_SEGS):
@@ -64,8 +153,8 @@ def _advance_window(win_ref, keys_ref, snew_ref, r, B, W, n_segs=MAX_SEGS):
 
 def _row_kernel(
     keys_ref,  # [R, NUM_KEYS, B] int32 streamed (R rows per grid step)
-    emis_ref,  # [KmQ, 8] f32: match emissions (4 cols) + pad
-    insv_ref,  # [4*Q, 8] f32: insert emissions (col 0) + pad
+    emis_ref,  # [Km_pad, 4*QP] f32: split-layout match emissions
+    insv_ref,  # [8, QP] f32: insert emissions (rows 0..3 per token)
     ik_ref,  # [Ki, 8] f32: m2m/m2i/m2d/m2e in cols 0..3
     member_ref,  # [B, W] f32 0/1
     xs0_ref,  # [B, W] f32: initial token window (row 1's view)
@@ -143,24 +232,10 @@ def _one_row(
         & (jf <= y_len)
     )
 
-    # ---- in-kernel emission resolution (one-hot matmuls on the MXU) ----
-    kq = keys_ref[r, K_KQ, :]  # [B] int32
-    tq = keys_ref[r, K_TQ, :]
-    kmq = emis_ref.shape[0]
-    onehot_kq = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, kmq), 1) == kq[:, None]
-    ).astype(jnp.float32)
-    emit4 = jnp.dot(onehot_kq, emis_ref[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    # emit4: [B, 8]; cols 0..3 = emission given ref symbol a
-    tql = insv_ref.shape[0]
-    onehot_tq = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, tql), 1) == tq[:, None]
-    ).astype(jnp.float32)
-    ins_emit = jnp.dot(
-        onehot_tq, insv_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )[:, 0][:, None]
+    # ---- in-kernel emission resolution (split one-hot lookup) ----
+    emit_cols, ins_emit, _, _, _ = _split_emission_lookup(
+        keys_ref, emis_ref, insv_ref, r, B
+    )
 
     if n_ik == 1:
         # gap order 0 (the default): one indel context, so the per-row
@@ -191,9 +266,9 @@ def _one_row(
 
     # emission select on the token window
     tok = win_ref[:]
-    emit = jnp.where(tok == 0.0, emit4[:, 0][:, None], NEG_INF)
+    emit = jnp.where(tok == 0.0, emit_cols[0], NEG_INF)
     for a in (1, 2, 3):
-        emit = jnp.where(tok == float(a), emit4[:, a][:, None], emit)
+        emit = jnp.where(tok == float(a), emit_cols[a], emit)
 
     mat_p = mat_ref[:]
     ins_p = ins_ref[:]
@@ -277,23 +352,10 @@ def prepare_inputs(tables, batch: dict) -> dict:
     keys[:, K_TQ, :B] = (y_tok32 * Q + y_q32).T
     keys[:, K_IK_PREV, :B] = ik_pad[:, :-1].T
     keys[:, K_IK_CUR, :B] = ik_pad[:, 1:].T
+    keys[:, K_QUAL, :B] = y_q32.T
 
-    # emission tables in matmul layout
-    ms = np.asarray(tables.match_score, np.float32)  # [4, Km, Q]
-    msn = np.asarray(tables.match_score_noq, np.float32)
-    if has_q:
-        emis = ms.reshape(4, Km * Q).T  # [KmQ, 4]
-    else:
-        # no-qual: key reduces to kmer * Q + 0..; replicate per qual slot
-        emis = np.repeat(msn.reshape(4, Km).T, Q, axis=0)
-    emis = np.pad(emis, ((0, _round_up(emis.shape[0], 8) - emis.shape[0]), (0, 4)))
-    ins = np.asarray(tables.insert_score, np.float32)
-    insn = np.asarray(tables.insert_score_noq, np.float32)
-    if has_q:
-        insv = ins.reshape(4 * Q, 1)
-    else:
-        insv = np.repeat(insn.reshape(4, 1), Q, axis=0)
-    insv = np.pad(insv, ((0, _round_up(insv.shape[0], 8) - insv.shape[0]), (0, 7)))
+    # emission tables in split-lookup layout
+    emis, insv = _split_tables(tables, has_q)
 
     ik_tab = np.stack(
         [
@@ -588,9 +650,13 @@ def _prepare_device(tables_small: dict, batch: dict, width: int, b_pad: int):
         rolled = _cyclic_rows(_roll_rows_per_column(x_tok_t, d_last), Ly)
         newtoks.append(padB(jnp.where(ok_new, rolled, -1)))
     zeros = jnp.zeros_like(kq)
+    qv = padB(yq32.T)
     keys = jnp.stack(
-        [kq, tq, ik_prev, ik_cur] + newtoks
-        + [zeros] * (NUM_KEYS - 4 - n_segs),
+        [kq, tq, ik_prev, ik_cur]
+        + newtoks + [zeros] * (K_OLDTOK0 - 4 - n_segs)  # rows 4..6
+        + [zeros] * 3  # K_OLDTOK rows 7..9 (counts kernels .set() them)
+        + [qv]  # K_QUAL = 10
+        + [zeros] * (NUM_KEYS - K_QUAL - 1),
         axis=1,
     )
 
@@ -627,26 +693,7 @@ class V2Tables:
     """Small per-params device tables for the v2 kernel."""
 
     def __init__(self, tables, has_qual: bool = True):
-        Q = QUAL_SCORE_RANGE
-        Km = np.asarray(tables.match_score).shape[1]
-        ms = np.asarray(tables.match_score, np.float32)
-        msn = np.asarray(tables.match_score_noq, np.float32)
-        if has_qual:
-            emis = ms.reshape(4, Km * Q).T
-        else:
-            emis = np.repeat(msn.reshape(4, Km).T, Q, axis=0)
-        emis = np.pad(
-            emis, ((0, _round_up(emis.shape[0], 8) - emis.shape[0]), (0, 4))
-        )
-        ins = np.asarray(tables.insert_score, np.float32)
-        insn = np.asarray(tables.insert_score_noq, np.float32)
-        if has_qual:
-            insv = ins.reshape(4 * Q, 1)
-        else:
-            insv = np.repeat(insn.reshape(4, 1), Q, axis=0)
-        insv = np.pad(
-            insv, ((0, _round_up(insv.shape[0], 8) - insv.shape[0]), (0, 7))
-        )
+        emis, insv = _split_tables(tables, has_qual)
         ik_tab = np.stack(
             [
                 np.asarray(tables.m2m, np.float32),
