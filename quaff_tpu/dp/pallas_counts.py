@@ -620,11 +620,8 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
     return d_emis, d_insv, d_ik, d_sc
 
 
-@functools.partial(
-    jax.jit, static_argnames=("local", "Km", "Ki", "interpret")
-)
-def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
-                     local, Km, Ki, interpret=False):
+def _estep_fused_core(emis, insv, ik, batch, gid, null_ll, trans4,
+                      local, Km, Ki, interpret=False):
     """One dispatch for a whole E-step batch: input prep, forward fill
     (stored rows), read-level posterior weights from the forward scores
     and each read's null log-likelihood, and the weighted backward-counts
@@ -694,6 +691,11 @@ def _estep_fused_jit(emis, insv, ik, batch, gid, null_ll, trans4,
         d_sc[:5, :B].ravel(),
     ])
     return packed
+
+
+_estep_fused_jit = functools.partial(jax.jit, static_argnames=(
+    "local", "Km", "Ki", "interpret"
+))(_estep_fused_core)
 
 
 def estep_fused(tables, v2tab: V2Tables, batch: dict, null_ll: float,
