@@ -200,16 +200,59 @@ int64_t qio_diag_kmer_counts(const int32_t* x_tok, int64_t x_len,
                              int64_t* out_diags, int64_t* out_counts) {
   if (x_len < k || y_len < k) return 0;
   const int64_t ny = y_len - k + 1;
-  // rolling codes over y -> hash code -> positions
+  const int64_t nx = x_len - k + 1;
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+
+  if (k <= 12) {
+    // counting-bucket index over the 4^k code space (k <= 12 -> <= 16M
+    // buckets; default k = 6 -> 4096) + flat per-diagonal counters:
+    // O(nx + ny + matches + x_len + y_len) with zero hashing/allocation
+    // churn (the unordered_map version spent its time in node allocs).
+    const int64_t nc = 1ll << (2 * k);
+    std::vector<int32_t> bucket_count(nc + 1, 0);
+    std::vector<int32_t> y_code(ny);
+    uint64_t code = 0;
+    for (int64_t j = 0; j < y_len; ++j) {
+      code = ((code << 2) | (uint64_t)y_tok[j]) & mask;
+      if (j >= k - 1) {
+        y_code[j - k + 1] = (int32_t)code;
+        ++bucket_count[code + 1];
+      }
+    }
+    for (int64_t c = 0; c < nc; ++c) bucket_count[c + 1] += bucket_count[c];
+    std::vector<int32_t> y_pos(ny);
+    std::vector<int32_t> fill(bucket_count.begin(), bucket_count.end() - 1);
+    for (int64_t j = 0; j < ny; ++j) y_pos[fill[y_code[j]]++] = (int32_t)j;
+
+    // diagonal d = xi - j lies in [-(y_len-1), x_len-1]; offset by y_len-1
+    std::vector<int64_t> diag_count(x_len + y_len - 1, 0);
+    code = 0;
+    for (int64_t i = 0; i < x_len; ++i) {
+      code = ((code << 2) | (uint64_t)x_tok[i]) & mask;
+      if (i < k - 1) continue;
+      const int64_t xi = i - k + 1;
+      const int32_t lo = bucket_count[code], hi = bucket_count[code + 1];
+      for (int32_t t = lo; t < hi; ++t)
+        ++diag_count[xi - y_pos[t] + y_len - 1];
+    }
+    int64_t n = 0;
+    for (int64_t d = 0; d < (int64_t)diag_count.size(); ++d)
+      if (diag_count[d]) {
+        out_diags[n] = d - (y_len - 1);
+        out_counts[n] = diag_count[d];
+        ++n;
+      }
+    return n;
+  }
+
+  // large k: hash index (code space too big for counting buckets)
   std::unordered_map<uint64_t, std::vector<int32_t>> index;
   index.reserve((size_t)ny * 2);
   uint64_t code = 0;
-  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
   for (int64_t j = 0; j < y_len; ++j) {
     code = ((code << 2) | (uint64_t)y_tok[j]) & mask;
     if (j >= k - 1) index[code].push_back((int32_t)(j - k + 1));
   }
-  // walk x windows, accumulate per-diagonal counts
   std::unordered_map<int64_t, int64_t> diag_count;
   code = 0;
   for (int64_t i = 0; i < x_len; ++i) {
@@ -220,7 +263,6 @@ int64_t qio_diag_kmer_counts(const int32_t* x_tok, int64_t x_len,
     const int64_t xi = i - k + 1;
     for (int32_t j : it->second) ++diag_count[xi - j];
   }
-  // emit sorted by diagonal
   std::vector<std::pair<int64_t, int64_t>> items(diag_count.begin(),
                                                  diag_count.end());
   std::sort(items.begin(), items.end());

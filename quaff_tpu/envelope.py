@@ -157,6 +157,12 @@ def diagonal_kmer_counts(
     their match counts.
     """
     k = y_index.kmer_len
+    if k < 32:
+        from .native import diag_kmer_counts_native
+
+        res = diag_kmer_counts_native(x_tokens, y_index.seq.tokens(), k)
+        if res is not None:
+            return res
     x_codes = kmer_codes(x_tokens, k)
     if len(x_codes) == 0 or len(y_index.sorted_codes) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
