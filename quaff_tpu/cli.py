@@ -305,6 +305,32 @@ def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
     return True
 
 
+def _accelerator_alive() -> bool:
+    """Probe device enumeration in a subprocess with a hard timeout.
+
+    Skipped (returns True) when no accelerator plugin is configured or
+    the probe cannot run.  Timeout via QUAFF_TPU_PROBE_TIMEOUT seconds
+    (default 120; 0 disables the probe)."""
+    import os
+    import subprocess
+    import sys
+
+    timeout_s = float(os.environ.get("QUAFF_TPU_PROBE_TIMEOUT", "120"))
+    if timeout_s <= 0:
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return True
+
+
 def _setup_jax_precision():
     """x64 is enabled regardless of backend: golden-parity computations
     (XLA fills, tracebacks) need f64 and are pinned to the CPU device on
@@ -317,6 +343,20 @@ def _setup_jax_precision():
     platform = os.environ.get("QUAFF_TPU_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    elif jax.config.jax_platforms:
+        pass  # already pinned in-process (e.g. the test conftest)
+    elif not _accelerator_alive():
+        # a dead accelerator link makes the first device query block
+        # forever (SIGTERM-immune C call); probe in a killable
+        # subprocess and fall back to the CPU backend with a warning
+        import sys
+
+        print(
+            "quaff-tpu: accelerator unreachable, falling back to the CPU"
+            " backend (set QUAFF_TPU_PLATFORM to override)",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
     want = os.environ.get("QUAFF_TPU_X64")
     if want is not None:
         jax.config.update("jax_enable_x64", want not in ("0", "false"))
