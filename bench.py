@@ -25,29 +25,10 @@ import numpy as np
 REFERENCE_CELLS_PER_SEC_EST = 2.5e7
 
 
-def _accelerator_alive(timeout_s: float = 150.0) -> bool:
-    """Probe device enumeration in a SUBPROCESS with a hard timeout.
-
-    The attached accelerator rides a network tunnel; when the tunnel is
-    down, jax.devices() blocks indefinitely in a C call (SIGTERM-immune),
-    which would hang the whole benchmark.  A subprocess can be SIGKILLed.
-    """
-    import subprocess
-    import sys
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
-
-
 def main():
-    if not _accelerator_alive():
+    from quaff_tpu.cli import _accelerator_alive
+
+    if not _accelerator_alive(default_timeout=150.0):
         # fall back to the portable XLA engine on the host CPU so the
         # bench still emits its JSON line (marked via the unit string)
         import jax

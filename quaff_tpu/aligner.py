@@ -16,7 +16,13 @@ from typing import IO, List, Optional
 
 import numpy as np
 
-from .dp.engine import PairBatch, device_batch, device_tables, dp_fill
+from .dp.engine import (
+    PairBatch,
+    device_batch,
+    device_tables,
+    dp_fill,
+    pow2ceil,
+)
 from .dp.scores import ScoreTables
 from .dp.traceback import viterbi_traceback
 from .envelope import (
@@ -38,8 +44,9 @@ FWDBACK_CELL_SIZE = 48
 
 # kernel batches wider than this fall back to the host engine for scoring:
 # the resident [B, W] VMEM buffers would overflow the 16 MB scoped budget
-# (observed working at ~37k lanes with B=8; failing beyond)
-WIDE_ENVELOPE_FALLBACK_LANES = 40960
+# (observed working at ~37k lanes with B=8; failing beyond — keep the
+# threshold UNDER the observed-working width)
+WIDE_ENVELOPE_FALLBACK_LANES = 36864
 
 
 @dataclass
@@ -356,12 +363,6 @@ class QuaffAligner:
             ny, nx, env = job
             groups.setdefault(reads[ny].has_qual(), []).append(job)
 
-        def pow2ceil(n):
-            b = 8
-            while b < n:
-                b *= 2
-            return b
-
         # v2 kernel scoped-VMEM budget: B_pad * W <= 256 * 512 cells
         # (B=512 at W=512 overflows the 16 MB scoped limit)
         V2_VMEM_CELLS = 256 * 512
@@ -397,29 +398,32 @@ class QuaffAligner:
         n_done = 0
         for hq, wp, lp, chunk in chunks:
                 B = len(chunk)
-                bq = 8
-                while bq < B:
-                    bq *= 2
+                bq = pow2ceil(B)
                 pairs = [
                     (refs[nx], reads[ny], env) for ny, nx, env in chunk
                 ]
                 if bq > B:
                     pairs.extend([pairs[-1]] * (bq - B))
-                build = PairBatch.build_packed if fast else PairBatch.build
-                batch = build(
-                    pairs,
-                    self.tables,
-                    width=wp,
-                    max_y_len=lp,
-                )
-                bdev = device_batch(batch)
-                if fast and wp > WIDE_ENVELOPE_FALLBACK_LANES:
+                wide = fast and wp > WIDE_ENVELOPE_FALLBACK_LANES
+                if not wide:
+                    build = (
+                        PairBatch.build_packed if fast else PairBatch.build
+                    )
+                    batch = build(
+                        pairs,
+                        self.tables,
+                        width=wp,
+                        max_y_len=lp,
+                    )
+                    bdev = device_batch(batch)
+                if wide:
                     # pathological envelope (a merged seed cluster tens of
                     # thousands of diagonals wide): the kernel's resident
                     # [B, W] buffers would overflow scoped VMEM, so score
                     # this (necessarily single-pair) chunk with the host
                     # engine instead (bounding-band layout — the engine
-                    # does not read lane-packed strip descriptors)
+                    # does not read lane-packed strip descriptors; the
+                    # packed batch is never built or transferred)
                     from .precision import x64_scope
 
                     cpu = jax.devices("cpu")[0]

@@ -305,17 +305,24 @@ def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
     return True
 
 
-def _accelerator_alive() -> bool:
+def _accelerator_alive(default_timeout: float = 120.0) -> bool:
     """Probe device enumeration in a subprocess with a hard timeout.
 
-    Skipped (returns True) when no accelerator plugin is configured or
-    the probe cannot run.  Timeout via QUAFF_TPU_PROBE_TIMEOUT seconds
-    (default 120; 0 disables the probe)."""
+    A dead accelerator link makes jax.devices() block forever in a
+    SIGTERM-immune C call; a subprocess can be killed.  The probe runs
+    unconditionally (it cannot tell whether an accelerator plugin is
+    configured without initialising one — the thing that hangs) and
+    costs one subprocess jax import; returns True when it cannot run at
+    all (OSError) so an unprobeable environment behaves as before.
+    Timeout via QUAFF_TPU_PROBE_TIMEOUT seconds (0 disables the probe,
+    skipping straight to the normal backend selection)."""
     import os
     import subprocess
     import sys
 
-    timeout_s = float(os.environ.get("QUAFF_TPU_PROBE_TIMEOUT", "120"))
+    timeout_s = float(
+        os.environ.get("QUAFF_TPU_PROBE_TIMEOUT", str(default_timeout))
+    )
     if timeout_s <= 0:
         return True
     try:

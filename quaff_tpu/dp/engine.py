@@ -40,6 +40,17 @@ from .scores import ScoreTables
 NEG_INF = -np.inf
 
 
+def pow2ceil(n: int, minimum: int = 8) -> int:
+    """Batch-size padding quantum: the smallest power of two >= n (floor
+    `minimum`).  Kernel batches pad to these quanta so distinct chunk
+    sizes do not each compile a fresh kernel shape — every chunking site
+    must use the SAME quantum its VMEM-budget check assumed."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def expand_strips(pairs):
     """[(x, y, env)] -> (strip_pairs, owner): each envelope split into its
     independent diagonal strips (Envelope.strips), owner[k] = index of the

@@ -705,7 +705,7 @@ def estep_fused(tables, v2tab: V2Tables, batch: dict, null_ll: float,
     null_ll is the read's null-model log likelihood (-inf when the null
     model is disallowed, t/quaff.cpp -force).
     """
-    B = int(np.asarray(batch["member"]).shape[0])
+    B = int(batch["member"].shape[0])
     return estep_fused_multi(
         tables, v2tab, batch,
         np.zeros(B, np.int32), np.asarray([null_ll], np.float64),
@@ -734,7 +734,7 @@ def estep_fused_multi(tables, v2tab: V2Tables, batch: dict, gid, null_lls,
         ),
         dtype=np.float64,
     )
-    B = int(np.asarray(batch["member"]).shape[0])
+    B = int(batch["member"].shape[0])
     G = len(null_lls)
     o = 0
     fwd = packed[o : o + B]; o += B

@@ -18,7 +18,7 @@ from typing import IO, List, Optional, Tuple
 import numpy as np
 
 from .aligner import DPConfig, VITERBI_CELL_SIZE
-from .dp.engine import PairBatch, device_batch
+from .dp.engine import PairBatch, device_batch, pow2ceil
 from .dp.overlap import OverlapScoreTables, overlap_device_tables, overlap_fill
 from .dp.scores import ScoreTables
 from .envelope import Envelope
@@ -548,12 +548,6 @@ class QuaffOverlapAligner:
         # mixed row counts into one dispatch at the max lp beats one
         # dispatch per padded shape.  A chunk stops accepting shorter
         # pairs once the padding rows added exceed one extra full scan.
-        def pow2ceil(n):
-            b = 8
-            while b < n:
-                b *= 2
-            return b
-
         # scoped-VMEM budget for the overlap kernel: ~18 [B, W] f32
         # buffers + double-buffered streams; B_pad * W beyond ~100k
         # cells overflows the 16 MB scoped limit (observed at 128x1152)
@@ -643,14 +637,20 @@ class QuaffOverlapAligner:
         seg_scored = {}
         for (y_comp, wp, lp), js in sorted(buckets.items()):
             tables, _ = self._tables(y_comp)
-            for i in range(0, len(js), max_batch):
-                chunk = js[i : i + max_batch]
+            # bucket merging above coalesces same-shape chunks, so the
+            # dispatch slice must re-apply the VMEM cap: the padded batch
+            # quantum times wp may not exceed the scoped-VMEM budget
+            # (max_batch alone allowed e.g. 128x1152, the observed
+            # overflow shape)
+            bcap = 8
+            while bcap * 2 <= max_batch and bcap * 2 * wp <= OV_VMEM_CELLS:
+                bcap *= 2
+            for i in range(0, len(js), bcap):
+                chunk = js[i : i + bcap]
                 # pad B to a power-of-two quantum (repeat the last pair;
                 # its extra scores are discarded) so distinct chunk
                 # sizes don't each compile a fresh kernel shape
-                bq = 8
-                while bq < len(chunk):
-                    bq *= 2
+                bq = pow2ceil(len(chunk))
                 chunk = chunk + [chunk[-1]] * (bq - len(chunk))
                 B = len(chunk)
                 member = np.zeros((B, wp), bool)

@@ -201,8 +201,13 @@ def sharded_estep_kernel(
     posterior weights normalise over the refs present in the chunk) —
     the same invariant the single-chip trainer's chunking already keeps.
 
-    Returns (fwd [D, B], y_ll [D, G], totals) where totals is a dict of
-    mesh-summed count arrays shaped like estep_fused_multi's.
+    Returns (fwd [D, B], y_ll [D, G], totals).  totals carries the
+    mesh-summed count tables: match_counts [4, Km, Q], insert_counts
+    [4, Q], m2m/m2i/m2d/m2e [Ki] — like estep_fused_multi's — plus
+    i2i/i2m/d2d/d2m as mesh-summed SCALARS (estep_fused_multi returns
+    those per pair; the per-pair breakdown is not meaningful across a
+    mesh reduction, and trainers only consume the sums).
+    back_start_post (a per-pair diagnostic) is not returned.
     """
     from ..alphabet import QUAL_SCORE_RANGE
     from ..dp.pallas_counts import _estep_fused_core

@@ -19,7 +19,7 @@ import numpy as np
 
 from .aligner import DPConfig, FWDBACK_CELL_SIZE
 from .dp.counts import dp_forward_backward
-from .dp.engine import PairBatch, device_batch, device_tables
+from .dp.engine import PairBatch, device_batch, device_tables, pow2ceil
 from .dp.scores import ScoreTables
 from .io.fastseq import FastSeq, KmerIndex
 from .model.params import QuaffCounts, QuaffNullParams, QuaffParamCounts, QuaffParams
@@ -378,9 +378,7 @@ class QuaffCounter:
                 # posterior weight to exp(fwd - 1e30) = 0, so they add
                 # nothing to the count totals
                 B = len(chunk)
-                bq = 8
-                while bq < B:
-                    bq *= 2
+                bq = pow2ceil(B)
                 pairs = [
                     (refs[nx], reads[ny], env) for ny, nx, env in chunk
                 ]

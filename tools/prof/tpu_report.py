@@ -116,21 +116,27 @@ for k in range(n_segs):
 interp = jax.default_backend() != "tpu"
 kw = dict(width=W, b_pad=Bp, n_rows=Ly, local=True, n_segs=n_segs,
           n_ik=Ki, interpret=interp)
-args_f = (keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xs0, meta, doff, snew)
-out, mrows, irows, drows = pc._fwd_store(*args_f, **kw)
-jax.block_until_ready(out)
+# DISTINCT inputs per timed run: the axon runtime caches identical
+# executions (CLAUDE.md), so the warm run perturbs the transition rows
+metas = [
+    meta.at[3, :].add(1e-6 * (i + 1)) for i in range(2)
+]
+args_f = lambda m: (keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f,
+                    xs0, m, doff, snew)
+out, mrows, irows, drows = pc._fwd_store(*args_f(meta), **kw)
+np.asarray(out)  # compile + fence
 t0 = time.perf_counter()
-out, mrows, irows, drows = pc._fwd_store(*args_f, **kw)
-jax.block_until_ready(out)
+out, mrows, irows, drows = pc._fwd_store(*args_f(metas[0]), **kw)
+np.asarray(out)
 report(f"fwd_store B=32 W={W} rows={Ly}", time.perf_counter() - t0)
 wrow = jnp.zeros((8, Bp), jnp.float32).at[0, :32].set(1.0).at[1, :32].set(0.0)
-args_b = (keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f, xsl, meta,
-          doff, sold, wrow, mrows, irows, drows)
-d = pc._bwd_counts(*args_b, **kw)
-jax.block_until_ready(d)
+args_b = lambda m: (keys, v2tab.emis, v2tab.insv, v2tab.ik, member_f,
+                    xsl, m, doff, sold, wrow, mrows, irows, drows)
+d = pc._bwd_counts(*args_b(meta), **kw)
+np.asarray(d[0])
 t0 = time.perf_counter()
-d = pc._bwd_counts(*args_b, **kw)
-jax.block_until_ready(d)
+d = pc._bwd_counts(*args_b(metas[1]), **kw)
+np.asarray(d[0])
 report(f"bwd_counts B=32 W={W} rows={Ly}", time.perf_counter() - t0)
 
 # ---- 3. EM iteration steady state ----
@@ -138,12 +144,26 @@ from quaff_tpu.trainer import QuaffCounter
 
 null = QuaffNullParams.fit(reads)
 sort_order = [[0] for _ in reads]
+
+
+def perturb(rs, i):
+    """Distinct pipeline inputs per timed run (execution-cache defeat):
+    bump one quality character of each read."""
+    out = []
+    for r in rs:
+        q = list(r.qual)
+        q[i] = chr(33 + ((ord(q[i]) - 33 + 1) % 40))
+        out.append(FastSeq(name=r.name, seq=r.seq, qual="".join(q)))
+    return out
+
+
 counter = QuaffCounter(params, null, config, True)
 counts, ll, so = counter.get_counts([ref], reads, sort_order)  # warm
 for it in range(2):
+    rs = perturb(reads, it)
     t0 = time.perf_counter()
     counter = QuaffCounter(params, null, config, True)
-    counts, ll, so = counter.get_counts([ref], reads, sort_order)
+    counts, ll, so = counter.get_counts([ref], rs, sort_order)
     report(f"E-step iter{it} N={N}", time.perf_counter() - t0,
            f"loglike={ll:.1f}")
 
@@ -158,7 +178,7 @@ printer.log_odds_threshold = float("-inf")
 aligner.align_all(io.StringIO(), [ref], reads, printer)  # warm
 t0 = time.perf_counter()
 buf = io.StringIO()
-aligner.align_all(buf, [ref], reads, printer)
+aligner.align_all(buf, [ref], perturb(reads, 2), printer)
 report(f"align N={N}", time.perf_counter() - t0,
        f"{buf.getvalue().count('# STOCKHOLM')} hits")
 
@@ -167,14 +187,14 @@ from quaff_tpu.io.fastseq import add_revcomps
 from quaff_tpu.overlap import QuaffOverlapAligner
 
 ov = QuaffOverlapAligner(params, null, config)
-seqs = add_revcomps(reads)
 t0 = time.perf_counter()
 buf = io.StringIO()
-ov.align_all(buf, seqs, len(reads), printer)
+ov.align_all(buf, add_revcomps(reads), len(reads), printer)
 report(f"overlap all-vs-all N={N} (cold)", time.perf_counter() - t0,
        f"{buf.getvalue().count('# STOCKHOLM')} alignments")
 t0 = time.perf_counter()
-ov.align_all(io.StringIO(), seqs, len(reads), printer)
+ov.align_all(io.StringIO(), add_revcomps(perturb(reads, 3)), len(reads),
+             printer)
 report(f"overlap all-vs-all N={N} (warm)", time.perf_counter() - t0)
 
 print("\n==== summary ====")
