@@ -115,15 +115,18 @@ def main():
 
 
 def _main_cpu_fallback():
-    """Accelerator unreachable: measure the XLA engine fill on CPU f32.
+    """Accelerator unreachable: measure the host-CPU production fill.
 
-    Keeps the same workload and JSON shape; the unit string records that
-    this is the no-accelerator fallback so the number is not mistaken
-    for a TPU result.
+    Uses the native C++ banded Viterbi (one fill per core via the thread
+    pool — the path CPU deployments actually run) when built, else the
+    XLA engine.  Keeps the same workload and JSON shape; the unit string
+    records that this is the no-accelerator fallback so the number is
+    not mistaken for a TPU result.
     """
     import jax
     import jax.numpy as jnp
 
+    from quaff_tpu import native
     from quaff_tpu.dp.engine import (
         PairBatch,
         device_batch,
@@ -145,21 +148,29 @@ def _main_cpu_fallback():
     env = make_envelope(x, KmerIndex(y, 6), kmer_threshold=14, cell_size=24)
     batch_size = int(os.environ.get("QUAFF_BENCH_BATCH", "8"))
     batch = PairBatch.build([(x, y, env)] * batch_size, tables)
-    tdev = device_tables(tables)
-    bdev = device_batch(batch)
 
-    def run():
-        return dp_fill(
-            tdev, bdev, mode="viterbi", local=True,
-            return_matrices=False, dtype=jnp.float32,
-        )["score"]
+    native.get_lib(auto_build=True)
+    if native.available():
+        def run():
+            return native.align_fill_native(batch, tables, mode="viterbi")
+    else:
+        tdev = device_tables(tables)
+        bdev = device_batch(batch)
 
-    jax.block_until_ready(run())  # compile
+        def run():
+            return jax.block_until_ready(
+                dp_fill(
+                    tdev, bdev, mode="viterbi", local=True,
+                    return_matrices=False, dtype=jnp.float32,
+                )["score"]
+            )
+
+    run()  # compile / warm
     n_iters = int(os.environ.get("QUAFF_BENCH_ITERS", "3"))
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        run()
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     cells_per_sec = env.num_cells * batch_size / dt
@@ -169,7 +180,7 @@ def _main_cpu_fallback():
                 "metric": "banded_viterbi_cells_per_sec",
                 "value": round(cells_per_sec, 1),
                 "unit": (
-                    "DP cells/s (in-envelope, c8f30 align config, f32; "
+                    "DP cells/s (in-envelope, c8f30 align config; "
                     "CPU FALLBACK - accelerator unreachable)"
                 ),
                 "vs_baseline": round(
