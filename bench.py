@@ -152,7 +152,7 @@ def _main_cpu_fallback():
     native.get_lib(auto_build=True)
     if native.available():
         def run():
-            return native.align_fill_native(batch, tables, mode="viterbi")
+            return native.align_score_native(batch, tables, mode="viterbi")
     else:
         tdev = device_tables(tables)
         bdev = device_batch(batch)

@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <vector>
 
 namespace {
 
@@ -162,15 +163,24 @@ void qdp_overlap_fill(
   *end_out = end;
 }
 
+}  // extern "C"
+
+namespace {
+
 // Fill one banded read-vs-ref DP matrix (the reference's QuaffDPMatrix
 // fill, src/qmodel.cpp:1343-1560; JAX equivalent:
 // quaff_tpu/dp/engine.py::dp_fill).  mode 0 = Viterbi (max combine),
 // mode 1 = Forward (log-sum-exp combine).  local selects
 // read-global/ref-local vs global start/end conditions.
 //
-// Outputs mat/ins/del are [n_rows+1, W] row-major with row 0 = -inf;
-// *end_out gets the end score.
-void qdp_align_fill(
+// STORE = true: mat/ins/del are [n_rows+1, W] row-major outputs with
+// row 0 = -inf.  STORE = false (score-only): mat/ins/del are [2, W]
+// scratch rows — skips ~3*rows*W*8 bytes of stores and allocations when
+// only the end score is needed (batch scoring).  Cell arithmetic is
+// identical either way, and in Viterbi mode max is exactly associative,
+// so score-only results are bitwise equal to the stored fill's.
+template <bool STORE>
+static void align_fill_impl(
     const int32_t* x_tok, int64_t x_len,
     const int32_t* y_tok, const int32_t* y_mk, const int32_t* y_ik_pad,
     const int32_t* y_q, int64_t y_len, int32_t y_has_qual,
@@ -194,12 +204,14 @@ void qdp_align_fill(
 
   double end = NEG_INF;
   for (int64_t j = 1; j <= n_rows; ++j) {
-    const double* mat_p = mat + (j - 1) * W;
-    const double* ins_p = ins + (j - 1) * W;
-    const double* del_p = del_ + (j - 1) * W;
-    double* mat_c = mat + j * W;
-    double* ins_c = ins + j * W;
-    double* del_c = del_ + j * W;
+    const int64_t rp = STORE ? (j - 1) : ((j - 1) & 1);
+    const int64_t rc = STORE ? j : (j & 1);
+    const double* mat_p = mat + rp * W;
+    const double* ins_p = ins + rp * W;
+    const double* del_p = del_ + rp * W;
+    double* mat_c = mat + rc * W;
+    double* ins_c = ins + rc * W;
+    double* del_c = del_ + rc * W;
 
     if (j > y_len) {
       for (int64_t w = 0; w < W; ++w)
@@ -278,6 +290,56 @@ void qdp_align_fill(
       end = lse2(end, row_end_max + std::log(row_end_sum));
   }
   *end_out = end;
+}
+
+}  // namespace
+
+extern "C" {
+
+void qdp_align_fill(
+    const int32_t* x_tok, int64_t x_len,
+    const int32_t* y_tok, const int32_t* y_mk, const int32_t* y_ik_pad,
+    const int32_t* y_q, int64_t y_len, int32_t y_has_qual,
+    int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* match_score, const double* match_score_noq,
+    const double* insert_score, const double* insert_score_noq,
+    int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d,
+    const double* m2e,
+    double d2d, double d2m, double i2i, double i2m,
+    int32_t mode, int32_t local,
+    double* mat, double* ins, double* del_, double* end_out) {
+  align_fill_impl<true>(
+      x_tok, x_len, y_tok, y_mk, y_ik_pad, y_q, y_len, y_has_qual, n_rows,
+      d_lo, W, member, match_score, match_score_noq, insert_score,
+      insert_score_noq, Km, Q, m2m, m2i, m2d, m2e, d2d, d2m, i2i, i2m,
+      mode, local, mat, ins, del_, end_out);
+}
+
+// Score-only fill: same arguments minus the matrix outputs; allocates
+// two scratch rows internally.
+void qdp_align_score(
+    const int32_t* x_tok, int64_t x_len,
+    const int32_t* y_tok, const int32_t* y_mk, const int32_t* y_ik_pad,
+    const int32_t* y_q, int64_t y_len, int32_t y_has_qual,
+    int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* match_score, const double* match_score_noq,
+    const double* insert_score, const double* insert_score_noq,
+    int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d,
+    const double* m2e,
+    double d2d, double d2m, double i2i, double i2m,
+    int32_t mode, int32_t local,
+    double* end_out) {
+  std::vector<double> buf(6 * W);
+  align_fill_impl<false>(
+      x_tok, x_len, y_tok, y_mk, y_ik_pad, y_q, y_len, y_has_qual, n_rows,
+      d_lo, W, member, match_score, match_score_noq, insert_score,
+      insert_score_noq, Km, Q, m2m, m2i, m2d, m2e, d2d, d2m, i2i, i2m,
+      mode, local, buf.data(), buf.data() + 2 * W, buf.data() + 4 * W,
+      end_out);
 }
 
 }  // extern "C"

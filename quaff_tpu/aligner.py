@@ -405,6 +405,7 @@ class QuaffAligner:
                 if bq > B:
                     pairs.extend([pairs[-1]] * (bq - B))
                 wide = fast and wp > WIDE_ENVELOPE_FALLBACK_LANES
+                s = None
                 if not wide:
                     build = (
                         PairBatch.build_packed if fast else PairBatch.build
@@ -415,7 +416,19 @@ class QuaffAligner:
                         width=wp,
                         max_y_len=lp,
                     )
-                    bdev = device_batch(batch)
+                    if not fast:
+                        # CPU scoring: the native score-only fill (no
+                        # matrices stored; bitwise-equal Viterbi scores)
+                        # beats the XLA scan and skips the device
+                        # transfer entirely
+                        from .native import align_score_native
+
+                        s = align_score_native(
+                            batch, self.tables, mode="viterbi",
+                            local=self.config.local,
+                        )
+                    if s is None:
+                        bdev = device_batch(batch)
                 if wide:
                     # pathological envelope (a merged seed cluster tens of
                     # thousands of diagonals wide): the kernel's resident
@@ -456,7 +469,7 @@ class QuaffAligner:
                         ),
                         dtype=np.float64,
                     )
-                else:
+                elif s is None:
                     s = np.asarray(
                         dp_fill(
                             self._tdev, bdev, mode="viterbi",

@@ -156,8 +156,7 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64 = ctypes.c_int64
         f64 = ctypes.c_double
-        lib.qdp_align_fill.restype = None
-        lib.qdp_align_fill.argtypes = [
+        common = [
             i32p, i64,  # x_tok, x_len
             i32p, i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
             i64,  # n_rows
@@ -166,8 +165,14 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p, f64p, f64p, f64p,  # m2m/m2i/m2d/m2e
             f64, f64, f64, f64,  # d2d, d2m, i2i, i2m
             ctypes.c_int32, ctypes.c_int32,  # mode, local
+        ]
+        lib.qdp_align_fill.restype = None
+        lib.qdp_align_fill.argtypes = common + [
             f64p, f64p, f64p, f64p,  # mat, ins, del, end
         ]
+        if hasattr(lib, "qdp_align_score"):
+            lib.qdp_align_score.restype = None
+            lib.qdp_align_score.argtypes = common + [f64p]  # end only
     _LIB = lib
     return lib
 
@@ -398,6 +403,85 @@ def align_fill_native(batch, tables, mode: str = "viterbi",
             list(ex.map(run, range(B)))
 
     return {"score": end, "mat": mat, "ins": ins, "del": dele}
+
+
+def align_score_native(batch, tables, mode: str = "viterbi",
+                       local: bool = True):
+    """Score-only banded read-vs-ref fills for a PairBatch: returns the
+    end scores [B] float64 (no matrices stored or allocated — 2 scratch
+    rows per fill instead of 3*(R+1)*W doubles), one C call per pair on
+    a thread pool.  In Viterbi mode scores are bitwise equal to
+    align_fill_native's / the XLA engine's (max is exactly associative).
+    None if the library is not built."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_align_score"):
+        return None
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    B, W = batch.member.shape
+    R = batch.max_y_len
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "match_score": c64(tables.match_score),
+            "match_score_noq": c64(tables.match_score_noq),
+            "insert_score": c64(tables.insert_score),
+            "insert_score_noq": c64(tables.insert_score_noq),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "m2e": c64(tables.m2e),
+        }
+        tables._native_tabs = tabs
+    Km = tabs["match_score"].shape[1]
+    Q = tabs["match_score"].shape[2]
+
+    x_tok = np.ascontiguousarray(batch.x_tok, np.int32)
+    y_tok = np.ascontiguousarray(batch.y_tok, np.int32)
+    y_mk = np.ascontiguousarray(batch.y_match_kmer, np.int32)
+    y_ik = np.ascontiguousarray(batch.y_indel_kmer_pad, np.int32)
+    y_q = np.ascontiguousarray(batch.y_qual, np.int32)
+    member = np.ascontiguousarray(batch.member, np.uint8)
+    end = np.empty(B, np.float64)
+
+    def p32(a):
+        return a.ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    def run(b):
+        lib.qdp_align_score(
+            p32(x_tok[b]), int(batch.x_len[b]),
+            p32(y_tok[b]), p32(y_mk[b]), p32(y_ik[b]), p32(y_q[b]),
+            int(batch.y_len[b]), int(batch.y_has_qual[b]),
+            R,
+            int(batch.d_lo[b]), W, member[b].ctypes.data_as(u8p),
+            p64(tabs["match_score"]), p64(tabs["match_score_noq"]),
+            p64(tabs["insert_score"]), p64(tabs["insert_score_noq"]),
+            Km, Q,
+            p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]),
+            p64(tabs["m2e"]),
+            float(tables.d2d), float(tables.d2m),
+            float(tables.i2i), float(tables.i2m),
+            0 if mode == "viterbi" else 1, int(bool(local)),
+            end[b:].ctypes.data_as(f64p),
+        )
+
+    if B == 1:
+        run(0)
+    else:
+        with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(run, range(B)))
+    return end
 
 
 def viterbi_traceback_cols(

@@ -321,3 +321,45 @@ def test_native_overlap_traceback_matches_python(xq, yq, monkeypatch):
     )
     want = fmt(ovmod.overlap_traceback(x, y, env, tables, mat, ins, dele, sc))
     assert got == want
+
+
+def test_align_score_native_matches_fill(data_dir):
+    """Score-only native fills return bitwise-identical Viterbi scores to
+    the stored-matrix fill (max is exactly associative) and matching
+    Forward scores to f64 tolerance (same sequential op order, two-row
+    buffers)."""
+    import numpy as np
+    import pytest
+
+    from quaff_tpu import native
+    from quaff_tpu.aligner import DPConfig, VITERBI_CELL_SIZE
+    from quaff_tpu.dp.engine import PairBatch
+    from quaff_tpu.dp.scores import ScoreTables
+    from quaff_tpu.io.fastseq import KmerIndex, read_fast_seqs
+    from quaff_tpu.model.params import default_params
+
+    if not native.available() or not hasattr(
+        native.get_lib(), "qdp_align_score"
+    ):
+        pytest.skip("native library not built")
+
+    y = read_fast_seqs(str(data_dir / "c8f30.fastq.gz"))[0]
+    x = read_fast_seqs(str(data_dir / "c8f30.fastq.gz"))[0]
+    x.qual = ""
+    tables = ScoreTables.from_params(default_params())
+    config = DPConfig()
+    env = config.make_envelope(x, KmerIndex(y, config.kmer_len),
+                               VITERBI_CELL_SIZE)
+    short = read_fast_seqs(str(data_dir / "tiny.fastq"))[0]
+    env2 = config.make_envelope(x, KmerIndex(short, config.kmer_len),
+                                VITERBI_CELL_SIZE)
+    batch = PairBatch.build([(x, y, env), (x, short, env2)], tables)
+
+    for mode in ("viterbi", "forward"):
+        full = native.align_fill_native(batch, tables, mode=mode)
+        sc = native.align_score_native(batch, tables, mode=mode)
+        assert sc is not None
+        if mode == "viterbi":
+            assert np.array_equal(sc, full["score"])
+        else:
+            np.testing.assert_allclose(sc, full["score"], rtol=1e-12)
