@@ -41,7 +41,7 @@ static inline double max2(double a, double b) { return a > b ? a : b; }
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Fill one banded overlap Viterbi matrix.
 //
@@ -51,10 +51,13 @@ extern "C" {
 // to the window: local index r reads the value at true position
 // j_off + r).  x arrays are full length.
 //
-// Outputs mat/ins/del are [n_rows+1, W] row-major with row 0 = -inf
-// (the traceback's zero row); *end_out gets the best end-cell score
+// STORE = true: outputs mat/ins/del are [n_rows+1, W] row-major with
+// row 0 = -inf (the traceback's zero row).  STORE = false: [2, W]
+// scratch rows, end score only (identical arithmetic & op order, so
+// scores are bitwise equal).  *end_out gets the best end-cell score
 // (add the full-sequence insert scores host-side for the final score).
-void qdp_overlap_fill(
+template <bool STORE>
+void overlap_fill_impl(
     const int32_t* x_mk, const int32_t* x_ik_pad, const int32_t* x_q,
     int64_t x_len, int32_t x_has_qual,
     const int32_t* y_mk, const int32_t* y_ik_pad, const int32_t* y_q,
@@ -79,12 +82,14 @@ void qdp_overlap_fill(
   const int yq_only = !x_has_qual && y_has_qual;
 
   for (int64_t j = 1; j <= n_rows; ++j) {
-    const double* mat_p = mat + (j - 1) * W;
-    const double* ins_p = ins + (j - 1) * W;
-    const double* del_p = del_ + (j - 1) * W;
-    double* mat_c = mat + j * W;
-    double* ins_c = ins + j * W;
-    double* del_c = del_ + j * W;
+    const int64_t rp = STORE ? (j - 1) : ((j - 1) & 1);
+    const int64_t rc = STORE ? j : (j & 1);
+    const double* mat_p = mat + rp * W;
+    const double* ins_p = ins + rp * W;
+    const double* del_p = del_ + rp * W;
+    double* mat_c = mat + rc * W;
+    double* ins_c = ins + rc * W;
+    double* del_c = del_ + rc * W;
 
     const int64_t jt = j_off + j;
     if (jt > y_len) {
@@ -161,6 +166,50 @@ void qdp_overlap_fill(
     }
   }
   *end_out = end;
+}
+
+}  // namespace
+
+extern "C" {
+
+void qdp_overlap_fill(
+    const int32_t* x_mk, const int32_t* x_ik_pad, const int32_t* x_q,
+    int64_t x_len, int32_t x_has_qual,
+    const int32_t* y_mk, const int32_t* y_ik_pad, const int32_t* y_q,
+    int64_t y_len, int32_t y_has_qual,
+    int64_t j_off, int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* pair_qq, const double* pair_xq, const double* pair_yq,
+    const double* pair_nn, int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d, int64_t Ki,
+    const double* trans6,
+    double* mat, double* ins, double* del_, double* end_out) {
+  overlap_fill_impl<true>(
+      x_mk, x_ik_pad, x_q, x_len, x_has_qual, y_mk, y_ik_pad, y_q, y_len,
+      y_has_qual, j_off, n_rows, d_lo, W, member, pair_qq, pair_xq,
+      pair_yq, pair_nn, Km, Q, m2m, m2i, m2d, Ki, trans6, mat, ins, del_,
+      end_out);
+}
+
+// Score-only overlap fill: two scratch rows, end score only.
+void qdp_overlap_score(
+    const int32_t* x_mk, const int32_t* x_ik_pad, const int32_t* x_q,
+    int64_t x_len, int32_t x_has_qual,
+    const int32_t* y_mk, const int32_t* y_ik_pad, const int32_t* y_q,
+    int64_t y_len, int32_t y_has_qual,
+    int64_t j_off, int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* pair_qq, const double* pair_xq, const double* pair_yq,
+    const double* pair_nn, int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d, int64_t Ki,
+    const double* trans6,
+    double* end_out) {
+  std::vector<double> buf(6 * W);
+  overlap_fill_impl<false>(
+      x_mk, x_ik_pad, x_q, x_len, x_has_qual, y_mk, y_ik_pad, y_q, y_len,
+      y_has_qual, j_off, n_rows, d_lo, W, member, pair_qq, pair_xq,
+      pair_yq, pair_nn, Km, Q, m2m, m2i, m2d, Ki, trans6, buf.data(),
+      buf.data() + 2 * W, buf.data() + 4 * W, end_out);
 }
 
 }  // extern "C"

@@ -109,8 +109,7 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
         f64p = ctypes.POINTER(ctypes.c_double)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64 = ctypes.c_int64
-        lib.qdp_overlap_fill.restype = None
-        lib.qdp_overlap_fill.argtypes = [
+        ov_common = [
             i32p, i32p, i32p, i64, ctypes.c_int32,  # x side
             i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
             i64, i64,  # j_off, n_rows
@@ -118,8 +117,14 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p, f64p, f64p, f64p, i64, i64,  # pair tables, Km, Q
             f64p, f64p, f64p, i64,  # m2m/m2i/m2d, Ki
             f64p,  # trans6
+        ]
+        lib.qdp_overlap_fill.restype = None
+        lib.qdp_overlap_fill.argtypes = ov_common + [
             f64p, f64p, f64p, f64p,  # mat, ins, del, end
         ]
+        if hasattr(lib, "qdp_overlap_score"):
+            lib.qdp_overlap_score.restype = None
+            lib.qdp_overlap_score.argtypes = ov_common + [f64p]
     if hasattr(lib, "qdp_viterbi_traceback"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -322,6 +327,89 @@ def overlap_fill_native(batch, tables) -> Optional[dict]:
 
     score = end + batch.x_insert_score + batch.y_insert_score
     return {"score": score, "end": end, "mat": mat, "ins": ins, "del": dele}
+
+
+def overlap_score_native(batch, tables):
+    """Score-only exact overlap fills: end + full-sequence insert scores
+    per pair ([B] float64), no matrices stored or allocated.  Identical
+    arithmetic and op order to overlap_fill_native — scores are bitwise
+    equal.  None if the library is not built."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_overlap_score"):
+        return None
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = batch.base
+    B, W = base.member.shape
+    R = base.max_y_len
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "pair_qq": c64(tables.pair_qq),
+            "pair_xq": c64(tables.pair_xq),
+            "pair_yq": c64(tables.pair_yq),
+            "pair_nn": c64(tables.pair_nn),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "trans": np.array(
+                [tables.i2m_eff, tables.i2i_eff, tables.i2d_eff,
+                 tables.d2m_eff, tables.d2i_eff, tables.d2d_eff],
+                dtype=np.float64,
+            ),
+        }
+        tables._native_tabs = tabs
+    Km = tabs["pair_qq"].shape[0]
+    Q = tabs["pair_qq"].shape[2]
+    Ki = tabs["m2m"].shape[0]
+
+    x_mk = np.ascontiguousarray(batch.x_match_kmer, np.int32)
+    x_ik = np.ascontiguousarray(batch.x_indel_kmer_pad, np.int32)
+    x_q = np.ascontiguousarray(batch.x_qual, np.int32)
+    y_mk = np.ascontiguousarray(base.y_match_kmer, np.int32)
+    y_ik = np.ascontiguousarray(base.y_indel_kmer_pad, np.int32)
+    y_q = np.ascontiguousarray(base.y_qual, np.int32)
+    member = np.ascontiguousarray(base.member, np.uint8)
+    j_off = (
+        batch.row_off if batch.row_off is not None else np.zeros(B, np.int32)
+    )
+    end = np.empty(B, np.float64)
+
+    def p32(a):
+        return a.ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    def run(b):
+        lib.qdp_overlap_score(
+            p32(x_mk[b]), p32(x_ik[b]), p32(x_q[b]),
+            int(base.x_len[b]), int(batch.x_has_qual[b]),
+            p32(y_mk[b]), p32(y_ik[b]), p32(y_q[b]),
+            int(base.y_len[b]), int(base.y_has_qual[b]),
+            int(j_off[b]), R,
+            int(base.d_lo[b]), W, member[b].ctypes.data_as(u8p),
+            p64(tabs["pair_qq"]), p64(tabs["pair_xq"]),
+            p64(tabs["pair_yq"]), p64(tabs["pair_nn"]), Km, Q,
+            p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]), Ki,
+            p64(tabs["trans"]),
+            end[b:].ctypes.data_as(f64p),
+        )
+
+    if B == 1:
+        run(0)
+    else:
+        with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(run, range(B)))
+    return end + batch.x_insert_score + batch.y_insert_score
 
 
 def align_fill_native(batch, tables, mode: str = "viterbi",

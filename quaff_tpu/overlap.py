@@ -495,10 +495,74 @@ class QuaffOverlapAligner:
         ):
             self._align_all_batched(out, seqs, pair_list, printer)
             return
-        for nx, ny, y_comp in pair_list:
+        skip = None
+        if (
+            len(pair_list) > 1
+            and printer.log_odds_threshold > NEG_INF
+            and not logger.logging_tag("dpmatrix")
+        ):
+            skip = self._cpu_score_prepass(seqs, pair_list, printer)
+        for k, (nx, ny, y_comp) in enumerate(pair_list):
+            if skip is not None and skip[k]:
+                continue
             a = self.overlap_pair(seqs[nx], seqs[ny], y_comp)
             if a is not None:
                 printer.write_alignment(out, a)
+
+    def _cpu_score_prepass(
+        self, seqs, pair_list, printer, chunk_size: int = 32
+    ) -> Optional[List[bool]]:
+        """Score-only native prepass for the sequential (CPU) all-vs-all
+        path: compute every pair's null-adjusted score with the
+        matrix-free exact fill (bitwise equal to the full fill's score,
+        thread-pooled) and mark pairs the printer would drop below its
+        log-odds threshold — their full fill + traceback is skipped.
+        Output is byte-identical to filling every pair (the reference
+        also fills everything and thresholds at print time,
+        qmodel.cpp:2570-2572; this just avoids the doomed matrices).
+        Returns None when the native library is missing."""
+        from .native import overlap_score_native
+
+        null_cache: dict = {}
+
+        def null_ll(i, comp=False):
+            key = (i, comp)
+            if key not in null_cache:
+                s = seqs[i].revcomp() if comp else seqs[i]
+                null_cache[key] = self.null_model.log_likelihood(s)
+            return null_cache[key]
+
+        y_indexes: dict = {}
+        skip = [False] * len(pair_list)
+        for y_comp in (False, True):
+            idxs = [
+                k for k, (_, _, yc) in enumerate(pair_list) if yc == y_comp
+            ]
+            if not idxs:
+                continue
+            tables, _ = self._tables(y_comp)
+            for c0 in range(0, len(idxs), chunk_size):
+                sub = idxs[c0 : c0 + chunk_size]
+                pairs = []
+                for k in sub:
+                    nx, ny, _ = pair_list[k]
+                    if ny not in y_indexes:
+                        y_indexes[ny] = KmerIndex(
+                            seqs[ny], self.config.kmer_len
+                        )
+                    env = self.config.make_envelope(
+                        seqs[nx], y_indexes[ny], VITERBI_CELL_SIZE
+                    )
+                    pairs.append((seqs[nx], seqs[ny], env))
+                batch = OverlapBatch(pairs, tables)
+                sc = overlap_score_native(batch, tables)
+                if sc is None:
+                    return None
+                for k, s in zip(sub, sc):
+                    nx, ny, _ = pair_list[k]
+                    adj = s - null_ll(nx) - null_ll(ny, y_comp)
+                    skip[k] = adj < printer.log_odds_threshold
+        return skip
 
     def _align_all_batched(self, out, seqs, pair_list, printer,
                            max_batch: int = 128) -> None:
