@@ -15,6 +15,8 @@
 // not built.  Build: make -C native (produces libquaffio.so).
 
 #include <algorithm>
+#include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -273,6 +275,38 @@ int64_t qio_diag_kmer_counts(const int32_t* x_tok, int64_t x_len,
     ++n;
   }
   return n;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Sequential truncated log-sum-exp chain (the reference's lookup-table
+// lse semantics, logsumexp.cpp:34-103, as emulated by
+// quaff_tpu/dp/overlap._ref_lse): for each of n_steps terms, in order,
+//   acc[e] = ref_lse(acc[e], terms[t*elems + e])
+// where ref_lse(a,b) = max + log1p(exp(-|a-b|)) for |a-b| < 10, max
+// otherwise (the table truncation), and -inf if both are -inf.  The
+// overlap pair-table build runs thousands of tiny ordered steps; doing
+// the chain here removes the per-step numpy dispatch overhead while
+// keeping the float op order bit-exact.
+void qref_lse_chain(double* acc, const double* terms, int64_t n_steps,
+                    int64_t elems) {
+  const double NEG_INF = -std::numeric_limits<double>::infinity();
+  for (int64_t t = 0; t < n_steps; ++t) {
+    const double* row = terms + t * elems;
+    for (int64_t e = 0; e < elems; ++e) {
+      const double a = acc[e], b = row[e];
+      if (a == NEG_INF && b == NEG_INF) continue;
+      const double m = a > b ? a : b;
+      const double d = a > b ? a - b : b - a;
+      if (d >= 10.0 || !(d == d) || d == INFINITY) {
+        acc[e] = m;
+      } else {
+        acc[e] = m + std::log1p(std::exp(-d));
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -133,26 +133,35 @@ class OverlapScoreTables:
             m_pair - xi[:, None, :, None] - xi[None, :, None, :]
         )
         # marginal tables: the reference accumulates these with sequential
-        # truncated lse in (qi outer, qj inner) order (qoverlap.cpp:59-71)
+        # truncated lse in (qi outer, qj inner) order (qoverlap.cpp:59-71).
+        # Each output slot's accumulation order is preserved exactly; the
+        # independent slots are batched per step (and the whole ordered
+        # chain runs in C when the native library is built — thousands of
+        # tiny numpy dispatches otherwise dominate the table build).
         Q = QUAL_SCORE_RANGE
-        pair_xq = np.full((km, km, Q), -np.inf)
-        pair_yq = np.full((km, km, Q), -np.inf)
-        pair_nn = np.full((km, km), -np.inf)
-        for ik in range(Q):
-            # XQual[ik]: sequential over jk (inner loop order)
-            acc = pair_xq[:, :, ik]
-            for jk in range(Q):
-                term = m_pair[:, :, ik, jk] - xi[:, None, ik] - xn[None, :]
-                acc = _ref_lse(acc, term)
-                # PairProb: sequential over (ik, jk) lexicographic
-                pair_nn = _ref_lse(
-                    pair_nn, m_pair[:, :, ik, jk] - xn[:, None] - xn[None, :]
-                )
-            pair_xq[:, :, ik] = acc
-            # YQual[jk] slots update once per ik; independent across jk
-            pair_yq = _ref_lse(
-                pair_yq, m_pair[:, :, ik, :] - xn[:, None, None] - xi[None, :, :]
-            )
+        # XQual[ik]: per slot ik, sequential over jk
+        t_xq = np.ascontiguousarray(
+            (m_pair - xi[:, None, :, None] - xn[None, :, None, None])
+            .transpose(3, 0, 1, 2)  # [jk, km, km, ik]
+        )
+        pair_xq = _ref_lse_chain(
+            np.full((km, km, Q), -np.inf), t_xq
+        )
+        # YQual[jk]: per slot jk, sequential over ik
+        t_yq = np.ascontiguousarray(
+            (m_pair - xn[:, None, None, None] - xi[None, :, None, :])
+            .transpose(2, 0, 1, 3)  # [ik, km, km, jk]
+        )
+        pair_yq = _ref_lse_chain(
+            np.full((km, km, Q), -np.inf), t_yq
+        )
+        # PairProb: one slot, sequential over (ik, jk) lexicographic
+        t_nn = np.ascontiguousarray(
+            (m_pair - xn[:, None, None, None] - xn[None, :, None, None])
+            .transpose(2, 3, 0, 1)  # [ik, jk, km, km]
+            .reshape(Q * Q, km, km)
+        )
+        pair_nn = _ref_lse_chain(np.full((km, km), -np.inf), t_nn)
 
         out = cls(
             match_kmer_len=qp.match_kmer_len,
@@ -182,6 +191,21 @@ class OverlapScoreTables:
             (ALPHABET_SIZE - 1 - r_ids) if y_complemented else r_ids
         )
         return out
+
+
+def _ref_lse_chain(acc: np.ndarray, terms: np.ndarray) -> np.ndarray:
+    """Ordered _ref_lse accumulation: acc = ref_lse(acc, terms[t]) for
+    t ascending.  terms is [n_steps, *acc.shape].  Runs in C when the
+    native library is built (native/quaffio.cpp qref_lse_chain —
+    bit-identical float ops), else loops in numpy."""
+    acc = np.ascontiguousarray(acc, np.float64)
+    from ..native import ref_lse_chain_native
+
+    if ref_lse_chain_native(acc, terms):
+        return acc
+    for t in range(terms.shape[0]):
+        acc = _ref_lse(acc, terms[t])
+    return acc
 
 
 def _ref_lse(a: np.ndarray, b: np.ndarray) -> np.ndarray:

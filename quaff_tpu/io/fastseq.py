@@ -85,16 +85,38 @@ class FastSeq:
         return len(self.qual) == len(self.seq) and len(self.seq) > 0
 
     def tokens(self) -> np.ndarray:
-        return tokens(self.seq)
+        """Token array, memoized per seq-string identity (batch pipelines
+        re-derive it hundreds of times per read).  The cached array is
+        read-only; callers needing a mutable copy must .copy()."""
+        c = self.__dict__.get("_tok_cache")
+        if c is None or c[0] is not self.seq:
+            arr = tokens(self.seq)
+            arr.setflags(write=False)
+            c = (self.seq, arr)
+            self.__dict__["_tok_cache"] = c
+        return c[1]
 
     def kmers(self, k: int) -> np.ndarray:
-        """Per-position k-mer context codes (see alphabet.context_kmers)."""
-        return context_kmers(self.tokens(), k)
+        """Per-position k-mer context codes (see alphabet.context_kmers),
+        memoized like tokens(); read-only."""
+        c = self.__dict__.get("_kmer_cache")
+        if c is None or c[0] is not self.seq or c[1] != k:
+            arr = context_kmers(self.tokens(), k)
+            arr.setflags(write=False)
+            c = (self.seq, k, arr)
+            self.__dict__["_kmer_cache"] = c
+        return c[2]
 
     def qual_scores(self) -> np.ndarray:
         if not self.has_qual():
             return np.zeros(0, dtype=np.int32)
-        return qual_scores(self.qual)
+        c = self.__dict__.get("_qual_cache")
+        if c is None or c[0] is not self.qual:
+            arr = qual_scores(self.qual)
+            arr.setflags(write=False)
+            c = (self.qual, arr)
+            self.__dict__["_qual_cache"] = c
+        return c[1]
 
     def revcomp(self) -> "FastSeq":
         fs = FastSeq()

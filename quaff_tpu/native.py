@@ -104,6 +104,14 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "qref_lse_chain"):
+        lib.qref_lse_chain.restype = None
+        lib.qref_lse_chain.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
     if hasattr(lib, "qdp_overlap_fill"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -231,6 +239,22 @@ def tokenize_native(seq: str) -> Optional[np.ndarray]:
     if bad >= 0:
         raise ValueError(f"Unknown symbol {seq[bad]} in sequence")
     return out
+
+
+def ref_lse_chain_native(acc: np.ndarray, terms: np.ndarray) -> bool:
+    """Run the ordered truncated-lse chain in C (qref_lse_chain), updating
+    acc in place.  acc must be contiguous f64; terms is
+    [n_steps, *acc.shape].  Returns False when the library is missing."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qref_lse_chain"):
+        return False
+    t = np.ascontiguousarray(terms, np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.qref_lse_chain(
+        acc.ctypes.data_as(f64p), t.ctypes.data_as(f64p),
+        int(t.shape[0]), int(acc.size),
+    )
+    return True
 
 
 def overlap_fill_available() -> bool:

@@ -168,3 +168,31 @@ def test_overlap_pair_enumeration():
     # fwdstrand, 2 originals only
     pairs = list(aligner.enumerate_pairs(seqs[:2], 2))
     assert pairs == [(0, 1, False)]
+
+
+def test_ref_lse_chain_native_matches_numpy():
+    """The C ordered truncated-lse chain is bit-identical to the numpy
+    per-step loop (same float op order; golden overlap scores depend on
+    the truncation semantics)."""
+    import numpy as np
+    import pytest
+
+    from quaff_tpu import native
+    from quaff_tpu.dp.overlap import _ref_lse
+
+    if not native.available() or not hasattr(
+        native.get_lib(), "qref_lse_chain"
+    ):
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(3)
+    terms = rng.normal(-5, 8, size=(200, 7, 13))
+    # sprinkle -inf and near-10-nat gaps to hit the truncation branches
+    terms[rng.random(terms.shape) < 0.1] = -np.inf
+    terms[0] = -np.inf
+    acc_c = np.full((7, 13), -np.inf)
+    assert native.ref_lse_chain_native(acc_c, terms)
+    acc_py = np.full((7, 13), -np.inf)
+    for t in range(terms.shape[0]):
+        acc_py = _ref_lse(acc_py, terms[t])
+    assert np.array_equal(acc_c, acc_py)
