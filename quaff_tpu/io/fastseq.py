@@ -90,7 +90,12 @@ class FastSeq:
         read-only; callers needing a mutable copy must .copy()."""
         c = self.__dict__.get("_tok_cache")
         if c is None or c[0] is not self.seq:
-            arr = tokens(self.seq)
+            try:
+                arr = tokens(self.seq)
+            except ValueError as e:
+                # reference names the offending record (fastseq.cpp
+                # tokenize: "Unknown symbol N in sequence q")
+                raise ValueError(f"{e} {self.name}") from None
             arr.setflags(write=False)
             c = (self.seq, arr)
             self.__dict__["_tok_cache"] = c
