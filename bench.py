@@ -35,6 +35,22 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         return _main_cpu_fallback()
+    try:
+        return _main_accelerator()
+    except Exception as e:  # emit a result even if the device path dies
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            f"bench: accelerator path failed ({type(e).__name__}); "
+            "falling back to the host CPU measurement",
+            file=sys.stderr,
+        )
+        return _main_cpu_fallback()
+
+
+def _main_accelerator():
     import jax
     import jax.numpy as jnp
 
