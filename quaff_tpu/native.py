@@ -65,10 +65,12 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB is not None:
         return _LIB
-    if _LIB_TRIED and not auto_build:
+    path = _lib_path()
+    # A failed attempt is retried if the library has appeared since (a
+    # fresh checkout latches the miss before test_native builds the .so).
+    if _LIB_TRIED and not auto_build and not path.exists():
         return None
     _LIB_TRIED = True
-    path = _lib_path()
     if not path.exists() and auto_build:
         build_native()
     if not path.exists():
