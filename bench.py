@@ -70,7 +70,7 @@ def _main_accelerator():
     tables = ScoreTables.from_params(params)
     env = make_envelope(x, KmerIndex(y, 6), kmer_threshold=14, cell_size=24)
 
-    batch_size = int(os.environ.get("QUAFF_BENCH_BATCH", "256"))
+    batch_size = int(os.environ.get("QUAFF_BENCH_BATCH", "2048"))
     # production align layout: lane-packed strips (this workload's 415-wide
     # 3-cluster bounding band packs into ~206 member lanes -> W=256)
     batch = PairBatch.build_packed([(x, y, env)] * batch_size, tables)

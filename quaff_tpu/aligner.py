@@ -11,6 +11,7 @@ distributed tests assert).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import IO, List, Optional
 
@@ -320,7 +321,7 @@ class QuaffAligner:
                 printer.write_alignment(out, a)
         plog.done()
 
-    def _align_batched(self, refs, reads, plog, max_batch: int = 256):
+    def _align_batched(self, refs, reads, plog, max_batch: int = 2048):
         import jax
 
         def round_up(v, m):
@@ -363,9 +364,13 @@ class QuaffAligner:
             ny, nx, env = job
             groups.setdefault(reads[ny].has_qual(), []).append(job)
 
-        # v2 kernel scoped-VMEM budget: B_pad * W <= 256 * 512 cells
-        # (B=512 at W=512 overflows the 16 MB scoped limit)
-        V2_VMEM_CELLS = 256 * 512
+        # v2 kernel batch budget (B_pad * W cells) under the raised
+        # Mosaic VMEM ceiling (dp/pallas_v2.VMEM_LIMIT_BYTES): measured
+        # optimum on v5e is 2048x256 (6.8 Gcells/s vs 5.4 at 512x256);
+        # 4096x256 compiles but is slower.  QUAFF_V2_VMEM_CELLS overrides.
+        V2_VMEM_CELLS = int(
+            os.environ.get("QUAFF_V2_VMEM_CELLS", str(2048 * 256))
+        )
 
         chunks = []
         for hq, js in sorted(groups.items()):

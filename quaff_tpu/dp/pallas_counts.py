@@ -51,6 +51,7 @@ from .pallas_v2 import (
     NEG_INF,
     NUM_KEYS,
     QP,
+    VMEM_LIMIT_BYTES,
     V2Tables,
     _advance_window,
     _lane_tables,
@@ -541,6 +542,9 @@ def _fwd_store(keys, emis, insv, ik, member, xs0, meta, doff, snew,
             pltpu.VMEM((b_pad, width), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
     )(keys, emis, insv, ik, member, xs0, meta, doff, snew)
     return out, mrows, irows, drows
 
@@ -615,6 +619,9 @@ def _bwd_counts(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
             pltpu.VMEM((b_pad, width), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
     )(keys, emis, insv, ik, member, xsl, meta, doff, sold, wrow,
       mrows, irows, drows, mrows, irows, drows)
     return d_emis, d_insv, d_ik, d_sc

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..alphabet import ALPHABET_SIZE, QUAL_SCORE_RANGE
 from .pallas_v2 import (
     NEG_INF,
+    VMEM_LIMIT_BYTES,
     _cyclic_lanes,
     _roll_lanes_per_row,
     _round_up,
@@ -203,6 +204,9 @@ def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta, doff, snew,
         out_shape=jax.ShapeDtypeStruct((b_pad, width), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b_pad, width), jnp.float32)] * 8,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
     )(rows, member, a0, a1, a2, a3, c0, meta, doff, snew)
     return out
 

@@ -27,6 +27,21 @@ from .io.fastseq import FastSeq, KmerIndex, SeqIntervalCoords
 from .model.params import QuaffNullParams, QuaffParams
 
 NEG_INF = -math.inf
+
+
+def _ov_vmem_cells() -> int:
+    """Scoped-VMEM batch budget for the overlap kernel (B_pad * W cells).
+
+    The kernel keeps ~18 [B, W] f32 buffers resident plus double-buffered
+    row streams; the default is measured on v5e with the raised Mosaic
+    VMEM ceiling (dp/pallas_v2.VMEM_LIMIT_BYTES): a 512k budget runs the
+    16-read all-vs-all sweep 3-6x faster than the old 16 MiB-bound 96k
+    (fewer distinct batch shapes to compile AND better occupancy;
+    tools/prof/vmem_tune.py overlap).  Override with
+    QUAFF_OV_VMEM_CELLS."""
+    import os
+
+    return int(os.environ.get("QUAFF_OV_VMEM_CELLS", str(512 * 1024)))
 MATCH, INSERT, DELETE, START = 0, 1, 2, 3
 
 
@@ -565,7 +580,7 @@ class QuaffOverlapAligner:
         return skip
 
     def _align_all_batched(self, out, seqs, pair_list, printer,
-                           max_batch: int = 128) -> None:
+                           max_batch: int = 2048) -> None:
         """TPU fast path for all-vs-all overlap: batch-score every pair
         with the Pallas kernel, then run the exact fill + traceback only
         for pairs whose (null-adjusted) score can clear the report
@@ -612,10 +627,7 @@ class QuaffOverlapAligner:
         # mixed row counts into one dispatch at the max lp beats one
         # dispatch per padded shape.  A chunk stops accepting shorter
         # pairs once the padding rows added exceed one extra full scan.
-        # scoped-VMEM budget for the overlap kernel: ~18 [B, W] f32
-        # buffers + double-buffered streams; B_pad * W beyond ~100k
-        # cells overflows the 16 MB scoped limit (observed at 128x1152)
-        OV_VMEM_CELLS = 96 * 1024
+        OV_VMEM_CELLS = _ov_vmem_cells()
 
         by_strand: dict = {}
         for job in jobs:

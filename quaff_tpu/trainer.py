@@ -28,6 +28,23 @@ from .model.params import QuaffCounts, QuaffNullParams, QuaffParamCounts, QuaffP
 MAX_EM_ITERATIONS = 100
 MIN_EM_LOGLIKE_INC = 0.01
 
+# E-step kernel batch ceiling and scoped-VMEM cell budget (B_pad * W).
+# The fused fwd_store/bwd_counts pair keeps more [B, W] f32 buffers
+# resident than the score kernels, so its budget is tuned separately
+# (tools/prof/vmem_tune.py, v5e with the raised Mosaic VMEM ceiling):
+# B=1024 W=128 rows=3072 runs at 1.68 Gcells/s vs 0.92 at B=256, and
+# 256k cells compile cleanly; B=2048 at full rows exhausts HBM (the
+# 3 forward row streams are 12*B*W*rows bytes — the _ESTEP_HBM_BYTES
+# term).  QUAFF_ESTEP_VMEM_CELLS overrides the VMEM cell budget.
+_ESTEP_MAX_BATCH = 1024
+_ESTEP_HBM_BYTES = 6.0e9
+
+
+def _estep_vmem_cells() -> int:
+    import os
+
+    return int(os.environ.get("QUAFF_ESTEP_VMEM_CELLS", str(256 * 1024)))
+
 # drop refs whose log-likelihood trails the total by more than this
 # (MAX_TRAINING_LOG_DELTA, qmodel.cpp:23)
 MAX_TRAINING_LOG_DELTA = 20.0
@@ -348,7 +365,9 @@ class QuaffCounter:
                 # ~100k cells overflows the 16 MB limit), rounded DOWN
                 # to a power of two so the padded batch honours both
                 max_b = min(
-                    256, int(3.5e9 // (12 * wp * lp)), 98304 // wp
+                    _ESTEP_MAX_BATCH,
+                    int(_ESTEP_HBM_BYTES // (12 * wp * lp)),
+                    _estep_vmem_cells() // wp,
                 )
                 b_cap = 8
                 while b_cap * 2 <= max_b:
