@@ -186,6 +186,12 @@ class OverlapScoreTables:
         # extras consumed by the Pallas overlap kernel (dp/pallas_overlap)
         out.base_tables = tables
         out.log_ref_base = np.log(qp.ref_base)
+        # per-indel-kmer gap-open logs: the kernel rebuilds m2m/m2i/m2d
+        # per cell from their separable form (qoverlap.cpp:35-39)
+        #   m2m[i][j] = stay[i] + stay[j]; m2i[i][j] = open[i];
+        #   m2d[i][j] = stay[i] + open[j]
+        out.log_gap_open = np.log(gap_open)
+        out.log_gap_stay = np.log(1 - gap_open)
         r_ids = np.arange(ALPHABET_SIZE)
         out.y_symbol_map = (
             (ALPHABET_SIZE - 1 - r_ids) if y_complemented else r_ids

@@ -53,27 +53,44 @@ C_NEW = 5  # + seg*5 + w: incoming column for x-side window w of segment
 MAX_SEGS = 3  # lane-packed strips per pair (more get merged)
 NUM_CH = 24
 
+# gap-order->0 layout: two extra y channels (gap-open at the current row,
+# gap-stay at the previous row) and two extra x-side windows per segment
+# (gap-open / gap-stay along the band), so the position-dependent
+# m2m/m2i/m2d transitions (qoverlap.h:43-45) resolve per cell:
+#   m2i(i, j-1)   = open_x(i)                      (current window)
+#   m2m(i-1, j-1) = stay_x(i-1) + stay_y(j-1)      (lane shift + C_G1YP)
+#   m2d(i-1, j)   = stay_x(i-1) + open_y(j)        (lane shift + C_GOY)
+C_GOY = 5
+C_G1YP = 6
+C_NEW_IK = 7  # + seg*7 + w (w = 0..3: msX[r], 4: insert, 5: open, 6: stay)
+NUM_CH_IK = 32
+
 
 def _ov_kernel(
-    rows_ref,  # [1, NUM_CH, B] f32 streamed
-    member_ref,  # [B, W]
-    a0_ref, a1_ref, a2_ref, a3_ref, c0_ref,  # initial windows [B, W]
-    meta_ref,  # [16, B]: rows 1..3 = x_len, y_len, j_off; 4..12 = trans
-    doff_ref,  # [B, W] f32: diagonal of each lane (segment-packed)
-    snew_ref,  # [B, W] f32: segment id at segment-last lanes, else -1
-    out_ref,  # [B, W] end accumulator
-    mat_ref, ins_ref, del_ref,
-    wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref,
-    *,
+    *refs,
     width: int,
     n_segs: int = 1,
+    use_ik: bool = False,
 ):
+    if use_ik:
+        (rows_ref, member_ref, a0_ref, a1_ref, a2_ref, a3_ref, c0_ref,
+         go0_ref, g10_ref, meta_ref, doff_ref, snew_ref, out_ref,
+         mat_ref, ins_ref, del_ref,
+         wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref,
+         wgo_ref, wg1_ref) = refs
+    else:
+        (rows_ref, member_ref, a0_ref, a1_ref, a2_ref, a3_ref, c0_ref,
+         meta_ref, doff_ref, snew_ref, out_ref,
+         mat_ref, ins_ref, del_ref,
+         wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref) = refs
     j0 = pl.program_id(0)
     # transitions ride meta rows 4-12 as device data (not compiled-in
-    # constants), so per-job params do not recompile the kernel
-    m2m_t = meta_ref[4, :][:, None]
-    m2i_t = meta_ref[5, :][:, None]
-    m2d_t = meta_ref[6, :][:, None]
+    # constants), so per-job params do not recompile the kernel.  At gap
+    # order > 0 the m2* transitions are per-cell instead (see C_GOY).
+    if not use_ik:
+        m2m_t = meta_ref[4, :][:, None]
+        m2i_t = meta_ref[5, :][:, None]
+        m2d_t = meta_ref[6, :][:, None]
     i2m_e = meta_ref[7, :][:, None]
     i2i_e = meta_ref[8, :][:, None]
     i2d_e = meta_ref[9, :][:, None]
@@ -84,8 +101,13 @@ def _ov_kernel(
     W = width
     lse = jnp.logaddexp
 
-    wins = (wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref)
-    inits = (a0_ref, a1_ref, a2_ref, a3_ref, c0_ref)
+    wins = [wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref]
+    inits = [a0_ref, a1_ref, a2_ref, a3_ref, c0_ref]
+    if use_ik:
+        wins += [wgo_ref, wg1_ref]
+        inits += [go0_ref, g10_ref]
+    c_new = C_NEW_IK if use_ik else C_NEW
+    stride = 7 if use_ik else 5
 
     @pl.when(j0 == 0)
     def _init():
@@ -103,7 +125,7 @@ def _ov_kernel(
         for w, w_ref in enumerate(wins):
             win = pltpu.roll(w_ref[:], jnp.int32(W - 1), 1)
             for k in range(n_segs):
-                newcol = rows_ref[0, C_NEW + k * 5 + w, :][:, None]
+                newcol = rows_ref[0, c_new + k * stride + w, :][:, None]
                 win = jnp.where(slot == float(k), newcol, win)
             w_ref[:] = win
 
@@ -127,18 +149,31 @@ def _ov_kernel(
     ins_p = ins_ref[:]
     del_p = del_ref[:]
 
+    def shift_hi(v):
+        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, jnp.int32(W - 1), 1))
+
+    def shift_lo(v):
+        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, jnp.int32(1), 1))
+
+    if use_ik:
+        # per-cell transitions from the x-side gap windows and the y
+        # channels.  Lane w-1 holds x index i-1 within a segment; at
+        # segment seams the shifted value is wrong but those cells are
+        # halo lanes (member False), so every path through them is
+        # already -inf.
+        goy = rows_ref[0, C_GOY, :][:, None]
+        g1yp = rows_ref[0, C_G1YP, :][:, None]
+        stay_xm1 = shift_lo(wg1_ref[:])
+        m2m_t = stay_xm1 + g1yp
+        m2i_t = wgo_ref[:]
+        m2d_t = stay_xm1 + goy
+
     mat_c = jnp.maximum(
         jnp.maximum(mat_p + m2m_t, del_p + d2m_e), ins_p + i2m_e
     )
     start_ok = (jf == 1.0) | (idx == 0.0)
     mat_c = jnp.maximum(mat_c, jnp.where(start_ok, 0.0, NEG_INF))
     mat_c = jnp.where(valid, mat_c + emit, NEG_INF)
-
-    def shift_hi(v):
-        return jnp.where(lane == W - 1, NEG_INF, pltpu.roll(v, jnp.int32(W - 1), 1))
-
-    def shift_lo(v):
-        return jnp.where(lane == 0, NEG_INF, pltpu.roll(v, jnp.int32(1), 1))
 
     ins_c = jnp.maximum(
         lse(shift_hi(ins_p) + i2i_e, shift_hi(del_p) + d2i_e),
@@ -177,37 +212,43 @@ def _ov_kernel(
                      "interpret"),
 )
 def _ov_fill(rows, member, a0, a1, a2, a3, c0, meta, doff, snew,
-             width, b_pad, n_rows, n_segs=1, interpret=False):
+             width, b_pad, n_rows, n_segs=1, interpret=False,
+             go0=None, g10=None):
+    use_ik = go0 is not None
     kernel = functools.partial(
-        _ov_kernel, width=width, n_segs=n_segs
+        _ov_kernel, width=width, n_segs=n_segs, use_ik=use_ik
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    n_ch = NUM_CH_IK if use_ik else NUM_CH
+    n_win = 7 if use_ik else 5
+    args = [rows, member, a0, a1, a2, a3, c0]
+    if use_ik:
+        args += [go0, g10]
+    args += [meta, doff, snew]
     out = pl.pallas_call(
         kernel,
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec((1, NUM_CH, b_pad), lambda j: (j, 0, 0),
+            pl.BlockSpec((1, n_ch, b_pad), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            resident((b_pad, width)),
-            resident((b_pad, width)),
-            resident((b_pad, width)),
-            resident((b_pad, width)),
-            resident((b_pad, width)),
-            resident((b_pad, width)),
+        ]
+        + [resident((b_pad, width))] * (6 + (2 if use_ik else 0))
+        + [
             resident(meta.shape),
             resident((b_pad, width)),
             resident((b_pad, width)),
         ],
         out_specs=resident((b_pad, width)),
         out_shape=jax.ShapeDtypeStruct((b_pad, width), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((b_pad, width), jnp.float32)] * 8,
+        scratch_shapes=[pltpu.VMEM((b_pad, width), jnp.float32)]
+        * (3 + n_win),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
-    )(rows, member, a0, a1, a2, a3, c0, meta, doff, snew)
+    )(*args)
     return out
 
 
@@ -238,6 +279,13 @@ def _ov_tabs(tables):
         ),
         "log_rb": jnp.asarray(np.asarray(tables.log_ref_base, np.float32)),
     }
+    if tables.indel_kmer_len > 0:
+        tabs["lgo"] = jnp.asarray(
+            np.asarray(tables.log_gap_open, np.float32)
+        )  # [Ki]
+        tabs["lg1m"] = jnp.asarray(
+            np.asarray(tables.log_gap_stay, np.float32)
+        )
     tables._ov_tabs_cache = tabs
     return tabs
 
@@ -263,6 +311,8 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
     from .pallas_v2 import _lane_tables, _roll_rows_per_column, _cyclic_rows
 
     Q = QUAL_SCORE_RANGE
+    use_ik = "lgo" in tabs
+    x_ik = y_ik = None
     if "x_row" in batch:
         bt = batch["bank_tok"].astype(jnp.int32)
         bm = batch["bank_mk"].astype(jnp.int32)
@@ -278,6 +328,10 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         y_tok = jnp.take(bt, yr, axis=0)
         y_q = jnp.take(bqv, yr, axis=0)
         y_hq = jnp.take(bh, yr)
+        if use_ik:
+            bik = batch["bank_ik"].astype(jnp.int32)
+            x_ik = jnp.take(bik, xr, axis=0)
+            y_ik = jnp.take(bik, yr, axis=0)
     else:
         x_tok = batch["x_tok"].astype(jnp.int32)
         x_mk = batch["x_match_kmer"].astype(jnp.int32)
@@ -287,6 +341,9 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         y_tok = batch["y_tok"].astype(jnp.int32)
         y_q = batch["y_qual"].astype(jnp.int32)
         y_hq = batch["y_has_qual"]
+        if use_ik:
+            x_ik = batch["x_indel_kmer_pad"].astype(jnp.int32)[:, 1:]
+            y_ik = batch["y_indel_kmer_pad"].astype(jnp.int32)[:, 1:]
     x_len = batch["x_len"].astype(jnp.int32)
     y_len = batch["y_len"].astype(jnp.int32)
     member = batch["member"]
@@ -317,15 +374,26 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         seg_d_lo, seg_start, seg_width, W, B, Bp
     )
 
-    # combined per-x-position key: ((xkm*Q + xq)*4 + xtok); one variable
-    # roll then div/mod decode replaces three rolls per segment
+    # combined per-x-position key: ((xkm*Q + xq)*4 + xtok), with the
+    # indel kmer packed into the low digits at gap order > 0; one
+    # variable roll then div/mod decode replaces per-array rolls
+    Ki = int(tabs["lgo"].shape[0]) if use_ik else 1
     pk = (jnp.clip(x_mk, 0, Km - 1) * Q + jnp.clip(x_q, 0, Q - 1)) * 4 \
         + jnp.clip(x_tok, 0, 3)  # [B, Lx]
+    if use_ik:
+        pk = pk * Ki + jnp.clip(x_ik, 0, Ki - 1)
     log_rb = tabs["log_rb"]
 
     def x_values(pk_sel, hq):
-        """Resolve the 4 match-given-ref values (+log ref base) and the
-        insert value from combined keys.  pk_sel [..., ], hq broadcast."""
+        """Resolve the 4 match-given-ref values (+log ref base), the
+        insert value, and (at gap order > 0) the gap open/stay logs from
+        combined keys.  pk_sel [..., ], hq broadcast."""
+        go = g1 = None
+        if use_ik:
+            ikv = pk_sel % Ki
+            pk_sel = pk_sel // Ki
+            go = jnp.take(tabs["lgo"], ikv)
+            g1 = jnp.take(tabs["lg1m"], ikv)
         kmq = pk_sel // 4
         tok = pk_sel % 4
         km = kmq // Q
@@ -335,7 +403,7 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         iq = jnp.take(tabs["ins2"], jnp.clip(kmq % Q + tok * Q, 0, 4 * Q - 1))
         inn = jnp.take(tabs["insn2"], tok)
         ins = jnp.where(hq, iq, inn)
-        return v4, ins
+        return v4, ins, go, g1
 
     # initial windows (row j_off+1's view): lane l of segment k holds the
     # x value at t0 = seg_d_lo + (l - seg_start) + j_off; banded index ->
@@ -352,11 +420,16 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         pk0 = jnp.where(in_seg, rolled, pk0)
     t0 = doff_i + j_off[:, None]
     ok0 = (t0 >= 0) & (t0 < x_len[:, None])
-    v4_0, ins_0 = x_values(pk0, x_hq[:, None])
+    v4_0, ins_0, go_0, g1_0 = x_values(pk0, x_hq[:, None])
     a_init = [
         jnp.where(ok0, v4_0[..., r], NEG_INF) for r in range(ALPHABET_SIZE)
     ]
     c_init = jnp.where(ok0, ins_0, 0.0)
+    if use_ik:
+        # out-of-range gap values stay finite (0.0): every DP path that
+        # would consume them is blocked by a -inf source term already
+        go_init = jnp.where(ok0, go_0, 0.0)
+        g1_init = jnp.where(ok0, g1_0, 0.0)
 
     # streamed incoming columns: segment k's last lane (diagonal d_last)
     # receives the value at t = d_last + j_off + r when advancing into
@@ -373,10 +446,13 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
             & (t_new < x_len[None, :])
         )
         rk = _cyclic_rows(_roll_rows_per_column(pk_t, d_last), R)
-        v4_k, ins_k = x_values(rk, x_hq[None, :])
+        v4_k, ins_k, go_k, g1_k = x_values(rk, x_hq[None, :])
         for r in range(4):
             new_chans.append(jnp.where(ok_new, v4_k[..., r], NEG_INF))
         new_chans.append(jnp.where(ok_new, ins_k, 0.0))
+        if use_ik:
+            new_chans.append(jnp.where(ok_new, go_k, 0.0))
+            new_chans.append(jnp.where(ok_new, g1_k, 0.0))
 
     # y-side per-row values at true rows j_off + 1 + r (strand fold baked
     # into msy2/msyn2): per-pair row roll of the y arrays
@@ -403,10 +479,23 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
 
     channels = [padB_rows(msy4[..., r]) for r in range(4)]
     channels.append(padB_rows(insy))
+    if use_ik:
+        # y-side gap channels: open at the current row jf, stay at the
+        # previous row jf-1 (jf=1 hits the reference's dummy entry 0 —
+        # harmless, that path's source is -inf)
+        yik_cur = y_rows(y_ik)
+        yik_prev = y_rows(
+            jnp.pad(y_ik[:, :-1], ((0, 0), (1, 0)))
+        )
+        goy = jnp.take(tabs["lgo"], jnp.clip(yik_cur, 0, Ki - 1))
+        g1yp = jnp.take(tabs["lg1m"], jnp.clip(yik_prev, 0, Ki - 1))
+        channels.append(padB_rows(goy))
+        channels.append(padB_rows(g1yp))
     channels.extend(padB_rows(c) for c in new_chans)
+    n_ch = NUM_CH_IK if use_ik else NUM_CH
     zeros_r = jnp.zeros((R, Bp), jnp.float32)
     rows = jnp.stack(
-        channels + [zeros_r] * (NUM_CH - len(channels)), axis=1
+        channels + [zeros_r] * (n_ch - len(channels)), axis=1
     )
 
     def padW(a, fill):
@@ -416,6 +505,8 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
 
     a0, a1, a2, a3 = (padW(a_init[k], NEG_INF) for k in range(4))
     c0 = padW(c_init, 0.0)
+    go0 = padW(go_init, 0.0) if use_ik else None
+    g10 = padW(g1_init, 0.0) if use_ik else None
     member_f = jnp.zeros((Bp, W), jnp.float32).at[:B, :W0].set(
         member.astype(jnp.float32)
     )
@@ -429,7 +520,8 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
                 jnp.asarray(trans9, jnp.float32)[:, None], (9, Bp)
             )
         )
-    return rows, member_f, a0, a1, a2, a3, c0, meta, doff_f, snew_f
+    return (rows, member_f, a0, a1, a2, a3, c0, meta, doff_f, snew_f,
+            go0, g10)
 
 
 def packed_overlap_descriptors(envs, x_lens, y_lens, max_segs: int = MAX_SEGS):
@@ -506,8 +598,6 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
     return_segments=True (lane-packed batches only) also returns the
     per-strip raw end maxima [B, S] — insert scores NOT added, so they
     rank strips within a pair, matching pack_strips order."""
-    if tables.indel_kmer_len != 0:
-        raise ValueError("overlap kernel supports gap order 0 only")
     member = np.asarray(batch["member"])
     B, W0 = member.shape
     Ly = (
@@ -536,16 +626,18 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
         ],
         jnp.float32,
     )
-    rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew = _ov_prepare_device(
-        _ov_tabs(tables), batch, W, Bp,
-        n_rows=Ly if ("x_row" in batch or "j_off" in batch) else None,
-        trans9=trans9,
+    (rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew, go0, g10) = (
+        _ov_prepare_device(
+            _ov_tabs(tables), batch, W, Bp,
+            n_rows=Ly if ("x_row" in batch or "j_off" in batch) else None,
+            trans9=trans9,
+        )
     )
 
     out = _ov_fill(
         rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew,
         width=W, b_pad=Bp, n_rows=Ly, n_segs=n_segs,
-        interpret=interpret,
+        interpret=interpret, go0=go0, g10=g10,
     )
     if return_segments:
         if "seg_d_lo" not in batch:

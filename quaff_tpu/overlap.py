@@ -29,6 +29,15 @@ from .model.params import QuaffNullParams, QuaffParams
 NEG_INF = -math.inf
 
 
+def _ov_interpret() -> bool:
+    """QUAFF_OV_INTERPRET=1 runs the overlap kernel in Pallas interpret
+    mode — lets the TPU fast path (and its pruning logic) run end-to-end
+    on the CPU backend for integration tests."""
+    import os
+
+    return os.environ.get("QUAFF_OV_INTERPRET") == "1"
+
+
 def _ov_vmem_cells() -> int:
     """Scoped-VMEM batch budget for the overlap kernel (B_pad * W cells).
 
@@ -486,10 +495,7 @@ class QuaffOverlapAligner:
     def _use_fast_scores(self) -> bool:
         import jax
 
-        return (
-            jax.default_backend() == "tpu"
-            and self.params.indel_kmer_len == 0
-        )
+        return jax.default_backend() == "tpu"
 
     def align_all(
         self,
@@ -679,16 +685,20 @@ class QuaffOverlapAligner:
         NB = len(rows_keys)
         fwd_tables, _ = self._tables(False)
         mk_len = fwd_tables.match_kmer_len
+        ik_len = fwd_tables.indel_kmer_len
         b_tok = np.zeros((NB, Lmax), np.int32)
         b_mk = np.zeros((NB, Lmax), np.int32)
+        b_ik = np.zeros((NB, Lmax), np.int32) if ik_len else None
         b_q = np.zeros((NB, Lmax), np.int32)
         b_hq = np.zeros(NB, bool)
         for (i, comp), r in row_of.items():
             tabs_rc, _ = self._tables(comp)
-            tok, mk, _ik, q = _y_strand_arrays(seqs[i], tabs_rc)
+            tok, mk, ik, q = _y_strand_arrays(seqs[i], tabs_rc)
             n = len(tok)
             b_tok[r, :n] = tok
             b_mk[r, :n] = mk
+            if ik_len:
+                b_ik[r, :n] = ik
             if q is not None:
                 b_q[r, :n] = q
                 b_hq[r] = True
@@ -698,6 +708,8 @@ class QuaffOverlapAligner:
             "bank_q": _narrow_int(b_q, 94),
             "bank_hq": jnp.asarray(b_hq),
         }
+        if ik_len:
+            bank["bank_ik"] = _narrow_int(b_ik, 4 ** ik_len)
 
         ins_cache: dict = {}
 
@@ -781,7 +793,8 @@ class QuaffOverlapAligner:
                     }
                 )
                 s_dev, seg_dev = overlap_scores_kernel(
-                    tables, d, n_rows=lp, return_segments=True
+                    tables, d, n_rows=lp, return_segments=True,
+                    interpret=_ov_interpret(),
                 )
                 s = np.asarray(s_dev, dtype=np.float64)
                 segs = np.asarray(seg_dev, dtype=np.float64)

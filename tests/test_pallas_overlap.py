@@ -19,6 +19,26 @@ from quaff_tpu.overlap import OverlapBatch
 import jax.numpy as jnp
 
 
+def _make_params(gap_order=0):
+    """Default params, optionally lifted to a non-trivial gap order:
+    per-indel-kmer begin probabilities spread around the scalar defaults
+    so the position-dependent m2m/m2i/m2d transitions actually vary."""
+    params = default_params()
+    if gap_order == 0:
+        return params
+    import copy
+
+    p = copy.deepcopy(params)
+    p.indel_kmer_len = gap_order
+    ki = 4 ** gap_order
+    bi = float(np.atleast_1d(params.begin_insert)[0])
+    bd = float(np.atleast_1d(params.begin_delete)[0])
+    rng = np.random.default_rng(7)
+    p.begin_insert = np.clip(bi * rng.uniform(0.5, 2.0, ki), 1e-4, 0.4)
+    p.begin_delete = np.clip(bd * rng.uniform(0.5, 2.0, ki), 1e-4, 0.4)
+    return p
+
+
 def _read_pairs(rng, n, y_comp=False):
     pairs = []
     for b in range(n):
@@ -46,10 +66,11 @@ def _read_pairs(rng, n, y_comp=False):
     return pairs
 
 
+@pytest.mark.parametrize("gap_order", [0, 1])
 @pytest.mark.parametrize("y_comp", [False, True])
-def test_overlap_kernel_matches_xla(y_comp):
+def test_overlap_kernel_matches_xla(y_comp, gap_order):
     rng = np.random.default_rng(13)
-    params = default_params()
+    params = _make_params(gap_order)
     tables = OverlapScoreTables.from_params(params, y_comp)
     pairs = _read_pairs(rng, 4, y_comp)
     batch = OverlapBatch(pairs, tables)
@@ -65,15 +86,16 @@ def test_overlap_kernel_matches_xla(y_comp):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=0.05)
 
 
+@pytest.mark.parametrize("gap_order", [0, 1])
 @pytest.mark.parametrize("y_comp", [False, True])
-def test_overlap_kernel_packed_trimmed(y_comp):
+def test_overlap_kernel_packed_trimmed(y_comp, gap_order):
     """Lane-packed strips + live-row trimming must score identically to
     the full bounding-band kernel batch (which itself matches XLA)."""
     from quaff_tpu.dp.pallas_overlap import packed_overlap_descriptors
     from quaff_tpu.dp.pallas_v2 import _round_up
 
     rng = np.random.default_rng(23)
-    params = default_params()
+    params = _make_params(gap_order)
     tables = OverlapScoreTables.from_params(params, y_comp)
 
     # overlaps on diagonals far from 0 -> multi-strip envelopes with a
@@ -222,15 +244,16 @@ def test_overlap_kernel_segment_scores():
         )
 
 
+@pytest.mark.parametrize("gap_order", [0, 1])
 @pytest.mark.parametrize("y_comp", [False, True])
-def test_overlap_kernel_bank_path(y_comp):
+def test_overlap_kernel_bank_path(y_comp, gap_order):
     """The sequence-bank batch form (unique rows + per-pair indices) must
     score identically to the per-pair OverlapBatch form."""
     from quaff_tpu.dp.engine import _narrow_int
     from quaff_tpu.overlap import _y_strand_arrays, _insert_score_sum
 
     rng = np.random.default_rng(41)
-    params = default_params()
+    params = _make_params(gap_order)
     tables = OverlapScoreTables.from_params(params, y_comp)
     pairs = _read_pairs(rng, 4, y_comp=y_comp)
 
@@ -256,14 +279,16 @@ def test_overlap_kernel_bank_path(y_comp):
     NB = len(seqs)
     b_tok = np.zeros((NB, Lmax), np.int32)
     b_mk = np.zeros((NB, Lmax), np.int32)
+    b_ik = np.zeros((NB, Lmax), np.int32)
     b_q = np.zeros((NB, Lmax), np.int32)
     b_hq = np.zeros(NB, bool)
     for r, (s, comp) in enumerate(seqs):
         tabs_rc = OverlapScoreTables.from_params(params, comp)
-        tok, mk, _ik, q = _y_strand_arrays(s, tabs_rc)
+        tok, mk, ik, q = _y_strand_arrays(s, tabs_rc)
         n = len(tok)
         b_tok[r, :n] = tok
         b_mk[r, :n] = mk
+        b_ik[r, :n] = ik
         if q is not None:
             b_q[r, :n] = q
             b_hq[r] = True
@@ -281,6 +306,11 @@ def test_overlap_kernel_bank_path(y_comp):
         "bank_mk": _narrow_int(b_mk, 4 ** max(tables.match_kmer_len, 1)),
         "bank_q": _narrow_int(b_q, 94),
         "bank_hq": jnp.asarray(b_hq),
+        **(
+            {"bank_ik": _narrow_int(b_ik, 4 ** gap_order)}
+            if gap_order
+            else {}
+        ),
         "x_row": jnp.asarray(
             [rows[(x.name, False)] for x, _, _ in pairs], jnp.int32
         ),
@@ -317,3 +347,57 @@ def test_overlap_kernel_bank_path(y_comp):
         dtype=np.float64,
     )
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("gap_order", [0, 1])
+def test_overlap_pipeline_fast_path_matches_sequential(gap_order, monkeypatch):
+    """The all-vs-all TPU fast path (kernel scoring + pruned exact fills,
+    overlap.QuaffOverlapAligner._align_all_batched) must produce the
+    byte-identical Stockholm text of the sequential XLA path — exercised
+    on the CPU backend via QUAFF_OV_INTERPRET=1."""
+    import io
+
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.formats.alignment import AlignmentPrinter
+    from quaff_tpu.io.fastseq import add_revcomps
+    from quaff_tpu.model.params import QuaffNullParams
+    from quaff_tpu.overlap import QuaffOverlapAligner
+
+    rng = np.random.default_rng(5)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 600))
+    reads = []
+    for i in range(4):
+        s0 = int(rng.integers(0, 200))
+        ln = int(rng.integers(250, 350))
+        s = list(base[s0 : s0 + ln])
+        for p in range(len(s)):
+            if rng.random() < 0.05:
+                s[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append(
+            FastSeq(
+                name=f"r{i}", seq="".join(s),
+                qual="".join(
+                    chr(33 + int(q)) for q in rng.integers(3, 40, len(s))
+                ),
+            )
+        )
+    params = _make_params(gap_order)
+    null = QuaffNullParams.fit(reads)
+    config = DPConfig()
+    printer = AlignmentPrinter()
+    printer.log_odds_threshold = float("-inf")
+    seqs = add_revcomps(reads)
+
+    ov = QuaffOverlapAligner(params, null, config)
+    want = io.StringIO()
+    ov.align_all(want, seqs, len(reads), printer)
+    assert want.getvalue().count("# STOCKHOLM")
+
+    monkeypatch.setenv("QUAFF_OV_INTERPRET", "1")
+    monkeypatch.setattr(
+        QuaffOverlapAligner, "_use_fast_scores", lambda self: True
+    )
+    ov2 = QuaffOverlapAligner(params, null, config)
+    got = io.StringIO()
+    ov2.align_all(got, seqs, len(reads), printer)
+    assert got.getvalue() == want.getvalue()
