@@ -56,15 +56,27 @@ class Alignment:
                 row_data.append(s.qual)
 
         if self.rows == 2:
-            cons = []
-            s0, s1 = self.gapped_seq[0].seq, self.gapped_seq[1].seq
-            for c0, c1 in zip(s0.upper(), s1.upper()):
-                if is_gap_char(c0) or is_gap_char(c1):
-                    cons.append(GAP_CHAR)
-                else:
-                    cons.append(c0 if c0 == c1 else MISMATCH_CHAR)
+            import numpy as np
+
+            a0 = np.frombuffer(
+                self.gapped_seq[0].seq.upper().encode("latin-1"), np.uint8
+            )
+            a1 = np.frombuffer(
+                self.gapped_seq[1].seq.upper().encode("latin-1"), np.uint8
+            )
+            gap = (
+                (a0 == ord("-")) | (a0 == ord("."))
+                | (a1 == ord("-")) | (a1 == ord("."))
+            )
+            cons_a = np.where(
+                gap,
+                np.uint8(ord(GAP_CHAR)),
+                np.where(a0 == a1, a0, np.uint8(ord(MISMATCH_CHAR))),
+            )
             row_name.insert(row_index[1], "#=GC id")
-            row_data.insert(row_index[1], "".join(cons))
+            row_data.insert(
+                row_index[1], cons_a.tobytes().decode("latin-1")
+            )
             if self.gapped_seq[0].has_qual():
                 row_name[0], row_name[1] = row_name[1], row_name[0]
                 row_data[0], row_data[1] = row_data[1], row_data[0]
@@ -86,30 +98,24 @@ class Alignment:
 
     def cigar_string(self) -> str:
         assert self.rows == 2
-        last_char = ""
-        count = 0
-        cigar = []
-        for c0, c1 in zip(self.gapped_seq[0].seq, self.gapped_seq[1].seq):
-            gap0, gap1 = is_gap_char(c0), is_gap_char(c1)
-            if not gap0 and not gap1:
-                cc = "M"
-            elif not gap0 and gap1:
-                cc = "D"
-            elif gap0 and not gap1:
-                cc = "I"
-            else:
-                cc = ""
-            if cc:
-                if cc == last_char:
-                    count += 1
-                else:
-                    if count > 0:
-                        cigar.append(last_char + str(count))
-                    last_char = cc
-                    count = 1
-        if count > 0:
-            cigar.append(last_char + str(count))
-        return "".join(cigar)
+        import numpy as np
+
+        a0 = np.frombuffer(self.gapped_seq[0].seq.encode("latin-1"), np.uint8)
+        a1 = np.frombuffer(self.gapped_seq[1].seq.encode("latin-1"), np.uint8)
+        g0 = (a0 == ord("-")) | (a0 == ord("."))
+        g1 = (a1 == ord("-")) | (a1 == ord("."))
+        code = np.where(
+            ~g0 & ~g1, 0, np.where(~g0 & g1, 1, np.where(g0 & ~g1, 2, 3))
+        )
+        code = code[code != 3]  # both-gap columns contribute nothing
+        if code.size == 0:
+            return ""
+        b = np.flatnonzero(np.diff(code)) + 1
+        starts = np.concatenate(([0], b))
+        ends = np.concatenate((b, [code.size]))
+        return "".join(
+            "MDI"[code[s]] + str(e - s) for s, e in zip(starts, ends)
+        )
 
     def revcomp(self) -> "Alignment":
         out = Alignment(

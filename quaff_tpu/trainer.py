@@ -333,12 +333,15 @@ class QuaffCounter:
         # (one step per read row), so two dispatches at 2048 and 2560
         # rows cost ~4600 row-steps where one merged 2560-row dispatch
         # costs 2560: mixed read lengths are CHUNKED greedily (longest
-        # first) rather than bucketed per padded length.  A chunk stops
-        # accepting shorter reads once the padding rows it would add
-        # exceed one full extra scan (waste > lp).  A read's pairs all
-        # go in ONE chunk — the in-kernel posterior weights normalise
-        # over the read's refs present in the batch, so splitting a read
-        # across dispatches would mis-weight its counts.
+        # first) rather than bucketed per padded length, with NO padding
+        # cap — within a width group the rows are shared, so a shorter
+        # read's padding rows are already being scanned and its marginal
+        # cost is one more lane (~0.2 ms over a 3072-row dispatch,
+        # measured) vs 35-90 ms for its own dispatch.  Only the batch
+        # ceiling and the HBM row-stream budget bound a chunk.  A read's
+        # pairs all go in ONE chunk — the in-kernel posterior weights
+        # normalise over the read's refs present in the batch, so
+        # splitting a read across dispatches would mis-weight its counts.
         per_read: dict = {}
         for job in jobs:
             ny, nx, env = job
@@ -375,14 +378,10 @@ class QuaffCounter:
                 max_b = b_cap
                 chunk = list(rj[i][1])
                 i += 1
-                waste = 0
                 while i < len(rj):
                     ny_j, js_j = rj[i]
-                    lp_j = round_up(len(reads[ny_j].seq), 512)
-                    w_j = (lp - lp_j) * len(js_j)
-                    if len(chunk) + len(js_j) > max_b or waste + w_j > lp:
+                    if len(chunk) + len(js_j) > max_b:
                         break
-                    waste += w_j
                     chunk.extend(js_j)
                     i += 1
                 group_of, gid, null_g = {}, [], []
