@@ -482,7 +482,8 @@ class QuaffParamCounts:
             )
 
         ins_freq = np.sum(self.insert, axis=1)
-        qp.insert_prob = ins_freq / np.sum(ins_freq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qp.insert_prob = ins_freq / np.sum(ins_freq)
         for i in range(ALPHABET_SIZE):
             qp.insert_q[i], qp.insert_r[i] = fit_negative_binomial(self.insert[i])
 
