@@ -76,6 +76,7 @@ class DPConfig:
     # qmodel.cpp:863-961 + aws.cpp:223-244)
     ssh_path: str = "ssh"
     rsync_path: str = "rsync"
+    aws_path: str = "aws"
     ssh_key: str = ""
     use_rsync: bool = False
     bucket: str = ""

@@ -189,6 +189,9 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
     if arg == "-rsyncpath":
         config.rsync_path = _need_arg(args, arg)
         return True
+    if arg == "-awspath":
+        config.aws_path = _need_arg(args, arg)
+        return True
     if arg == "-sshkey":
         config.ssh_key = _need_arg(args, arg)
         return True
@@ -473,6 +476,8 @@ def _server_args(
         parts.append("-kmatchoff")
     if config.bucket:
         parts.append(f"-s3bucket {config.bucket}")
+        if config.aws_path != "aws":
+            parts.append(f"-awspath {config.aws_path}")
     if state.get("params_file"):
         parts.append(f"-params {fpath(state['params_file'])}")
     if state.get("null_file"):
@@ -523,6 +528,7 @@ def _launch_remote_pool(config, sargs: str):
             user=config.ec2_user,
             key_pair=config.ec2_key,
             security_group=config.ec2_group,
+            aws_path=config.aws_path,
         )
         addrs = elastic.launch(
             config.ec2_instances,
@@ -541,7 +547,7 @@ def _launch_remote_pool(config, sargs: str):
     # file staging: S3 bucket overrides rsync (qmodel.cpp:1113)
     if config.bucket:
         for _tag, fn in config.file_args:
-            bs.sync_to_bucket(config.bucket, fn)
+            bs.sync_to_bucket(config.bucket, fn, config.aws_path)
     elif config.use_rsync:
         for spec in specs:
             for _tag, fn in config.file_args:
@@ -1123,7 +1129,7 @@ Sockets:
                    With user@: ssh-launch a remote worker server.
                    Bare host:port: connect to an already-running server.
    -sshkey <file>  SSH private key file
-   -sshpath <p>, -rsyncpath <p>    Paths to ssh / rsync
+   -sshpath <p>, -rsyncpath <p>, -awspath <p>    Paths to ssh / rsync / aws
    -remotepath <p> Path to remote worker command
    -rsync          Client rsyncs data files to the worker staging dir
    -s3bucket <B>   Client/worker sync data files via S3 bucket B

@@ -340,7 +340,7 @@ def cmd_server(args: deque, config, state) -> int:
             + reads_args.filenames
             + model_files
         ):
-            sync_from_bucket(config.bucket, fn)
+            sync_from_bucket(config.bucket, fn, config.aws_path)
 
     reads, n_originals = reads_args.load()
     refs = reads
