@@ -28,12 +28,25 @@ namespace {
 
 const double NEG_INF = -std::numeric_limits<double>::infinity();
 
-// jnp.logaddexp semantics: exact, -inf transparent
+// jnp.logaddexp semantics: exact, -inf transparent.
+//
+// Fast exit: when exp(-d) is smaller than half an ulp of m, the exact
+// result m + log1p(exp(-d)) rounds to m (log1p(x) <= x, and adding
+// anything < ulp(m)/2 to m returns m under round-to-nearest), so the
+// transcendentals can be skipped with a BITWISE-identical result.
+// exp(-d) < 2^-54 for d > 54*ln2 ~ 37.43 covers |m| >= 1 including the
+// worst case (m exactly a negative power of two, where the spacing
+// toward zero is half an ulp); the |m| >= 1 guard keeps the tiny-|m|
+// cases (spacing below 2^-53) on the exact path.  DP cells here are
+// log-probability sums (|m| in the tens..thousands away from the first
+// row), so most far-apart lanes take the exit; the serial in-row delete
+// chain is latency-bound on this function.
 static inline double lse2(double a, double b) {
   if (a == NEG_INF) return b;
   if (b == NEG_INF) return a;
   double m = a > b ? a : b;
   double d = a > b ? a - b : b - a;
+  if (d > 37.5 && (m >= 1.0 || m <= -1.0)) return m;
   return m + std::log1p(std::exp(-d));
 }
 

@@ -565,6 +565,35 @@ def packed_overlap_descriptors(envs, x_lens, y_lens, max_segs: int = MAX_SEGS):
     return member, seg_d_lo, seg_start, seg_width, j_off, int(rows.max())
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "b_pad", "n_rows", "n_segs", "interpret",
+                     "prep_rows"),
+)
+def _ov_scores_fused(tabs, batch, trans9, seg_start, seg_width, x_ins,
+                     y_ins, *, width, b_pad, n_rows, n_segs, interpret,
+                     prep_rows):
+    """Prepare + fill + segment reduction in ONE jit: on a tunnelled
+    device each separate dispatch costs a ~30 ms RTT, so the three-stage
+    call sequence tripled the per-chunk latency of the all-vs-all
+    scoring pass.  Returns the packed [B + B*n_segs] device array of
+    _ov_reduce_segments WITHOUT fetching — callers drain after all
+    chunks are enqueued."""
+    pr = _ov_prepare_device(
+        tabs, batch, width, b_pad,
+        n_rows=n_rows if prep_rows else None, trans9=trans9,
+    )
+    (rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew, go0, g10) = pr
+    out = _ov_fill(
+        rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew,
+        width=width, b_pad=b_pad, n_rows=n_rows, n_segs=n_segs,
+        interpret=interpret, go0=go0, g10=g10,
+    )
+    B = seg_start.shape[0]
+    return _ov_reduce_segments(n_segs, out[:B], seg_start, seg_width,
+                               x_ins, y_ins)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _ov_reduce_segments(n_segs, out, seg_start, seg_width, x_ins, y_ins):
     """Per-pair end score + per-segment end maxima from the [B, W]
@@ -587,7 +616,8 @@ def _ov_reduce_segments(n_segs, out, seg_start, seg_width, x_ins, y_ins):
 
 
 def overlap_scores_kernel(tables, batch, interpret: bool = False,
-                          n_rows: int = None, return_segments: bool = False):
+                          n_rows: int = None, return_segments: bool = False,
+                          defer_fetch: bool = False):
     """Overlap end scores [B] for an overlap batch (OverlapBatch.device()
     dict, or a sequence-bank dict with x_row/y_row indices — then n_rows
     gives the padded row count).  Lane-packed batches additionally carry
@@ -597,7 +627,12 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
     quantity as dp.overlap.overlap_fill's 'score'.  With
     return_segments=True (lane-packed batches only) also returns the
     per-strip raw end maxima [B, S] — insert scores NOT added, so they
-    rank strips within a pair, matching pack_strips order."""
+    rank strips within a pair, matching pack_strips order.  With
+    defer_fetch=True (return_segments only) the UNFETCHED packed device
+    array [B + B*S] is returned instead (scores then row-major segment
+    maxima): callers dispatching many chunks through a tunnelled device
+    drain them all after the last enqueue rather than paying one RTT
+    per chunk."""
     member = np.asarray(batch["member"])
     B, W0 = member.shape
     Ly = (
@@ -626,10 +661,28 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
         ],
         jnp.float32,
     )
+    prep_rows = "x_row" in batch or "j_off" in batch
+    if return_segments:
+        if "seg_d_lo" not in batch:
+            raise ValueError("return_segments needs a lane-packed batch")
+        packed_dev = _ov_scores_fused(
+            _ov_tabs(tables), batch, trans9,
+            jnp.asarray(batch["seg_start"]),
+            jnp.asarray(batch["seg_width"]),
+            jnp.asarray(batch["x_insert_score"], jnp.float32),
+            jnp.asarray(batch["y_insert_score"], jnp.float32),
+            width=W, b_pad=Bp, n_rows=Ly, n_segs=n_segs,
+            interpret=interpret, prep_rows=prep_rows,
+        )
+        if defer_fetch:
+            return packed_dev
+        packed = np.asarray(packed_dev, dtype=np.float64)
+        return packed[:B], packed[B:].reshape(B, n_segs)
+
     (rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew, go0, g10) = (
         _ov_prepare_device(
             _ov_tabs(tables), batch, W, Bp,
-            n_rows=Ly if ("x_row" in batch or "j_off" in batch) else None,
+            n_rows=Ly if prep_rows else None,
             trans9=trans9,
         )
     )
@@ -639,20 +692,6 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
         width=W, b_pad=Bp, n_rows=Ly, n_segs=n_segs,
         interpret=interpret, go0=go0, g10=g10,
     )
-    if return_segments:
-        if "seg_d_lo" not in batch:
-            raise ValueError("return_segments needs a lane-packed batch")
-        packed = np.asarray(
-            _ov_reduce_segments(
-                n_segs, out[:B],
-                jnp.asarray(batch["seg_start"]),
-                jnp.asarray(batch["seg_width"]),
-                jnp.asarray(batch["x_insert_score"], jnp.float32),
-                jnp.asarray(batch["y_insert_score"], jnp.float32),
-            ),
-            dtype=np.float64,
-        )
-        return packed[:B], packed[B:].reshape(B, n_segs)
     end = jnp.max(out[:B], axis=1)
     end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)
     return end + jnp.asarray(batch["x_insert_score"], jnp.float32) + jnp.asarray(

@@ -405,6 +405,18 @@ class QuaffOverlapAligner:
             self._tdev_rev = overlap_device_tables(self.tables_rev)
         return self.tables_rev, self._tdev_rev
 
+    def _null_ll(self, seq: FastSeq, comp: bool = False) -> float:
+        """Null log-likelihood of a read (of its revcomp when comp),
+        memoized on the FastSeq — in all-vs-all runs each read's value is
+        needed once per pair it appears in (~N times), and the revcomp
+        rebuild + token scan dominate the finish phase otherwise."""
+        key = (id(self.null_model), comp)
+        cache = seq.__dict__.setdefault("_null_ll_cache", {})
+        if key not in cache:
+            s = seq.revcomp() if comp else seq
+            cache[key] = self.null_model.log_likelihood(s)
+        return cache[key]
+
     def enumerate_pairs(self, seqs: List[FastSeq], n_originals: int):
         """The reference scheduler's pair order (qoverlap.cpp:475-547):
         (nx, ny) ascending with nx < ny, stopping once nx+1 >= nOriginals;
@@ -477,9 +489,7 @@ class QuaffOverlapAligner:
             x, y, env, tables, res["mat"][b], res["ins"][b], res["del"][b],
             score, row_off=row_off,
         )
-        x_null = self.null_model.log_likelihood(x)
-        y_null = self.null_model.log_likelihood(y.revcomp() if y_complemented else y)
-        a.score -= x_null + y_null
+        a.score -= self._null_ll(x) + self._null_ll(y, y_complemented)
         return a
 
     def overlap_pair(
@@ -544,14 +554,8 @@ class QuaffOverlapAligner:
         Returns None when the native library is missing."""
         from .native import overlap_score_native
 
-        null_cache: dict = {}
-
         def null_ll(i, comp=False):
-            key = (i, comp)
-            if key not in null_cache:
-                s = seqs[i].revcomp() if comp else seqs[i]
-                null_cache[key] = self.null_model.log_likelihood(s)
-            return null_cache[key]
+            return self._null_ll(seqs[i], comp)
 
         y_indexes: dict = {}
         skip = [False] * len(pair_list)
@@ -596,14 +600,8 @@ class QuaffOverlapAligner:
         def round_up(v, m):
             return ((v + m - 1) // m) * m
 
-        null_cache: dict = {}
-
         def null_ll(i, comp=False):
-            key = (i, comp)
-            if key not in null_cache:
-                s = seqs[i].revcomp() if comp else seqs[i]
-                null_cache[key] = self.null_model.log_likelihood(s)
-            return null_cache[key]
+            return self._null_ll(seqs[i], comp)
 
         # build envelopes + bucket by strand and padded shape; each read's
         # k-mer index is shared across all pairs it appears in
@@ -723,6 +721,7 @@ class QuaffOverlapAligner:
 
         scored = {}
         seg_scored = {}
+        pending = []  # (chunk, score_dev, seg_dev): fetch AFTER all dispatches
         for (y_comp, wp, lp), js in sorted(buckets.items()):
             tables, _ = self._tables(y_comp)
             # bucket merging above coalesces same-shape chunks, so the
@@ -792,15 +791,21 @@ class QuaffOverlapAligner:
                         ),
                     }
                 )
-                s_dev, seg_dev = overlap_scores_kernel(
+                packed_dev = overlap_scores_kernel(
                     tables, d, n_rows=lp, return_segments=True,
-                    interpret=_ov_interpret(),
+                    interpret=_ov_interpret(), defer_fetch=True,
                 )
-                s = np.asarray(s_dev, dtype=np.float64)
-                segs = np.asarray(seg_dev, dtype=np.float64)
-                for b, (nx, ny, yc, env) in enumerate(chunk):
-                    scored[(nx, ny)] = float(s[b])
-                    seg_scored[(nx, ny)] = segs[b]
+                # JAX dispatch is async; a fetch here would serialize every
+                # chunk on the device link RTT.  Defer to one drain below.
+                pending.append((chunk, n_segs, packed_dev))
+        for chunk, n_segs, packed_dev in pending:
+            packed = np.asarray(packed_dev, dtype=np.float64)
+            B = len(chunk)
+            s = packed[:B]
+            segs = packed[B:].reshape(B, n_segs)
+            for b, (nx, ny, yc, env) in enumerate(chunk):
+                scored[(nx, ny)] = float(s[b])
+                seg_scored[(nx, ny)] = segs[b]
 
         # exact pass for candidates above threshold (with slack for the
         # kernel's exact-lse vs truncated-table difference), batched per

@@ -40,7 +40,35 @@ seqs = add_revcomps(reads)
 printer = AlignmentPrinter()
 
 T = {"build": 0.0, "fill": 0.0, "finish": 0.0, "strip_pack": 0.0,
-     "n_fill_rows": 0, "n_pairs": 0, "n_flush": 0, "write": 0.0}
+     "n_fill_rows": 0, "n_pairs": 0, "n_flush": 0, "write": 0.0,
+     "env": 0.0, "kdisp": 0.0, "n_kdisp": 0, "exact": 0.0}
+
+import quaff_tpu.dp.pallas_overlap as pov
+
+orig_kernel = pov.overlap_scores_kernel
+def timed_kernel(*a, **kw):
+    t0 = time.perf_counter()
+    r = orig_kernel(*a, **kw)
+    T["kdisp"] += time.perf_counter() - t0
+    T["n_kdisp"] += 1
+    return r
+pov.overlap_scores_kernel = timed_kernel
+
+orig_env = type(config).make_envelope
+def timed_env(self, *a, **kw):
+    t0 = time.perf_counter()
+    r = orig_env(self, *a, **kw)
+    T["env"] += time.perf_counter() - t0
+    return r
+type(config).make_envelope = timed_env
+
+orig_exact = QuaffOverlapAligner._exact_pass
+def timed_exact(self, *a, **kw):
+    t0 = time.perf_counter()
+    r = orig_exact(self, *a, **kw)
+    T["exact"] += time.perf_counter() - t0
+    return r
+QuaffOverlapAligner._exact_pass = timed_exact
 
 orig_init = OverlapBatch.__init__
 def timed_init(self, *a, **kw):
@@ -84,9 +112,11 @@ for it in range(2):
     aligner.align_all(out, seqs, N, printer)
     wall = time.perf_counter() - t0
     print(
-        f"iter{it}: wall={wall:.2f}s build={T['build']:.2f}s "
+        f"iter{it}: wall={wall:.2f}s env={T['env']:.2f}s "
+        f"kdisp={T['kdisp']:.2f}s ({T['n_kdisp']} dispatches) "
+        f"exact={T['exact']:.2f}s [build={T['build']:.2f}s "
         f"fill={T['fill']:.2f}s ({T['n_fill_rows']} strip-rows, "
         f"{T['n_flush']} flushes) finish={T['finish']:.2f}s "
-        f"({T['n_pairs']} pairs) write={T['write']:.2f}s",
+        f"({T['n_pairs']} pairs)] write={T['write']:.2f}s",
         flush=True,
     )
