@@ -290,9 +290,30 @@ def _ov_tabs(tables):
     return tabs
 
 
-@functools.partial(jax.jit, static_argnames=("width", "b_pad", "n_rows"))
+def _ctx_kmers_device(tok, mf, k):
+    """Per-position k-mer context codes (alphabet.context_kmers semantics:
+    code of the k-mer ENDING at p, left-padded with the row's most
+    frequent token mf) for a [N, L] token bank, derived on device —
+    shipping precomputed context arrays through a ~10 MB/s tunnel costs
+    more than the tokens themselves."""
+    if k == 0:
+        return jnp.zeros_like(tok)
+    L = tok.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    code = jnp.zeros_like(tok)
+    for j in range(k):
+        tj = jnp.roll(tok, j, axis=1)  # tj[p] = tok[p - j] (cyclic)
+        tj = jnp.where(pos < j, mf[:, None], tj)
+        code = code + tj * (4 ** j)
+    return code
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "b_pad", "n_rows", "mk_len", "ik_len"),
+)
 def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
-                       n_rows=None, trans9=None):
+                       n_rows=None, trans9=None, mk_len=None, ik_len=None):
     """Device-side overlap input prep from the already-transferred narrow
     int batch arrays: banded x-side views via per-pair variable rolls,
     emission/insert resolution via small-table gathers.  Replaces the
@@ -314,10 +335,44 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
     use_ik = "lgo" in tabs
     x_ik = y_ik = None
     if "x_row" in batch:
-        bt = batch["bank_tok"].astype(jnp.int32)
-        bm = batch["bank_mk"].astype(jnp.int32)
-        bqv = batch["bank_q"].astype(jnp.int32)
-        bh = batch["bank_hq"]
+        bik = None
+        if "bank_mk" in batch:
+            bt = batch["bank_tok"].astype(jnp.int32)
+            bm = batch["bank_mk"].astype(jnp.int32)
+            bqv = batch["bank_q"].astype(jnp.int32)
+            bh = batch["bank_hq"]
+            if use_ik:
+                bik = batch["bank_ik"].astype(jnp.int32)
+        else:
+            # derived bank: only FORWARD base-read tokens/quals were
+            # shipped ([N, L] + per-row valid length and most-frequent
+            # token); k-mer contexts are computed here and row index
+            # r >= N addresses row r-N REVERSED (the reverse-strand
+            # arrays are exactly the forward arrays flipped —
+            # overlap._y_strand_arrays).  Reversal = flip + per-row
+            # cyclic roll by L - len; the wrapped tail lanes are masked
+            # by the same x_len/y_len validity logic as zero padding.
+            from .pallas_v2 import _roll_lanes_per_row as _rollL
+
+            tok_f = batch["bank_tok"].astype(jnp.int32)  # [N, L]
+            q_f = batch["bank_q"].astype(jnp.int32)
+            hq_f = batch["bank_hq"]
+            len_f = batch["bank_len"].astype(jnp.int32)
+            mf = batch["bank_mf"].astype(jnp.int32)
+            Lb = tok_f.shape[1]
+            mk_f = _ctx_kmers_device(tok_f, mf, mk_len)
+            rev_shift = Lb - len_f
+
+            def _rev(a):
+                return _rollL(jnp.flip(a, axis=1), rev_shift)
+
+            bt = jnp.concatenate([tok_f, _rev(tok_f)], axis=0)
+            bm = jnp.concatenate([mk_f, _rev(mk_f)], axis=0)
+            bqv = jnp.concatenate([q_f, _rev(q_f)], axis=0)
+            bh = jnp.concatenate([hq_f, hq_f], axis=0)
+            if use_ik:
+                ik_f = _ctx_kmers_device(tok_f, mf, ik_len)
+                bik = jnp.concatenate([ik_f, _rev(ik_f)], axis=0)
         xr = batch["x_row"]
         yr = batch["y_row"]
         x_tok = jnp.take(bt, xr, axis=0)
@@ -329,7 +384,6 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
         y_q = jnp.take(bqv, yr, axis=0)
         y_hq = jnp.take(bh, yr)
         if use_ik:
-            bik = batch["bank_ik"].astype(jnp.int32)
             x_ik = jnp.take(bik, xr, axis=0)
             y_ik = jnp.take(bik, yr, axis=0)
     else:
@@ -568,11 +622,11 @@ def packed_overlap_descriptors(envs, x_lens, y_lens, max_segs: int = MAX_SEGS):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "b_pad", "n_rows", "n_segs", "interpret",
-                     "prep_rows"),
+                     "prep_rows", "mk_len", "ik_len"),
 )
 def _ov_scores_fused(tabs, batch, trans9, seg_start, seg_width, x_ins,
                      y_ins, *, width, b_pad, n_rows, n_segs, interpret,
-                     prep_rows):
+                     prep_rows, mk_len=None, ik_len=None):
     """Prepare + fill + segment reduction in ONE jit: on a tunnelled
     device each separate dispatch costs a ~30 ms RTT, so the three-stage
     call sequence tripled the per-chunk latency of the all-vs-all
@@ -582,6 +636,7 @@ def _ov_scores_fused(tabs, batch, trans9, seg_start, seg_width, x_ins,
     pr = _ov_prepare_device(
         tabs, batch, width, b_pad,
         n_rows=n_rows if prep_rows else None, trans9=trans9,
+        mk_len=mk_len, ik_len=ik_len,
     )
     (rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew, go0, g10) = pr
     out = _ov_fill(
@@ -673,6 +728,7 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
             jnp.asarray(batch["y_insert_score"], jnp.float32),
             width=W, b_pad=Bp, n_rows=Ly, n_segs=n_segs,
             interpret=interpret, prep_rows=prep_rows,
+            mk_len=tables.match_kmer_len, ik_len=tables.indel_kmer_len,
         )
         if defer_fetch:
             return packed_dev
@@ -684,6 +740,7 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
             _ov_tabs(tables), batch, W, Bp,
             n_rows=Ly if prep_rows else None,
             trans9=trans9,
+            mk_len=tables.match_kmer_len, ik_len=tables.indel_kmer_len,
         )
     )
 

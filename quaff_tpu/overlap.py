@@ -677,37 +677,62 @@ class QuaffOverlapAligner:
             {(nx, False) for nx, _, _, _ in jobs}
             | {(ny, yc) for _, ny, yc, _ in jobs}
         )
-        row_of = {k: r for r, k in enumerate(rows_keys)}
+        # Derived bank: ship each DISTINCT base read's forward tokens and
+        # quals ONCE; k-mer contexts and reverse-strand rows (= forward
+        # arrays flipped, see _y_strand_arrays) are derived on device
+        # inside _ov_prepare_device.  A reverse-strand row's base is the
+        # stored copy's revcomp, deduplicated by sequence CONTENT so the
+        # original and its stored revcomp share one bank row without
+        # assuming anything about the seqs list layout.  Row id r + N
+        # addresses bank row r reversed.
+        rc_cache: dict = {}
+
+        def fwd_base(i, comp):
+            if not comp:
+                return seqs[i]
+            if i not in rc_cache:
+                rc_cache[i] = seqs[i].revcomp()
+            return rc_cache[i]
+
+        base_index: dict = {}
+        base_list: list = []
+        row_key: dict = {}
+        for (i, comp) in rows_keys:
+            fs = fwd_base(i, comp)
+            key = (fs.seq, fs.qual)
+            r = base_index.get(key)
+            if r is None:
+                r = len(base_list)
+                base_index[key] = r
+                base_list.append(fs)
+            row_key[(i, comp)] = (r, comp)
+        NB = len(base_list)
+        row_of = {
+            k: r + (NB if comp else 0) for k, (r, comp) in row_key.items()
+        }
         # pad the bank to the bucket quantum so every bucket's lp fits
-        Lmax = round_up(max(len(seqs[i].seq) for i, _ in rows_keys), 512)
-        NB = len(rows_keys)
-        fwd_tables, _ = self._tables(False)
-        mk_len = fwd_tables.match_kmer_len
-        ik_len = fwd_tables.indel_kmer_len
+        Lmax = round_up(max(len(fs.seq) for fs in base_list), 512)
         b_tok = np.zeros((NB, Lmax), np.int32)
-        b_mk = np.zeros((NB, Lmax), np.int32)
-        b_ik = np.zeros((NB, Lmax), np.int32) if ik_len else None
         b_q = np.zeros((NB, Lmax), np.int32)
         b_hq = np.zeros(NB, bool)
-        for (i, comp), r in row_of.items():
-            tabs_rc, _ = self._tables(comp)
-            tok, mk, ik, q = _y_strand_arrays(seqs[i], tabs_rc)
+        b_len = np.zeros(NB, np.int32)
+        b_mf = np.zeros(NB, np.int32)
+        for r, fs in enumerate(base_list):
+            tok = fs.tokens()
             n = len(tok)
             b_tok[r, :n] = tok
-            b_mk[r, :n] = mk
-            if ik_len:
-                b_ik[r, :n] = ik
-            if q is not None:
-                b_q[r, :n] = q
+            b_len[r] = n
+            b_mf[r] = int(np.argmax(np.bincount(tok, minlength=4)))
+            if fs.has_qual():
+                b_q[r, :n] = fs.qual_scores()
                 b_hq[r] = True
         bank = {
             "bank_tok": _narrow_int(b_tok, 4),
-            "bank_mk": _narrow_int(b_mk, 4 ** max(mk_len, 1)),
             "bank_q": _narrow_int(b_q, 94),
             "bank_hq": jnp.asarray(b_hq),
+            "bank_len": jnp.asarray(b_len),
+            "bank_mf": _narrow_int(b_mf, 4),
         }
-        if ik_len:
-            bank["bank_ik"] = _narrow_int(b_ik, 4 ** ik_len)
 
         ins_cache: dict = {}
 

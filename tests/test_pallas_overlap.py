@@ -350,6 +350,112 @@ def test_overlap_kernel_bank_path(y_comp, gap_order):
 
 
 @pytest.mark.parametrize("gap_order", [0, 1])
+@pytest.mark.parametrize("y_comp", [False, True])
+def test_overlap_kernel_derived_bank(y_comp, gap_order):
+    """The derived-bank batch form (forward base tokens/quals only;
+    k-mer contexts and reverse-strand rows computed on device, row id
+    r + N = bank row r reversed) must score identically to the per-pair
+    OverlapBatch form."""
+    from quaff_tpu.dp.engine import _narrow_int
+    from quaff_tpu.overlap import _y_strand_arrays, _insert_score_sum
+
+    rng = np.random.default_rng(43)
+    params = _make_params(gap_order)
+    tables = OverlapScoreTables.from_params(params, y_comp)
+    pairs = _read_pairs(rng, 4, y_comp=y_comp)
+
+    batch = OverlapBatch(pairs, tables)
+    want = np.asarray(
+        overlap_scores_kernel(tables, batch.device(), interpret=True),
+        dtype=np.float64,
+    )
+
+    def round_up(v, m):
+        return ((v + m - 1) // m) * m
+
+    # one bank row per distinct FORWARD base read: x sides as-is, y sides
+    # via revcomp when complemented (the device flips them back)
+    bases, rows = [], {}
+    for x, y, _ in pairs:
+        for s, comp in ((x, False), (y, y_comp)):
+            key = (s.name, comp)
+            if key not in rows:
+                rows[key] = (len(bases), comp)
+                bases.append(s.revcomp() if comp else s)
+    Lmax = round_up(max(len(s.seq) for s in bases), 512)
+    NB = len(bases)
+    b_tok = np.zeros((NB, Lmax), np.int32)
+    b_q = np.zeros((NB, Lmax), np.int32)
+    b_hq = np.zeros(NB, bool)
+    b_len = np.zeros(NB, np.int32)
+    b_mf = np.zeros(NB, np.int32)
+    for r, s in enumerate(bases):
+        tok = s.tokens()
+        b_tok[r, : len(tok)] = tok
+        b_len[r] = len(tok)
+        b_mf[r] = int(np.argmax(np.bincount(tok, minlength=4)))
+        if s.has_qual():
+            b_q[r, : len(tok)] = s.qual_scores()
+            b_hq[r] = True
+    lp = round_up(max(len(y.seq) for _, y, _ in pairs), 512)
+    wp = round_up(max(e.band_width for _, _, e in pairs), 128)
+    B = len(pairs)
+    member = np.zeros((B, wp), bool)
+    d_lo = np.zeros(B, np.int32)
+    for b, (_, _, env) in enumerate(pairs):
+        mask = env.member_mask()
+        member[b, : len(mask)] = mask
+        d_lo[b] = env.band_lo
+
+    def row_id(key):
+        r, comp = rows[key]
+        return r + (NB if comp else 0)
+
+    d = {
+        "bank_tok": _narrow_int(b_tok, 4),
+        "bank_q": _narrow_int(b_q, 94),
+        "bank_hq": jnp.asarray(b_hq),
+        "bank_len": jnp.asarray(b_len),
+        "bank_mf": _narrow_int(b_mf, 4),
+        "x_row": jnp.asarray(
+            [row_id((x.name, False)) for x, _, _ in pairs], jnp.int32
+        ),
+        "y_row": jnp.asarray(
+            [row_id((y.name, y_comp)) for _, y, _ in pairs], jnp.int32
+        ),
+        "x_len": jnp.asarray([len(x.seq) for x, _, _ in pairs], jnp.int32),
+        "y_len": jnp.asarray([len(y.seq) for _, y, _ in pairs], jnp.int32),
+        "d_lo": jnp.asarray(d_lo),
+        "member": jnp.asarray(member),
+        "x_insert_score": jnp.asarray(
+            [
+                _insert_score_sum(
+                    tables, *(lambda t, m, i, q: (t, q))(*_y_strand_arrays(
+                        x, OverlapScoreTables.from_params(params, False)
+                    ))
+                )
+                for x, _, _ in pairs
+            ]
+        ),
+        "y_insert_score": jnp.asarray(
+            [
+                _insert_score_sum(
+                    tables, *(lambda t, m, i, q: (t, q))(*_y_strand_arrays(
+                        y, OverlapScoreTables.from_params(params, y_comp)
+                    ))
+                )
+                for _, y, _ in pairs
+            ]
+        ),
+    }
+    got = np.asarray(
+        overlap_scores_kernel(tables, d, interpret=True, n_rows=lp),
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("gap_order", [0, 1])
 def test_overlap_pipeline_fast_path_matches_sequential(gap_order, monkeypatch):
     """The all-vs-all TPU fast path (kernel scoring + pruned exact fills,
     overlap.QuaffOverlapAligner._align_all_batched) must produce the
