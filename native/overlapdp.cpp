@@ -95,7 +95,9 @@ static inline double lse2(double a, double b) {
   double m = a > b ? a : b;
   double d = a > b ? a - b : b - a;
   if (d < SoftplusTable::D_MAX) return m + softplus_table(d);
-  if (m >= 1.0 || m <= -1.0) return m;
+  // d >= D_MAX test (not an else) so NaN d falls through to the exact
+  // path and propagates instead of taking the fast exit
+  if (d >= SoftplusTable::D_MAX && (m >= 1.0 || m <= -1.0)) return m;
   return m + std::log1p(std::exp(-d));
 }
 
@@ -233,6 +235,11 @@ void overlap_fill_impl(
 }  // namespace
 
 extern "C" {
+
+// Test hook: the fill's log-sum-exp, exported so the softplus-table
+// accuracy has a direct regression test (tests/test_native.py) rather
+// than only the end-to-end goldens.
+double qdp_lse2(double a, double b) { return lse2(a, b); }
 
 void qdp_overlap_fill(
     const int32_t* x_mk, const int32_t* x_ik_pad, const int32_t* x_q,

@@ -363,3 +363,42 @@ def test_align_score_native_matches_fill(data_dir):
             assert np.array_equal(sc, full["score"])
         else:
             np.testing.assert_allclose(sc, full["score"], rtol=1e-12)
+
+
+def test_native_lse2_softplus_table():
+    """The fill's table-based log-sum-exp (native/overlapdp.cpp lse2 +
+    SoftplusTable) must stay within a few ulp-scale of exact logaddexp
+    across the table range, take the far-apart fast exit bitwise, and
+    keep -inf transparency / NaN propagation."""
+    import ctypes
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "qdp_lse2"):
+        pytest.skip("native library predates qdp_lse2")
+    lib.qdp_lse2.restype = ctypes.c_double
+    lib.qdp_lse2.argtypes = [ctypes.c_double, ctypes.c_double]
+    lse2 = lib.qdp_lse2
+
+    # dense sweep over the table range at several magnitudes of m,
+    # including d straddling every interval boundary
+    d = np.linspace(0.0, 37.4999, 200_001)
+    for m in (0.0, 1.0, -5.0, 123.456, -9876.5):
+        got = np.array([lse2(m, m - x) for x in d[::97]])
+        exact = np.logaddexp(0.0, -d[::97]) + m
+        # atol covers the table error (~2e-14); rtol covers the 1-ulp
+        # rounding of the final m + softplus addition at large |m|
+        np.testing.assert_allclose(got, exact, rtol=3e-16, atol=1e-12)
+
+    # fast exit: far apart with |m| >= 1 returns max bitwise
+    assert lse2(100.0, 100.0 - 38.0) == 100.0
+    assert lse2(-2.0, -50.0) == -2.0
+    # tiny |m| far apart stays on the exact libm path
+    x = lse2(0.5, 0.5 - 40.0)
+    assert x == 0.5 + np.log1p(np.exp(-40.0))
+    # -inf transparency and symmetry
+    assert lse2(float("-inf"), -3.25) == -3.25
+    assert lse2(-3.25, float("-inf")) == -3.25
+    assert lse2(float("-inf"), float("-inf")) == float("-inf")
+    assert lse2(1.25, 2.5) == lse2(2.5, 1.25)
+    # NaN propagates (falls through to the exact path)
+    assert np.isnan(lse2(float("nan"), 1.0))
