@@ -160,3 +160,126 @@ def test_checkpoint_flag_writes_state(data_dir, tmp_path):
 
 def test_version_flag():
     assert main(["-version"]) == 0
+
+
+def test_explicit_ref_read_flags_match_implicit(data_dir):
+    """Explicit -ref/-read switches are equivalent to bare filename args
+    (optparser.cpp:32-54 implicit-switch inference)."""
+    implicit = [
+        "align",
+        str(data_dir / "tiny.fasta"),
+        str(data_dir / "tiny.fastq"),
+        "-nothreshold",
+    ]
+    explicit = [
+        "align",
+        "-ref", str(data_dir / "tiny.fasta"),
+        "-read", str(data_dir / "tiny.fastq"),
+        "-nothreshold",
+    ]
+    rc1, out1 = _run(implicit)
+    rc2, out2 = _run(explicit)
+    assert rc1 == rc2 == 0
+    assert out1 == out2 and "# STOCKHOLM" in out1
+
+
+def test_thread_flags_accepted(data_dir):
+    """-threads N / -maxthreads tune worker counts without changing output
+    (qmodel.cpp:857-858; outputs are deterministic read-order here)."""
+    base = [
+        "align",
+        str(data_dir / "tiny.fasta"),
+        str(data_dir / "tiny.fastq"),
+        "-nothreshold",
+    ]
+    rc0, out0 = _run(base)
+    rc1, out1 = _run(base + ["-threads", "2"])
+    rc2, out2 = _run(base + ["-maxthreads"])
+    assert rc0 == rc1 == rc2 == 0
+    assert out1 == out0 and out2 == out0
+
+
+def test_help_command():
+    """help/-help/--help/-h print the usage text (QuaffUsage,
+    t/quaff.cpp:638-774)."""
+    import contextlib
+    import io
+
+    for arg in ("help", "-help", "--help", "-h"):
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main([arg])
+        text = out.getvalue()
+        assert rc == 0
+        for word in ("Usage", "train", "align", "overlap", "count"):
+            assert word in text
+
+
+def test_verbosity_flags_accepted(data_dir):
+    """-v/-vN/-verbose and -nocolor parse and don't perturb output."""
+    base = [
+        "align",
+        str(data_dir / "tiny.fasta"),
+        str(data_dir / "tiny.fastq"),
+        "-nothreshold",
+    ]
+    rc0, out0 = _run(base)
+    rc1, out1 = _run(base + ["-v2", "-nocolor"])
+    rc2, out2 = _run(base + ["-verbose", "-nocolor"])
+    assert rc0 == rc1 == rc2 == 0
+    assert out1 == out0 and out2 == out0
+
+
+def test_qsub_header_and_opts(data_dir, tmp_path, monkeypatch):
+    """-qsubheader prepends the header file to job.sh and -qsubopts rides
+    the submission command line (makeQsubScript, qmodel.cpp:1030-1039)."""
+    monkeypatch.setenv("QUAFF_TPU_PLATFORM", "cpu")
+    monkeypatch.setenv("QUAFF_TPU_X64", "1")
+    header = tmp_path / "header.sh"
+    header.write_text("#!/bin/sh\n# PBS -l walltime=1:00:00\n")
+    base = [
+        "align",
+        str(data_dir / "tiny.fasta"),
+        str(data_dir / "tiny.fastq"),
+        "-nothreshold",
+    ]
+    rc0, out0 = _run(base)
+    rc, out = _run(
+        base
+        + [
+            "-qsubjobs", "1",
+            "-qsubpath", "/bin/sh",
+            # harmless shell option, forwarded verbatim to the submitter
+            "-qsubopts", "-e",
+            "-qsubdir", str(tmp_path / "jobs"),
+            "-qsubheader", str(header),
+        ]
+    )
+    assert rc == rc0 == 0 and out == out0
+    script = (tmp_path / "jobs" / "job1" / "job.sh").read_text()
+    assert script.startswith("#!/bin/sh\n# PBS -l walltime=1:00:00\n")
+
+
+def test_sshkey_and_remotepath_parse():
+    """-sshkey feeds ssh -i; -remotepath overrides the worker command
+    (makeSshCommand qmodel.cpp:1131-1144; -remotepath t/quaff.cpp)."""
+    from collections import deque
+
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.bootstrap import RemoteServerSpec, SshLauncher
+    from quaff_tpu.cli import _parse_dp_config
+
+    config = DPConfig()
+    args = deque(["-sshkey", "/tmp/id_quaff", "-remotepath", "/opt/quaff-worker"])
+    while args:
+        assert _parse_dp_config(args, config)
+    assert config.ssh_key == "/tmp/id_quaff"
+    assert config.worker_path == "/opt/quaff-worker"
+
+    launcher = SshLauncher("ssh", config.ssh_key)
+    cmd = launcher.command(
+        RemoteServerSpec(addr="host", port=8000, user="me"), "echo hi"
+    )
+    i = cmd.index("-i")
+    assert cmd[i + 1] == "/tmp/id_quaff"
+    assert cmd[-2:] == ["me@host", "echo hi"]
