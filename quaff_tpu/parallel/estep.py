@@ -172,6 +172,56 @@ def build_pair_grid(
     return grid, np.array([len(y.seq) for y in reads])
 
 
+def sharded_align_kernel(
+    mesh: Mesh,
+    v2tab,
+    batch: dict,  # leading axis [D, B, ...]: one packed chunk per device
+    mode: str = "viterbi",
+    local: bool = True,
+    interpret: bool = False,
+):
+    """Pod-scale production align scoring: the v2 Pallas banded scorer
+    (dp/pallas_v2.scores_v2_traceable) inside a shard_map over the
+    mesh's "dp" axis — one packed pair chunk per device.
+
+    The TPU-pod equivalent of farming one read-task per worker
+    (runQuaffAlignmentTasks, qmodel.cpp:2870-2882): read chunks shard
+    over dp, score tables replicate, and no collective is needed —
+    alignment scoring is embarrassingly parallel; winner selection and
+    the f64 traceback stay host-side exactly as in the single-chip
+    aligner fast path (aligner.py).
+
+    Returns scores [D, B] (sharded over dp).
+    """
+    import types
+
+    from ..dp.pallas_v2 import scores_v2_traceable
+
+    n_ik = int(getattr(v2tab, "n_ik", 0))
+
+    def body(emis, insv, ik, trans4, bt):
+        tab = types.SimpleNamespace(
+            emis=emis, insv=insv, ik=ik, trans=trans4, n_ik=n_ik
+        )
+        local_batch = {k: v[0] for k, v in bt.items()}
+        s = scores_v2_traceable(
+            tab, local_batch, mode=mode, local=local, interpret=interpret
+        )
+        return s[None]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), {k: P("dp") for k in batch}),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return f(
+        v2tab.emis, v2tab.insv, v2tab.ik,
+        jnp.asarray(v2tab.trans, jnp.float32), batch,
+    )
+
+
 def sharded_estep_kernel(
     mesh: Mesh,
     v2tab,
