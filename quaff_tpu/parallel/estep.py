@@ -222,6 +222,90 @@ def sharded_align_kernel(
     )
 
 
+def sharded_overlap_kernel(
+    mesh: Mesh,
+    tables,  # OverlapScoreTables (one strand)
+    batch: dict,  # leading axis [D, B, ...]: one overlap chunk per device
+    n_rows: int = None,
+    interpret: bool = False,
+):
+    """Pod-scale all-vs-all overlap scoring: the fused Pallas overlap
+    scorer (dp/pallas_overlap.py) inside a shard_map over the mesh's
+    "dp" axis — one pair chunk per device, pair-emission tables
+    replicated (hoisted once per (params, strand), unlike the
+    reference's per-task rebuild, qoverlap.cpp:77-79).
+
+    The mesh analogue of the overlap pair scheduler's task farming
+    (qoverlap.cpp:554-566): pair chunks shard over dp; scoring needs no
+    collective, and the exact-pass traceback stays host-side as in the
+    single-chip pipeline (overlap.py).
+
+    Returns end + x/y insert scores [D, B] (sharded over dp) — the same
+    quantity as overlap_scores_kernel's non-segment path.
+    """
+    from ..dp.pallas_overlap import (
+        _ov_fill,
+        _ov_prepare_device,
+        _ov_tabs,
+        _round_up,
+    )
+
+    D, B, W0 = batch["member"].shape
+    Ly = int(n_rows) if n_rows is not None else int(batch["y_match_kmer"].shape[2])
+    W = _round_up(max(int(W0), 128), 128)
+    Bp = _round_up(int(B), 8)
+    n_segs = int(batch["seg_d_lo"].shape[2]) if "seg_d_lo" in batch else 1
+    prep_rows = "x_row" in batch or "j_off" in batch
+    mk, ik = tables.match_kmer_len, tables.indel_kmer_len
+
+    trans9 = jnp.asarray(
+        [
+            float(tables.m2m[0, 0]),
+            float(tables.m2i[0, 0]),
+            float(tables.m2d[0, 0]),
+            tables.i2m_eff,
+            tables.i2i_eff,
+            tables.i2d_eff,
+            tables.d2m_eff,
+            tables.d2i_eff,
+            tables.d2d_eff,
+        ],
+        jnp.float32,
+    )
+    tabs = _ov_tabs(tables)
+
+    def body(tb, tr9, bt):
+        local = {k: v[0] for k, v in bt.items()}
+        pr = _ov_prepare_device(
+            tb, local, W, Bp,
+            n_rows=Ly if prep_rows else None, trans9=tr9,
+            mk_len=mk, ik_len=ik,
+        )
+        rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew, go0, g10 = pr
+        out = _ov_fill(
+            rows, member_f, a0, a1, a2, a3, c0, meta, doff, snew,
+            width=W, b_pad=Bp, n_rows=Ly, n_segs=n_segs,
+            interpret=interpret, go0=go0, g10=g10,
+        )
+        end = jnp.max(out[:B], axis=1)
+        end = jnp.where(end <= NEG_INF / 2, -jnp.inf, end)
+        s = (
+            end
+            + local["x_insert_score"].astype(jnp.float32)
+            + local["y_insert_score"].astype(jnp.float32)
+        )
+        return s[None]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), {k: P("dp") for k in batch}),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return f(tabs, trans9, batch)
+
+
 def sharded_estep_kernel(
     mesh: Mesh,
     v2tab,
