@@ -98,6 +98,10 @@ class DPConfig:
     qsub_header: str = "#!/bin/sh\n"
     qsub_dir: str = ""
     worker_path: str = ""  # remote/batch worker command (-remotepath)
+    # device-mesh data parallelism (-mesh/-meshmp): shard the training
+    # E-step pair grid over all attached devices (parallel/estep.py)
+    use_mesh: bool = False
+    mesh_mp: int = 1
 
     def effective_max_size(self) -> int:
         return self.max_size // self.threads if self.auto_mem_size else self.max_size

@@ -250,6 +250,14 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
     if arg == "-remotepath":
         config.worker_path = _need_arg(args, arg)
         return True
+    if arg == "-mesh":
+        config.use_mesh = True
+        args.popleft()
+        return True
+    if arg == "-meshmp":
+        config.mesh_mp = int(_need_arg(args, arg))
+        config.use_mesh = True
+        return True
     return False
 
 
@@ -971,6 +979,28 @@ def _cmd_train(args: deque, config, state) -> int:
         def counts_provider(qp, order):
             return qsub_get_counts(runner, refs, reads, qp, null, order)
 
+    elif config.use_mesh:
+        # device-mesh data parallelism: shard the E-step pair grid over
+        # all attached devices (the TPU-native scale-out axis; see
+        # parallel/estep.MeshCountsProvider)
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel.distributed import make_global_mesh
+        from .parallel.estep import MeshCountsProvider
+
+        mesh = make_global_mesh(config.mesh_mp)
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        counts_provider = MeshCountsProvider(
+            mesh, refs, reads, params, null, config,
+            allow_null=trainer.allow_null_model, dtype=dtype,
+        )
+        logger.log(
+            1,
+            f"Mesh E-step over {mesh.devices.size} devices "
+            f"(dp={mesh.shape['dp']}, mp={mesh.shape['mp']})",
+        )
+
     new_params = trainer.fit(
         refs,
         reads,
@@ -1120,8 +1150,10 @@ GENERAL
 PARALLEL PROCESSING
 
 On TPU pods, scaling is via the device mesh (data/model/sequence
-parallel shardings; see docs/manual.md). The reference's cluster
-backends are also supported:
+parallel shardings; see docs/manual.md):
+   -mesh           Shard the training E-step over all attached devices
+   -meshmp <K>     Also shard references over a model-parallel axis of K
+The reference's cluster backends are also supported:
 
 Sockets:
    -threads <N>, -maxthreads       Worker thread/port count

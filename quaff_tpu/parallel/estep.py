@@ -172,6 +172,91 @@ def build_pair_grid(
     return grid, np.array([len(y.seq) for y in reads])
 
 
+class MeshCountsProvider:
+    """Mesh data-parallel E-step provider for trainer.fit(counts_provider=)
+    — the TPU-native replacement of farming count jobs to socket/qsub
+    workers each EM iteration (QuaffTrainer remote dispatch,
+    qmodel.cpp:2034-2120): the [R, K] pair grid shards (dp, mp) over the
+    device mesh, params-derived score tables replicate, and the count
+    totals come back as one psum'd pytree.
+
+    The pair grid is params-independent (only k-mer lengths matter), so
+    it is built ONCE here and reused every iteration; per iteration only
+    the score tables are recomputed and shipped.  Reads are padded to a
+    multiple of the dp axis with sentinel entries whose null
+    log-likelihood is +1e30 — their posterior weights are exactly zero
+    (the same sentinel-read trick the fused kernel E-step uses for
+    batch quantisation) and they are excluded from the returned
+    log-likelihood.  Every (read, ref) pair is computed: the
+    reference's Δ=20 ref skip (qmodel.cpp:2252-2255) becomes an exact
+    negligible posterior weight, so sort_order passes through unchanged.
+    """
+
+    def __init__(self, mesh, refs, reads, seed_params, null_model, config,
+                 allow_null=True, dtype=jnp.float32):
+        from ..aligner import FWDBACK_CELL_SIZE
+        from ..dp.scores import ScoreTables
+        from ..io.fastseq import FastSeq
+
+        self.mesh = mesh
+        self.refs = refs
+        self.n_reads = len(reads)
+        self.dtype = dtype
+        self.mk = seed_params.match_kmer_len
+        self.ik = seed_params.indel_kmer_len
+        dp = mesh.shape["dp"]
+        mp = mesh.shape["mp"]
+        if len(refs) % mp:
+            raise ValueError(
+                f"number of references ({len(refs)}) must divide the mesh "
+                f"mp axis ({mp}); use -meshmp 1 to replicate refs"
+            )
+        pad = (-len(reads)) % dp
+        padded = list(reads) + [
+            FastSeq(name=f"__pad{i}", seq="ACGT", qual="IIII")
+            for i in range(pad)
+        ]
+        null_ll = [
+            null_model.log_likelihood(y) if allow_null else -1e30
+            for y in reads
+        ] + [1e30] * pad  # sentinel: posterior weight exactly 0
+        self.null_ll = jnp.asarray(null_ll, jnp.float32)
+        tables = ScoreTables.from_params(seed_params)
+        self.grid, _ = build_pair_grid(
+            refs, padded, tables, config, FWDBACK_CELL_SIZE
+        )
+
+    def __call__(self, qp, sort_order):
+        from ..dp.engine import device_tables
+        from ..dp.scores import ScoreTables
+        from ..model.params import QuaffCounts, QuaffParamCounts
+
+        tables = ScoreTables.from_params(qp)
+        tdev = device_tables(tables)
+        totals, _, y_ll = sharded_estep(
+            self.mesh, tdev, self.grid, self.null_ll,
+            local=True, dtype=self.dtype,
+            num_match_kmers=qp.num_match_kmers,
+            num_indel_kmers=qp.num_indel_kmers,
+        )
+        loglike = float(np.sum(np.asarray(y_ll, np.float64)[: self.n_reads]))
+        qc = QuaffCounts(
+            match_kmer_len=self.mk,
+            indel_kmer_len=self.ik,
+            insert=np.asarray(totals["insert_counts"], np.float64),
+            match=np.asarray(totals["match_counts"], np.float64),
+            m2m=np.asarray(totals["m2m"], np.float64),
+            m2i=np.asarray(totals["m2i"], np.float64),
+            m2d=np.asarray(totals["m2d"], np.float64),
+            m2e=np.asarray(totals["m2e"], np.float64),
+            d2d=float(totals["d2d"]),
+            d2m=float(totals["d2m"]),
+            i2i=float(totals["i2i"]),
+            i2m=float(totals["i2m"]),
+        )
+        return QuaffParamCounts.from_counts(qc), loglike, sort_order
+
+
 def sharded_align_kernel(
     mesh: Mesh,
     v2tab,
