@@ -140,19 +140,17 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
         if config.max_size == 0:
             # -kmatchmb 0 falls back to physical memory
             # (qmodel.cpp:789-793)
-            import os
+            from .memsize import get_memory_size
 
-            config.max_size = os.sysconf("SC_PAGE_SIZE") * os.sysconf(
-                "SC_PHYS_PAGES"
-            )
+            config.max_size = get_memory_size()
         config.kmer_threshold = -1
         config.auto_mem_size = False
         return True
     if arg == "-kmatchmax":
-        import os
+        # physical RAM (memsize.cpp equivalent, cross-platform)
+        from .memsize import get_memory_size
 
-        # physical RAM (memsize.cpp equivalent)
-        config.max_size = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        config.max_size = get_memory_size()
         config.kmer_threshold = -1
         config.auto_mem_size = True
         args.popleft()
@@ -989,10 +987,16 @@ def _cmd_train(args: deque, config, state) -> int:
         from .parallel.distributed import make_global_mesh
         from .parallel.estep import MeshCountsProvider
 
+        n_dev = len(jax.devices())
+        if config.mesh_mp > n_dev or n_dev % config.mesh_mp != 0:
+            raise SystemExit(
+                f"-meshmp {config.mesh_mp} must divide the device count "
+                f"({n_dev} available)"
+            )
         mesh = make_global_mesh(config.mesh_mp)
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         counts_provider = MeshCountsProvider(
-            mesh, refs, reads, params, null, config,
+            mesh, refs, trainer.effective_reads(reads), params, null, config,
             allow_null=trainer.allow_null_model, dtype=dtype,
         )
         logger.log(

@@ -13,7 +13,9 @@ advanced one lane per row (like v2's token window); msY[r'](j) and
 insY(j) are per-row scalars resolved with one-hot MXU dots against the
 y-side tables (with the strand complement folded into the table for
 reverse-strand pairs).  Gap transitions are scalars at the default gap
-order 0 (higher orders fall back to the XLA fill).
+order 0; gap order > 0 is supported in-kernel too, with the separable
+m2* transitions carried as extra x gap windows and y row channels
+(TPU-validated byte-identical to the gaporder1 oracle).
 
 The mixed max/log-sum-exp delete recursion
   del[w] = max(lse(del[w-1]+d2d, ins[w-1]+d2i), mat[w-1]+m2d)

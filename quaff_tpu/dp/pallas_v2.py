@@ -1,7 +1,7 @@
 """Pallas banded fill, v2: self-contained kernel with in-kernel emission
 lookup.
 
-v1 (pallas_kernel.py) streams precomputed per-row emission values, whose
+The earlier v1 design (removed) streamed precomputed per-row emission values, whose
 XLA gather-based assembly costs ~2x the kernel itself and minutes of
 compile time.  v2 eliminates that: the stream carries only small integer
 keys per row (read (kmer,qual) key, insert key, indel-context ids), and

@@ -14,7 +14,7 @@ from __future__ import annotations
 import sys
 import threading
 import time
-from typing import List, Optional, Set
+from typing import Dict, List, Optional, Set
 
 _COLORS = {
     1: "\x1b[32m",  # green
@@ -22,6 +22,7 @@ _COLORS = {
     3: "\x1b[36m",  # cyan
 }
 _RESET = "\x1b[0m"
+_THREAD_COLOR = "\x1b[35m"  # magenta, like the reference's threadAnsiColor
 
 
 class Logger:
@@ -30,6 +31,30 @@ class Logger:
         self.tags: Set[str] = set()
         self.use_color = sys.stderr.isatty()
         self._lock = threading.RLock()
+        self._lock_timeout = 1.0
+        # thread-name registry + last-owner tracking for interleaving-safe
+        # banners (Logger::lock/getThreadName, logger.cpp:92-142)
+        self._thread_names: Dict[int, str] = {}
+        self._last_owner: Optional[int] = None
+        self._owner_site: str = "?"
+
+    # -- thread-name registry (logger.cpp:121-142) -------------------------
+
+    def set_thread_name(self, ident: int, name: str) -> None:
+        self._thread_names[ident] = name
+
+    def name_last_thread(self, threads, prefix: str) -> None:
+        """Name the most recently spawned thread '<prefix> thread #N'
+        (Logger::nameLastThread, logger.cpp:135-138)."""
+        self.set_thread_name(threads[-1].ident, f"{prefix} thread #{len(threads)}")
+
+    def erase_thread_name(self, thread: threading.Thread) -> None:
+        self._thread_names.pop(thread.ident, None)
+
+    def get_thread_name(self, ident: Optional[int] = None) -> str:
+        if ident is None:
+            ident = threading.get_ident()
+        return self._thread_names.get(ident, f"thread {ident}")
 
     # -- configuration ----------------------------------------------------
 
@@ -86,22 +111,54 @@ class Logger:
 
     # -- output -----------------------------------------------------------
 
+    def _banner(self, acquired: bool) -> str:
+        """Thread banner written when the log's owner changes, or a
+        deadlock-tolerance note when the 1s timed lock fails
+        (Logger::lock, logger.cpp:92-112)."""
+        me = threading.get_ident()
+        if acquired:
+            banner = ""
+            if self._last_owner != me and len(self._thread_names) > 1:
+                name = self.get_thread_name(me)
+                banner = (
+                    f"{_THREAD_COLOR}({name}){_RESET} "
+                    if self.use_color else f"({name}) "
+                )
+            self._last_owner = me
+            return banner
+        note = (
+            f"({self.get_thread_name(me)}, ignoring lock by "
+            f"{self.get_thread_name(self._last_owner)} at {self._owner_site})"
+        )
+        return (f"{_THREAD_COLOR}{note}{_RESET} " if self.use_color
+                else note + " ")
+
+    def _emit(self, text: str) -> None:
+        # deadlock-tolerant timed lock: after 1s, log anyway with a note
+        # naming the stuck owner instead of blocking (logger.cpp:92-112)
+        acquired = self._lock.acquire(timeout=self._lock_timeout)
+        try:
+            if acquired:
+                frame = sys._getframe(2)
+                self._owner_site = f"{frame.f_code.co_filename} line {frame.f_lineno}"
+            sys.stderr.write(self._banner(acquired) + text)
+            sys.stderr.flush()
+        finally:
+            if acquired:
+                self._lock.release()
+
     def log(self, level: int, message: str) -> None:
         if not self.logging_at(level):
             return
-        with self._lock:
-            if self.use_color:
-                color = _COLORS.get(min(level, 3), "")
-                sys.stderr.write(f"{color}{message}{_RESET}\n")
-            else:
-                sys.stderr.write(message + "\n")
-            sys.stderr.flush()
+        if self.use_color:
+            color = _COLORS.get(min(level, 3), "")
+            self._emit(f"{color}{message}{_RESET}\n")
+        else:
+            self._emit(message + "\n")
 
     def log_tag(self, tag: str, message: str) -> None:
         if self.logging_tag(tag):
-            with self._lock:
-                sys.stderr.write(message + "\n")
-                sys.stderr.flush()
+            self._emit(message + "\n")
 
 
 logger = Logger()

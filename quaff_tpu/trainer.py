@@ -471,6 +471,20 @@ class QuaffTrainer:
     counts_with_prior_filename: str = ""
     checkpoint_dir: str = ""  # preemption-safe EM state checkpointing
 
+    def effective_reads(self, reads: List[FastSeq]) -> List[FastSeq]:
+        """-maxreadmb training-set truncation (qmodel.cpp:2169-2183);
+        exposed so external counts providers see the same read list."""
+        if self.max_read_bases <= 0:
+            return reads
+        limited = []
+        bases = 0
+        for y in reads:
+            limited.append(y)
+            bases += len(y.seq)
+            if bases >= self.max_read_bases:
+                break
+        return limited
+
     def fit(
         self,
         refs: List[FastSeq],
@@ -487,15 +501,7 @@ class QuaffTrainer:
         sort_order) — used to farm counting to remote/qsub workers each
         iteration (QuaffTrainer::fit remote dispatch,
         qmodel.cpp:2050-2120)."""
-        if self.max_read_bases > 0:
-            limited = []
-            bases = 0
-            for y in reads:
-                limited.append(y)
-                bases += len(y.seq)
-                if bases >= self.max_read_bases:
-                    break
-            reads = limited
+        reads = self.effective_reads(reads)
         assert pseudocounts.match_kmer_len == seed.match_kmer_len
         assert pseudocounts.indel_kmer_len == seed.indel_kmer_len
 

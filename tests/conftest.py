@@ -34,3 +34,22 @@ import pytest
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
     return pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(autouse=True)
+def _isolate_logger_state():
+    """Snapshot/restore the module-level logger singleton around every test.
+
+    CLI tests mutate the singleton (-v*/-log/-nocolor); without this, a
+    test that raises verbosity leaks extra stderr into later byte-parity
+    tests (e.g. the dpmatrix oracle dump)."""
+    from quaff_tpu.logger import logger
+
+    saved = (logger.verbosity, set(logger.tags), logger.use_color)
+    thread_names = dict(logger._thread_names)
+    try:
+        yield
+    finally:
+        logger.verbosity, logger.tags, logger.use_color = saved[0], saved[1], saved[2]
+        logger._thread_names = thread_names
+        logger._last_owner = None
