@@ -102,6 +102,12 @@ class DPConfig:
     # E-step pair grid over all attached devices (parallel/estep.py)
     use_mesh: bool = False
     mesh_mp: int = 1
+    # multi-host runtime (-coordinator/-nprocs/-procid): every host runs
+    # the same CLI command, jax.distributed wires them into one cluster,
+    # and -mesh spans the GLOBAL device set (parallel/distributed.py)
+    coordinator: str = ""
+    n_procs: int = 0
+    proc_id: int = -1
 
     def effective_max_size(self) -> int:
         return self.max_size // self.threads if self.auto_mem_size else self.max_size

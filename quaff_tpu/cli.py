@@ -256,6 +256,18 @@ def _parse_dp_config(args: deque, config, general_only: bool = False) -> bool:
         config.mesh_mp = int(_need_arg(args, arg))
         config.use_mesh = True
         return True
+    # multi-host runtime flags (consumed for config bookkeeping; the
+    # actual jax.distributed.initialize happened in main() before the
+    # backend came up — see _peek_distributed_args)
+    if arg == "-coordinator":
+        config.coordinator = _need_arg(args, arg)
+        return True
+    if arg == "-nprocs":
+        config.n_procs = int(_need_arg(args, arg))
+        return True
+    if arg == "-procid":
+        config.proc_id = int(_need_arg(args, arg))
+        return True
     return False
 
 
@@ -347,7 +359,39 @@ def _accelerator_alive(default_timeout: float = 120.0) -> bool:
         return True
 
 
-def _setup_jax_precision():
+def _peek_distributed_args(argv: List[str]) -> dict:
+    """Pre-scan for -coordinator/-nprocs/-procid (and TPU-pod env
+    autodetect) BEFORE the JAX backend initialises — the multi-host
+    runtime must be wired first (the TPU-native analogue of the
+    reference's ssh-bootstrap-before-work, qmodel.cpp:1093-1125).
+
+    Env autodetect: QUAFF_COORDINATOR / QUAFF_NPROCS / QUAFF_PROCID
+    mirror the flags (convenient under mpirun/SLURM wrappers); on a TPU
+    pod with no flags at all, jax.distributed.initialize() discovers the
+    cluster from the pod metadata when QUAFF_TPU_AUTODETECT=1.
+    """
+    import os
+
+    out = {}
+    vals = {"-coordinator": None, "-nprocs": None, "-procid": None}
+    for i, a in enumerate(argv):
+        if a in vals and i + 1 < len(argv):
+            vals[a] = argv[i + 1]
+    coord = vals["-coordinator"] or os.environ.get("QUAFF_COORDINATOR")
+    nprocs = vals["-nprocs"] or os.environ.get("QUAFF_NPROCS")
+    procid = vals["-procid"] or os.environ.get("QUAFF_PROCID")
+    if coord:
+        out["coordinator_address"] = coord
+    if nprocs is not None:
+        out["num_processes"] = int(nprocs)
+    if procid is not None:
+        out["process_id"] = int(procid)
+    if not out and os.environ.get("QUAFF_TPU_AUTODETECT") in ("1", "true"):
+        out["autodetect"] = True
+    return out
+
+
+def _setup_jax_precision(dist_args: Optional[dict] = None):
     """x64 is enabled regardless of backend: golden-parity computations
     (XLA fills, tracebacks) need f64 and are pinned to the CPU device on
     accelerator backends, while the production Pallas kernels request f32
@@ -373,6 +417,18 @@ def _setup_jax_precision():
             file=sys.stderr,
         )
         jax.config.update("jax_platforms", "cpu")
+    if dist_args:
+        # join the multi-host cluster before the first backend query
+        from .parallel.distributed import init_distributed
+
+        if dist_args.get("autodetect"):
+            jax.distributed.initialize()
+        else:
+            init_distributed(
+                coordinator_address=dist_args.get("coordinator_address"),
+                num_processes=dist_args.get("num_processes"),
+                process_id=dist_args.get("process_id"),
+            )
     want = os.environ.get("QUAFF_TPU_X64")
     if want is not None:
         jax.config.update("jax_enable_x64", want not in ("0", "false"))
@@ -407,8 +463,11 @@ def _load_or_fit_null(args_state, reads):
         null = QuaffNullParams.fit(reads)
     sf = args_state.get("savenull_file")
     if sf:
-        with open(sf, "w") as f:
-            null.write_json(f)
+        from .parallel.distributed import is_primary
+
+        if is_primary():
+            with open(sf, "w") as f:
+                null.write_json(f)
     return null
 
 
@@ -619,7 +678,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stdout.write(f"{PROG} {VERSION}\n")
         return 0
 
-    _setup_jax_precision()
+    _setup_jax_precision(_peek_distributed_args(argv))
     from .aligner import DPConfig
 
     config = DPConfig()
@@ -928,9 +987,12 @@ def _cmd_train(args: deque, config, state) -> int:
         prior = QuaffParamCounts.zero(match_order, gap_order)
         prior.init_counts(9, 9, 5, 1, null)
     if save_prior:
-        with open(save_prior, "w") as f:
-            prior.write_json(f)
-            f.write("\n")
+        from .parallel.distributed import is_primary
+
+        if is_primary():
+            with open(save_prior, "w") as f:
+                prior.write_json(f)
+                f.write("\n")
 
     from .logger import logger
 
@@ -949,6 +1011,13 @@ def _cmd_train(args: deque, config, state) -> int:
         ref_files=refs_args.filenames,
         read_files=reads_args.filenames,
     )
+    import jax
+
+    if jax.process_count() > 1 and not config.use_mesh:
+        raise SystemExit(
+            "multi-host runs (-nprocs > 1) require -mesh: the global "
+            "device mesh is the multi-host execution path"
+        )
     pool, extra_remotes = _launch_remote_pool(config, sargs)
     counts_provider = None
     workers = []
@@ -979,8 +1048,9 @@ def _cmd_train(args: deque, config, state) -> int:
 
     elif config.use_mesh:
         # device-mesh data parallelism: shard the E-step pair grid over
-        # all attached devices (the TPU-native scale-out axis; see
-        # parallel/estep.MeshCountsProvider)
+        # all attached devices — across every host of a multi-host
+        # cluster when -coordinator/-nprocs joined one (the TPU-native
+        # scale-out axis; see parallel/estep.MeshCountsProvider)
         import jax
         import jax.numpy as jnp
 
@@ -1019,7 +1089,10 @@ def _cmd_train(args: deque, config, state) -> int:
         w.close()
     _stop_remote_pool(pool)
     if not trainer.save_params_filename:
-        new_params.write_json(sys.stdout)
+        from .parallel.distributed import is_primary
+
+        if is_primary():
+            new_params.write_json(sys.stdout)
     return 0
 
 
@@ -1157,6 +1230,13 @@ On TPU pods, scaling is via the device mesh (data/model/sequence
 parallel shardings; see docs/manual.md):
    -mesh           Shard the training E-step over all attached devices
    -meshmp <K>     Also shard references over a model-parallel axis of K
+Multi-host clusters (every host runs the same command; -mesh then spans
+the global device set; host 0 writes the output):
+   -coordinator <host:port>   Cluster coordinator (host 0's address)
+   -nprocs <N>     Number of processes (hosts) in the cluster
+   -procid <I>     This process's id, 0..N-1
+   (or env QUAFF_COORDINATOR/QUAFF_NPROCS/QUAFF_PROCID;
+    QUAFF_TPU_AUTODETECT=1 uses the TPU pod metadata)
 The reference's cluster backends are also supported:
 
 Sockets:

@@ -40,6 +40,36 @@ def init_distributed(
     jax.distributed.initialize(**kwargs)
 
 
+def is_primary() -> bool:
+    """True on the process that owns user-facing output (host 0)."""
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def global_array(mesh, spec, host_array):
+    """Promote a host array (identical on every process) to a global
+    device array sharded by `spec` over `mesh`.
+
+    This is the multi-controller hand-off point: each process donates
+    the shards that live on its own devices; jax stitches them into one
+    global array usable inside shard_map over the global mesh.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    host = np.asarray(host_array)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(host, sharding)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def host_read_shard(reads: List, process_id: Optional[int] = None,
                     num_processes: Optional[int] = None) -> List:
     """This host's shard of the read list (contiguous block partitioning,

@@ -79,11 +79,15 @@ def sharded_estep(
     dtype=jnp.float32,
     num_match_kmers: int = 4,
     num_indel_kmers: int = 1,
+    read_mask: jnp.ndarray = None,  # [R] 1.0 = real read, 0.0 = pad
 ):
     """Full sharded E-step over an [R, K] pair grid.
 
     Returns (replicated) total count pytree and total log-likelihood, plus
-    per-read log-likelihoods [R] (sharded over dp).
+    per-read log-likelihoods [R] (sharded over dp).  `read_mask` excludes
+    sentinel/pad reads from the returned log-likelihood in-graph, so the
+    total is addressable on every process of a multi-host run (per-read
+    y_loglike shards are not).
     """
 
     count_fields = (
@@ -99,7 +103,7 @@ def sharded_estep(
         "d2m",
     )
 
-    def body(tables, pairs, null_ll):
+    def body(tables, pairs, null_ll, mask):
         r, k = pairs["y_len"].shape[:2]
         flat = _flatten_rk(pairs)
         res = dp_forward_backward(
@@ -130,18 +134,24 @@ def sharded_estep(
             local_sum = jnp.sum(c * wc, axis=(0, 1))
             totals[name] = jax.lax.psum(local_sum, ("dp", "mp"))
         # y_loglike is already replicated over mp; reduce over dp only
-        loglike = jax.lax.psum(jnp.sum(y_loglike), "dp")
+        # (masked so sentinel pad reads don't poison the total; f64
+        # accumulation where the backend allows it)
+        acc = jnp.where(mask > 0, y_loglike, 0.0)
+        acc = acc.astype(jnp.float64) if jax.config.jax_enable_x64 else acc
+        loglike = jax.lax.psum(jnp.sum(acc), "dp")
         return totals, loglike, y_loglike
 
+    if read_mask is None:
+        read_mask = jnp.ones_like(null_loglike)
     pspec = {name: P("dp", "mp") for name in pair_arrays}
     f = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), pspec, P("dp")),
+        in_specs=(P(), pspec, P("dp"), P("dp")),
         out_specs=(P(), P(), P("dp")),
         check_vma=False,
     )
-    return f(tables_dev, pair_arrays, null_loglike)
+    return f(tables_dev, pair_arrays, null_loglike, read_mask)
 
 
 def build_pair_grid(
@@ -220,10 +230,26 @@ class MeshCountsProvider:
             null_model.log_likelihood(y) if allow_null else -1e30
             for y in reads
         ] + [1e30] * pad  # sentinel: posterior weight exactly 0
-        self.null_ll = jnp.asarray(null_ll, jnp.float32)
         tables = ScoreTables.from_params(seed_params)
-        self.grid, _ = build_pair_grid(
+        grid, _ = build_pair_grid(
             refs, padded, tables, config, FWDBACK_CELL_SIZE
+        )
+        # promote to global arrays over the mesh: on a multi-host run each
+        # process donates the shards living on its own devices (the grid is
+        # built identically on every host — host-side assembly is cheap
+        # relative to the fills; see parallel/distributed.global_array)
+        from .distributed import global_array
+
+        self.grid = {
+            name: global_array(mesh, P("dp", "mp"), arr)
+            for name, arr in grid.items()
+        }
+        self.null_ll = global_array(
+            mesh, P("dp"), np.asarray(null_ll, np.float32)
+        )
+        self.read_mask = global_array(
+            mesh, P("dp"),
+            np.asarray([1.0] * len(reads) + [0.0] * pad, np.float32),
         )
 
     def __call__(self, qp, sort_order):
@@ -231,15 +257,21 @@ class MeshCountsProvider:
         from ..dp.scores import ScoreTables
         from ..model.params import QuaffCounts, QuaffParamCounts
 
+        from .distributed import global_array
+
         tables = ScoreTables.from_params(qp)
-        tdev = device_tables(tables)
-        totals, _, y_ll = sharded_estep(
+        tdev = {
+            name: global_array(self.mesh, P(), arr)
+            for name, arr in device_tables(tables).items()
+        }
+        totals, loglike_g, _ = sharded_estep(
             self.mesh, tdev, self.grid, self.null_ll,
             local=True, dtype=self.dtype,
             num_match_kmers=qp.num_match_kmers,
             num_indel_kmers=qp.num_indel_kmers,
+            read_mask=self.read_mask,
         )
-        loglike = float(np.sum(np.asarray(y_ll, np.float64)[: self.n_reads]))
+        loglike = float(loglike_g)
         qc = QuaffCounts(
             match_kmer_len=self.mk,
             indel_kmer_len=self.ik,

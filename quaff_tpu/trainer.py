@@ -529,7 +529,10 @@ class QuaffTrainer:
                 counts, loglike, sort_order = counter.get_counts(
                     refs, reads, sort_order
                 )
-            if self.raw_counts_filename:
+            from .parallel.distributed import is_primary
+
+            primary = is_primary()  # only host 0 writes artifacts
+            if self.raw_counts_filename and primary:
                 with open(self.raw_counts_filename, "w") as f:
                     counts.write_json(f)
                     f.write("\n")
@@ -550,7 +553,7 @@ class QuaffTrainer:
             )
             counts_with_prior.add_weighted(counts, 1.0)
             counts_with_prior.add_weighted(pseudocounts, 1.0)
-            if self.counts_with_prior_filename:
+            if self.counts_with_prior_filename and primary:
                 with open(self.counts_with_prior_filename, "w") as f:
                     counts_with_prior.write_json(f)
                     f.write("\n")
@@ -558,11 +561,11 @@ class QuaffTrainer:
             qp = counts_with_prior.fit()
             qp.fit_ref_seqs(refs)
 
-            if self.save_params_filename:
+            if self.save_params_filename and primary:
                 with open(self.save_params_filename, "w") as f:
                     qp.write_json(f)
                     f.write("\n")
-            if self.checkpoint_dir:
+            if self.checkpoint_dir and primary:
                 save_checkpoint(
                     self.checkpoint_dir,
                     TrainState(
