@@ -152,6 +152,9 @@ class QuaffAligner:
         self.print_all = print_all
         self.tables = ScoreTables.from_params(params)
         self._tdev = device_tables(self.tables)
+        # -mesh: device mesh for sharded batch scoring (set by the CLI;
+        # winner tracebacks stay host-side either way)
+        self.mesh = None
 
     def _use_fast_scores(self) -> bool:
         """On TPU backends, rank candidate refs with the Pallas kernel and
@@ -300,6 +303,77 @@ class QuaffAligner:
         out.sort(key=lambda a: -a.score)
         return out
 
+    def _mesh_chunk_scores(self, mesh_chunks, refs, reads, fast, scores):
+        """-mesh phase B: score chunks D at a time inside shard_map over
+        the device mesh — the pod-scale analogue of farming one read-task
+        per worker (runQuaffAlignmentTasks, qmodel.cpp:2870-2882).  Pair
+        chunks shard over the dp axis, score tables replicate, no
+        collective is needed; scores are allgathered to every host of a
+        multi-host cluster.  Chunks are grouped by identical padded shape
+        (quality mode, width, rows, padded batch) so every device runs
+        one program; short groups repeat their last chunk (the extra
+        scores are discarded)."""
+        from jax.sharding import PartitionSpec as P
+
+        from .dp.engine import host_batch
+        from .parallel.distributed import global_array
+        from .parallel.estep import (
+            gather_scores,
+            sharded_align_engine,
+            sharded_align_kernel,
+        )
+
+        D = self.mesh.devices.size
+        groups: dict = {}
+        for hq, wp, lp, chunk in mesh_chunks:
+            groups.setdefault((hq, wp, lp, pow2ceil(len(chunk))), []).append(
+                chunk
+            )
+        tdev_g = None
+        for (hq, wp, lp, bq), glist in sorted(groups.items()):
+            for g0 in range(0, len(glist), D):
+                gset = glist[g0 : g0 + D]
+                padded = gset + [gset[-1]] * (D - len(gset))
+                build = PairBatch.build_packed if fast else PairBatch.build
+                stacked_src = []
+                for chunk in padded:
+                    pairs = [
+                        (refs[nx], reads[ny], env) for ny, nx, env in chunk
+                    ]
+                    pairs.extend([pairs[-1]] * (bq - len(pairs)))
+                    stacked_src.append(
+                        host_batch(
+                            build(pairs, self.tables, width=wp, max_y_len=lp)
+                        )
+                    )
+                stacked = {
+                    k: global_array(
+                        self.mesh, P("dp"),
+                        np.stack([d[k] for d in stacked_src]),
+                    )
+                    for k in stacked_src[0]
+                }
+                if fast:
+                    s = sharded_align_kernel(
+                        self.mesh, self._v2_tables(hq), stacked,
+                        mode="viterbi", local=self.config.local,
+                    )
+                else:
+                    if tdev_g is None:
+                        tdev_g = {
+                            k: global_array(self.mesh, P(), v)
+                            for k, v in self._tdev.items()
+                        }
+                    s = sharded_align_engine(
+                        self.mesh, tdev_g, stacked, mode="viterbi",
+                        local=self.config.local,
+                        dtype=self.config.resolve_dtype(),
+                    )
+                s = gather_scores(s)
+                for chunk, srow in zip(gset, np.asarray(s, np.float64)):
+                    for (ny, nx, env), sc in zip(chunk, srow):
+                        scores[(ny, nx)] = (float(sc), env)
+
     def align_all(
         self,
         out: IO[str],
@@ -412,7 +486,13 @@ class QuaffAligner:
 
         scores = {}
         n_done = 0
+        mesh_chunks = []  # -mesh: same-shape chunks scored D-at-a-time
         for hq, wp, lp, chunk in chunks:
+                if self.mesh is not None and not (
+                    fast and wp > WIDE_ENVELOPE_FALLBACK_LANES
+                ):
+                    mesh_chunks.append((hq, wp, lp, chunk))
+                    continue
                 B = len(chunk)
                 bq = pow2ceil(B)
                 pairs = [
@@ -500,6 +580,9 @@ class QuaffAligner:
                 plog.log_progress(
                     n_done / len(jobs), f"{n_done}/{len(jobs)} pairs scored"
                 )
+        if mesh_chunks:
+            self._mesh_chunk_scores(mesh_chunks, refs, reads, fast, scores)
+            plog.log_progress(1.0, f"{len(jobs)}/{len(jobs)} pairs scored")
 
         # phase C: pick winners, re-fill with matrices, traceback
         winners = []  # (ny, nx, env)

@@ -620,6 +620,7 @@ def _launch_remote_pool(config, sargs: str):
     pool = bs.RemoteServerPool(
         bs.SshLauncher(config.ssh_path, config.ssh_key),
         worker_command=config.worker_path or _default_worker_command(),
+        elastic=elastic,
     )
     extra = pool.start(specs, sargs)
     return (pool, elastic), extra
@@ -725,6 +726,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 def _out_stream(state):
+    from .parallel.distributed import is_primary
+
+    if not is_primary():
+        # on a multi-host cluster only host 0 writes alignment output
+        import os
+
+        return open(os.devnull, "w")
     fn = state.get("align_file")
     return open(fn, "w") if fn else sys.stdout
 
@@ -803,6 +811,18 @@ def _cmd_align(args: deque, config, state) -> int:
         qsub_align_all(out, _make_qsub_runner(config, sargs), reads, refs, printer)
     else:
         aligner = QuaffAligner(params, null, config, print_all=print_all)
+        if config.use_mesh:
+            # shard batch scoring over the device mesh (every workload is
+            # parallelized, matching qmodel.cpp:2624-2646); host 0 owns
+            # the output on a multi-host cluster (_out_stream)
+            from .logger import logger
+            from .parallel.distributed import make_global_mesh
+
+            aligner.mesh = make_global_mesh(1)
+            logger.log(
+                1,
+                f"Mesh alignment over {aligner.mesh.devices.size} devices",
+            )
         aligner.align_all(out, refs, reads, printer)
     if out is not sys.stdout:
         out.close()
@@ -1168,6 +1188,18 @@ def _cmd_overlap(args: deque, config, state) -> int:
         )
     else:
         aligner = QuaffOverlapAligner(params, null, config)
+        if config.use_mesh:
+            # shard pair scoring over the device mesh (every workload is
+            # parallelized, matching qoverlap.cpp:312-334); host 0 owns
+            # the output on a multi-host cluster (_out_stream)
+            from .logger import logger
+            from .parallel.distributed import make_global_mesh
+
+            aligner.mesh = make_global_mesh(1)
+            logger.log(
+                1,
+                f"Mesh overlap over {aligner.mesh.devices.size} devices",
+            )
         aligner.align_all(out, seqs, n_originals, printer)
     if out is not sys.stdout:
         out.close()

@@ -435,3 +435,39 @@ def device_batch(batch: PairBatch) -> dict:
         out["seg_start"] = jnp.asarray(batch.seg_start)
         out["seg_width"] = jnp.asarray(batch.seg_width)
     return out
+
+
+def _narrow_int_np(a: np.ndarray, bound: int) -> np.ndarray:
+    if bound <= 127:
+        return np.asarray(a, dtype=np.int8)
+    if bound <= 32767:
+        return np.asarray(a, dtype=np.int16)
+    return np.asarray(a)
+
+
+def host_batch(batch: PairBatch) -> dict:
+    """device_batch's numpy twin: the same keys and narrowed dtypes, but
+    left on the host — used by the mesh pipelines to stack several chunk
+    batches into one [D, ...] global-array transfer instead of moving
+    each chunk to the device only to pull it back for stacking."""
+    out = {
+        "x_tok": _narrow_int_np(batch.x_tok, 4),
+        "x_len": np.asarray(batch.x_len),
+        "y_tok": _narrow_int_np(batch.y_tok, 4),
+        "y_match_kmer": _narrow_int_np(
+            batch.y_match_kmer, batch.match_kmer_bound
+        ),
+        "y_indel_kmer_pad": _narrow_int_np(
+            batch.y_indel_kmer_pad, batch.indel_kmer_bound
+        ),
+        "y_qual": _narrow_int_np(batch.y_qual, 94),
+        "y_has_qual": np.asarray(batch.y_has_qual),
+        "y_len": np.asarray(batch.y_len),
+        "d_lo": np.asarray(batch.d_lo),
+        "member": np.asarray(batch.member),
+    }
+    if batch.seg_d_lo is not None:
+        out["seg_d_lo"] = np.asarray(batch.seg_d_lo)
+        out["seg_start"] = np.asarray(batch.seg_start)
+        out["seg_width"] = np.asarray(batch.seg_width)
+    return out

@@ -32,10 +32,15 @@ NEG_INF = -math.inf
 def _ov_interpret() -> bool:
     """QUAFF_OV_INTERPRET=1 runs the overlap kernel in Pallas interpret
     mode — lets the TPU fast path (and its pruning logic) run end-to-end
-    on the CPU backend for integration tests."""
+    on the CPU backend for integration tests.  Non-TPU backends always
+    interpret (a -mesh run on the CPU backend reaches the kernel too)."""
     import os
 
-    return os.environ.get("QUAFF_OV_INTERPRET") == "1"
+    if os.environ.get("QUAFF_OV_INTERPRET") == "1":
+        return True
+    import jax
+
+    return jax.default_backend() != "tpu"
 
 
 def _ov_vmem_cells() -> int:
@@ -394,6 +399,9 @@ class QuaffOverlapAligner:
         self._tdev_rev = None
         self._base = base
         self._tdev_cpu64: dict = {}
+        # -mesh: device mesh for sharded pair scoring (set by the CLI;
+        # the exact pass + traceback stay host-side either way)
+        self.mesh = None
 
     def _tables(self, y_complemented: bool):
         if not y_complemented:
@@ -519,7 +527,7 @@ class QuaffOverlapAligner:
 
         pair_list = list(self.enumerate_pairs(seqs, n_originals))
         if (
-            self._use_fast_scores()
+            (self._use_fast_scores() or self.mesh is not None)
             and len(pair_list) > 1
             # full-envelope dpmatrix dumps need the sequential fills
             and not logger.logging_tag("dpmatrix")
@@ -744,8 +752,55 @@ class QuaffOverlapAligner:
                 ins_cache[key] = _insert_score_sum(tabs_s, tok, q)
             return ins_cache[key]
 
+        def chunk_host_arrays(chunk, wp):
+            """Per-pair stream arrays of one dispatch chunk (host numpy;
+            the bank rows carry the sequences themselves)."""
+            B = len(chunk)
+            member = np.zeros((B, wp), bool)
+            n_segs = packed[(chunk[0][0], chunk[0][1])][1].shape[1]
+            seg_d_lo = np.zeros((B, n_segs), np.int32)
+            seg_start = np.zeros((B, n_segs), np.int32)
+            seg_width = np.zeros((B, n_segs), np.int32)
+            j_off = np.zeros(B, np.int32)
+            for b, (nx, ny, yc, env) in enumerate(chunk):
+                m1, sd, ss, sw, jo, _ = packed[(nx, ny)]
+                member[b, : m1.shape[1]] = m1[0]
+                seg_d_lo[b] = sd[0]
+                seg_start[b] = ss[0]
+                seg_width[b] = sw[0]
+                j_off[b] = jo[0]
+            return n_segs, {
+                "x_row": np.asarray(
+                    [row_of[(nx, False)] for nx, _, _, _ in chunk], np.int32
+                ),
+                "y_row": np.asarray(
+                    [row_of[(ny, yc)] for _, ny, yc, _ in chunk], np.int32
+                ),
+                "x_len": np.asarray(
+                    [len(seqs[nx].seq) for nx, _, _, _ in chunk], np.int32
+                ),
+                "y_len": np.asarray(
+                    [len(seqs[ny].seq) for _, ny, _, _ in chunk], np.int32
+                ),
+                "member": member,
+                "seg_d_lo": seg_d_lo,
+                "seg_start": seg_start,
+                "seg_width": seg_width,
+                "j_off": j_off,
+                "x_insert_score": np.asarray(
+                    [insert_score(nx, False, yc) for nx, _, yc, _ in chunk]
+                ),
+                "y_insert_score": np.asarray(
+                    [insert_score(ny, yc, yc) for _, ny, yc, _ in chunk]
+                ),
+            }
+
         scored = {}
         seg_scored = {}
+        if self.mesh is not None:
+            self._mesh_overlap_scores(buckets, bank, chunk_host_arrays,
+                                      max_batch, OV_VMEM_CELLS, scored)
+            buckets = {}
         pending = []  # (chunk, score_dev, seg_dev): fetch AFTER all dispatches
         for (y_comp, wp, lp), js in sorted(buckets.items()):
             tables, _ = self._tables(y_comp)
@@ -764,58 +819,9 @@ class QuaffOverlapAligner:
                 # sizes don't each compile a fresh kernel shape
                 bq = pow2ceil(len(chunk))
                 chunk = chunk + [chunk[-1]] * (bq - len(chunk))
-                B = len(chunk)
-                member = np.zeros((B, wp), bool)
-                n_segs = packed[(chunk[0][0], chunk[0][1])][1].shape[1]
-                seg_d_lo = np.zeros((B, n_segs), np.int32)
-                seg_start = np.zeros((B, n_segs), np.int32)
-                seg_width = np.zeros((B, n_segs), np.int32)
-                j_off = np.zeros(B, np.int32)
-                for b, (nx, ny, yc, env) in enumerate(chunk):
-                    m1, sd, ss, sw, jo, _ = packed[(nx, ny)]
-                    member[b, : m1.shape[1]] = m1[0]
-                    seg_d_lo[b] = sd[0]
-                    seg_start[b] = ss[0]
-                    seg_width[b] = sw[0]
-                    j_off[b] = jo[0]
+                n_segs, host_d = chunk_host_arrays(chunk, wp)
                 d = dict(bank)
-                d.update(
-                    {
-                        "x_row": jnp.asarray(
-                            [row_of[(nx, False)] for nx, _, _, _ in chunk],
-                            jnp.int32,
-                        ),
-                        "y_row": jnp.asarray(
-                            [row_of[(ny, yc)] for _, ny, yc, _ in chunk],
-                            jnp.int32,
-                        ),
-                        "x_len": jnp.asarray(
-                            [len(seqs[nx].seq) for nx, _, _, _ in chunk],
-                            jnp.int32,
-                        ),
-                        "y_len": jnp.asarray(
-                            [len(seqs[ny].seq) for _, ny, _, _ in chunk],
-                            jnp.int32,
-                        ),
-                        "member": jnp.asarray(member),
-                        "seg_d_lo": jnp.asarray(seg_d_lo),
-                        "seg_start": jnp.asarray(seg_start),
-                        "seg_width": jnp.asarray(seg_width),
-                        "j_off": jnp.asarray(j_off),
-                        "x_insert_score": jnp.asarray(
-                            [
-                                insert_score(nx, False, yc)
-                                for nx, _, yc, _ in chunk
-                            ]
-                        ),
-                        "y_insert_score": jnp.asarray(
-                            [
-                                insert_score(ny, yc, yc)
-                                for _, ny, yc, _ in chunk
-                            ]
-                        ),
-                    }
-                )
+                d.update({k: jnp.asarray(v) for k, v in host_d.items()})
                 packed_dev = overlap_scores_kernel(
                     tables, d, n_rows=lp, return_segments=True,
                     interpret=_ov_interpret(), defer_fetch=True,
@@ -824,10 +830,10 @@ class QuaffOverlapAligner:
                 # chunk on the device link RTT.  Defer to one drain below.
                 pending.append((chunk, n_segs, packed_dev))
         for chunk, n_segs, packed_dev in pending:
-            packed = np.asarray(packed_dev, dtype=np.float64)
+            fetched = np.asarray(packed_dev, dtype=np.float64)
             B = len(chunk)
-            s = packed[:B]
-            segs = packed[B:].reshape(B, n_segs)
+            s = fetched[:B]
+            segs = fetched[B:].reshape(B, n_segs)
             for b, (nx, ny, yc, env) in enumerate(chunk):
                 scored[(nx, ny)] = float(s[b])
                 seg_scored[(nx, ny)] = segs[b]
@@ -852,6 +858,62 @@ class QuaffOverlapAligner:
             a = results[(nx, ny)]
             if a is not None:
                 printer.write_alignment(out, a)
+
+    def _mesh_overlap_scores(self, buckets, bank, chunk_host_arrays,
+                             max_batch, OV_VMEM_CELLS, scored) -> None:
+        """-mesh pair scoring: the fused overlap scorer runs D chunks at
+        a time inside shard_map over the device mesh (the pod-scale
+        analogue of the overlap scheduler's task farming,
+        qoverlap.cpp:554-566).  Chunks are grouped by identical padded
+        shape (strand, width, rows, padded batch) so every device runs
+        one program; short groups repeat their last chunk; the sequence
+        bank replicates (P()) while per-pair streams shard over dp.
+        Scores are allgathered to every host of a multi-host cluster;
+        per-strip maxima are not computed here, so the exact pass fills
+        every strip of each candidate (same output, slightly more f64
+        fill work)."""
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.distributed import global_array
+        from .parallel.estep import gather_scores, sharded_overlap_kernel
+
+        D = self.mesh.devices.size
+        bank_g = {
+            k: global_array(self.mesh, P(), np.asarray(v))
+            for k, v in bank.items()
+        }
+        groups: dict = {}
+        for (y_comp, wp, lp), js in sorted(buckets.items()):
+            bcap = 8
+            while bcap * 2 <= max_batch and bcap * 2 * wp <= OV_VMEM_CELLS:
+                bcap *= 2
+            for i in range(0, len(js), bcap):
+                chunk = js[i : i + bcap]
+                bq = pow2ceil(len(chunk))
+                chunk = chunk + [chunk[-1]] * (bq - len(chunk))
+                groups.setdefault((y_comp, wp, lp, bq), []).append(chunk)
+        for (y_comp, wp, lp, bq), glist in sorted(groups.items()):
+            tables, _ = self._tables(y_comp)
+            for g0 in range(0, len(glist), D):
+                gset = glist[g0 : g0 + D]
+                padded = gset + [gset[-1]] * (D - len(gset))
+                host_ds = [chunk_host_arrays(c, wp)[1] for c in padded]
+                stacked = {
+                    k: global_array(
+                        self.mesh, P("dp"),
+                        np.stack([d[k] for d in host_ds]),
+                    )
+                    for k in host_ds[0]
+                }
+                s = gather_scores(
+                    sharded_overlap_kernel(
+                        self.mesh, tables, stacked, n_rows=lp,
+                        interpret=_ov_interpret(), bank=bank_g,
+                    )
+                )
+                for chunk, srow in zip(gset, np.asarray(s, np.float64)):
+                    for (nx, ny, yc, env), sc in zip(chunk, srow):
+                        scored[(nx, ny)] = float(sc)
 
     def _exact_pass(self, seqs, cands, max_segs: int = None,
                     max_elems: int = 20_000_000, seg_scores: dict = None,

@@ -289,6 +289,49 @@ class MeshCountsProvider:
         return QuaffParamCounts.from_counts(qc), loglike, sort_order
 
 
+def sharded_align_engine(
+    mesh: Mesh,
+    tables_dev: dict,
+    batch: dict,  # leading axis [D, B, ...]: one pair chunk per device
+    mode: str = "viterbi",
+    local: bool = True,
+    dtype=jnp.float32,
+):
+    """Mesh-sharded XLA-engine scoring (the f64 parity fills of
+    dp/engine.dp_fill inside shard_map over "dp") — the align/overlap
+    scoring path for backends without the Pallas kernels (CPU), and the
+    byte-parity twin of sharded_align_kernel.  Scoring needs no
+    collective; returns scores [D, B] sharded over dp."""
+
+    def body(tables, bt):
+        local_batch = {k: v[0] for k, v in bt.items()}
+        s = dp_fill(
+            tables, local_batch, mode=mode, local=local,
+            return_matrices=False, dtype=dtype,
+        )["score"]
+        return s[None]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), {k: P("dp") for k in batch}),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return f(tables_dev, batch)
+
+
+def gather_scores(scores) -> np.ndarray:
+    """Fetch a dp-sharded score array to every host: plain np.asarray on
+    one controller, an allgather across the processes of a multi-host
+    cluster (sharded shards are not host-addressable there)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(scores, tiled=True))
+    return np.asarray(scores)
+
+
 def sharded_align_kernel(
     mesh: Mesh,
     v2tab,
@@ -345,6 +388,7 @@ def sharded_overlap_kernel(
     batch: dict,  # leading axis [D, B, ...]: one overlap chunk per device
     n_rows: int = None,
     interpret: bool = False,
+    bank: dict = None,  # sequence-bank arrays, replicated (no [D] axis)
 ):
     """Pod-scale all-vs-all overlap scoring: the fused Pallas overlap
     scorer (dp/pallas_overlap.py) inside a shard_map over the mesh's
@@ -391,8 +435,9 @@ def sharded_overlap_kernel(
     )
     tabs = _ov_tabs(tables)
 
-    def body(tb, tr9, bt):
+    def body(tb, tr9, bt, bk):
         local = {k: v[0] for k, v in bt.items()}
+        local.update(bk)
         pr = _ov_prepare_device(
             tb, local, W, Bp,
             n_rows=Ly if prep_rows else None, trans9=tr9,
@@ -413,14 +458,17 @@ def sharded_overlap_kernel(
         )
         return s[None]
 
+    if bank is None:
+        bank = {}
     f = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), {k: P("dp") for k in batch}),
+        in_specs=(P(), P(), {k: P("dp") for k in batch},
+                  {k: P() for k in bank}),
         out_specs=P("dp"),
         check_vma=False,
     )
-    return f(tabs, trans9, batch)
+    return f(tabs, trans9, batch, bank)
 
 
 def sharded_estep_kernel(

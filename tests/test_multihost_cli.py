@@ -146,6 +146,52 @@ def test_two_process_cli_train_matches_single_process(tmp_path):
         close(a, b)
 
 
+def test_two_process_cli_align_matches_single_process(tmp_path):
+    _write_data(tmp_path)
+    align_args = [
+        sys.executable, "-m", "quaff_tpu.cli", "align",
+        str(tmp_path / "ref.fasta"), str(tmp_path / "reads.fastq"),
+        "-fwdstrand", "-nothreshold", "-mesh",
+    ]
+    single = subprocess.run(
+        align_args, capture_output=True, env=_cli_env(8), timeout=420,
+    )
+    assert single.returncode == 0, single.stderr.decode()[-3000:]
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            align_args
+            + ["-coordinator", f"127.0.0.1:{port}",
+               "-nprocs", "2", "-procid", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=_cli_env(4),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=420))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host align timed out")
+    for pid, (p, (stdout, stderr)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"process {pid} failed:\n{stderr.decode()[-3000:]}"
+        )
+
+    def strip_gloo(raw: bytes) -> str:
+        text = raw.decode()
+        idx = text.find("# STOCKHOLM")
+        return text[idx:] if idx >= 0 else ""
+
+    assert strip_gloo(outs[1][0]) == "", "non-primary process wrote output"
+    got = strip_gloo(outs[0][0])
+    assert got == single.stdout.decode()
+
+
 def test_multihost_without_mesh_fails(tmp_path):
     _write_data(tmp_path)
     port = _free_port()
