@@ -112,12 +112,15 @@ class RemoteServerPool:
                  worker_command: str = "quaff-tpu",
                  max_attempts: int = MAX_WORKER_SSH_ATTEMPTS,
                  ready_timeout: float = 600.0,
-                 min_retry_delay: float = MIN_RETRY_DELAY):
+                 min_retry_delay: float = MIN_RETRY_DELAY,
+                 elastic: Optional["ElasticPool"] = None):
         self.launcher = launcher or SshLauncher()
         self.worker_command = worker_command
         self.max_attempts = max_attempts
         self.ready_timeout = ready_timeout
         self.min_retry_delay = min_retry_delay
+        # cloud pool for instance reboot as failure recovery
+        self.elastic = elastic
         self.handles: List[RemoteServerHandle] = []
 
     def server_command(self, spec: RemoteServerSpec, server_args: str) -> str:
@@ -149,6 +152,15 @@ class RemoteServerPool:
                 return handle
             handle.stop()
             last = RuntimeError(f"worker {spec} did not report READY")
+            if self.elastic is not None and spec.instance_id:
+                # failure recovery on a cloud worker: reboot the instance
+                # before retrying the launch (execWithRetries partial-
+                # success handling qmodel.cpp:1211-1218, AWS::reboot
+                # aws.cpp:107-112)
+                try:
+                    self.elastic.reboot(spec.instance_id)
+                except Exception:
+                    pass
             time.sleep(
                 retry_delay(attempt, min_seconds=self.min_retry_delay)
             )

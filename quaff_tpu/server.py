@@ -381,36 +381,50 @@ def cmd_server(args: deque, config, state) -> int:
 
 
 def _run_remote_workers(workers, task_iter, handle_reply):
-    import queue
+    """Pull-scheduler over remote workers with failure requeue.
 
-    q: "queue.Queue" = queue.Queue()
-    for item in task_iter:
-        q.put(item)
-    out_lock = threading.Lock()
+    Mirrors the reference's drain semantics (rescheduleCountingTask +
+    the pending/noMoreTasks distinction, qmodel.cpp:2392-2478): a worker
+    that errors requeues its in-flight task and exits; the SURVIVING
+    workers keep pulling until every task has a result — "queue empty"
+    is not "all results in", so idle workers wait on the condition
+    instead of exiting while tasks are still in flight.  Only when every
+    worker has died with tasks unfinished does the pass fail."""
+    queue_: List = list(task_iter)
+    cv = threading.Condition()
+    state = {"pending": len(queue_)}
     errors: List[BaseException] = []
 
     def loop(worker: RemoteWorker):
         while True:
-            try:
-                item = q.get_nowait()
-            except queue.Empty:
-                return
+            with cv:
+                while not queue_:
+                    if state["pending"] == 0:
+                        return
+                    cv.wait(0.05)
+                item = queue_.pop(0)
             try:
                 reply = worker.request(item[0])
             except BaseException as e:  # requeue and quit this worker
-                q.put(item)
-                errors.append(e)
+                with cv:
+                    queue_.append(item)
+                    errors.append(e)
+                    cv.notify_all()
                 return
-            with out_lock:
+            with cv:
                 handle_reply(item, reply)
+                state["pending"] -= 1
+                cv.notify_all()
 
     threads = [threading.Thread(target=loop, args=(w,)) for w in workers]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    if not q.empty():
-        raise ConnectionError(f"remote workers failed with {len(errors)} errors: {errors[:1]}")
+    if state["pending"]:
+        raise ConnectionError(
+            f"remote workers failed with {len(errors)} errors: {errors[:1]}"
+        )
 
 
 def remote_align_all(out, workers, reads, refs, printer) -> None:

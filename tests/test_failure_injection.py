@@ -1,0 +1,237 @@
+"""Failure-injection tests for the distributed backends.
+
+The reference treats worker failure as core behaviour: a dead remote
+client requeues its task for the surviving workers
+(rescheduleCountingTask, qmodel.cpp:2411-2478; give-up after
+MaxQuaffClientFailures qmodel.h:61), qsub submissions retry up to 3
+times (qmodel.h:81), and a cloud worker that stops answering gets its
+instance rebooted before the launch retries (qmodel.cpp:1211-1218,
+aws.cpp:107-112).  These tests kill/fail each backend mid-run and pin
+the recovery behaviour, asserting the drained output is byte-identical
+to a healthy run.
+"""
+
+import io
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from quaff_tpu.aligner import DPConfig
+from quaff_tpu.io import read_fast_seqs
+from quaff_tpu.model import QuaffNullParams, default_params
+from quaff_tpu.server import QuaffServer, RemoteWorker, remote_get_counts
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _start_server(server: QuaffServer, port: int):
+    t = threading.Thread(target=server.serve, args=(port, 1))
+    t.daemon = True
+    t.start()
+    for _ in range(100):
+        try:
+            socket.create_connection(("localhost", port), timeout=0.2).close()
+            return t
+        except OSError:
+            time.sleep(0.05)
+    raise RuntimeError("server did not start")
+
+
+class DyingWorker(RemoteWorker):
+    """A worker whose connection dies after N successful requests — the
+    client-side view of a killed remote server (after the reference's
+    MaxQuaffClientFailures reconnect attempts are exhausted)."""
+
+    def __init__(self, addr, port, die_after: int):
+        super().__init__(addr, port)
+        self.served = 0
+        self.die_after = die_after
+
+    def request(self, payload: str) -> str:
+        if self.served >= self.die_after:
+            self.close()
+            raise ConnectionError("worker killed mid-run")
+        reply = super().request(payload)
+        self.served += 1
+        return reply
+
+
+@pytest.fixture(scope="module")
+def count_setup():
+    import pathlib
+
+    data = pathlib.Path(__file__).parent / "data"
+    refs = read_fast_seqs(str(data / "multiref.fasta"))
+    for r in refs:
+        r.qual = ""
+    reads = read_fast_seqs(str(data / "multireads.fastq"))
+    null = QuaffNullParams.fit(reads)
+    params = default_params()
+    cfg = DPConfig(kmer_threshold=1, band_size=64)
+    return refs, reads, params, null, cfg
+
+
+def _counts_fingerprint(total, loglike, orders) -> str:
+    buf = io.StringIO()
+    total.write_json(buf)
+    return json.dumps(
+        {"counts": buf.getvalue(), "loglike": f"{loglike:.10g}",
+         "orders": orders}
+    )
+
+
+def _serve_counts(refs, reads, params, null, cfg, n_ports):
+    ports = []
+    threads = []
+    servers = []
+    for _ in range(n_ports):
+        port = _free_port()
+        server = QuaffServer(
+            "count", cfg, refs, reads, len(reads),
+            params=params, null_model=null,
+        )
+        threads.append(_start_server(server, port))
+        ports.append(port)
+        servers.append(server)
+    return ports, threads, servers
+
+
+def test_worker_killed_midrun_drains_identically(count_setup):
+    refs, reads, params, null, cfg = count_setup
+    assert len(reads) >= 3, "need several tasks to kill one mid-run"
+
+    # healthy single-worker baseline
+    ports, _, _ = _serve_counts(refs, reads, params, null, cfg, 1)
+    w = RemoteWorker("localhost", ports[0])
+    want = _counts_fingerprint(*remote_get_counts([w], refs, reads, params, null))
+    w.quit()
+
+    # two workers, one dies after its first reply: the survivor must
+    # drain the requeued tasks and the merged result must not change
+    ports, _, _ = _serve_counts(refs, reads, params, null, cfg, 2)
+    healthy = RemoteWorker("localhost", ports[0])
+    dying = DyingWorker("localhost", ports[1], die_after=1)
+    got = _counts_fingerprint(
+        *remote_get_counts([healthy, dying], refs, reads, params, null)
+    )
+    healthy.quit()
+    assert got == want
+
+
+def test_all_workers_dead_raises(count_setup):
+    refs, reads, params, null, cfg = count_setup
+    ports, _, _ = _serve_counts(refs, reads, params, null, cfg, 2)
+    w0 = DyingWorker("localhost", ports[0], die_after=0)
+    w1 = DyingWorker("localhost", ports[1], die_after=0)
+    with pytest.raises(ConnectionError):
+        remote_get_counts([w0, w1], refs, reads, params, null)
+
+
+def test_qsub_submit_retries_then_succeeds(tmp_path, count_setup):
+    """A qsub path that fails twice then behaves like /bin/sh: the runner
+    must retry (<= 3 attempts, qmodel.h:81) and produce the result."""
+    from quaff_tpu.batch import QsubConfig, QsubRunner
+
+    marker = tmp_path / "attempts"
+    flaky = tmp_path / "flaky-qsub"
+    flaky.write_text(
+        "#!/bin/sh\n"
+        f"n=$(cat {marker} 2>/dev/null || echo 0)\n"
+        f"echo $((n+1)) > {marker}\n"
+        "[ $n -ge 2 ] || exit 1\n"
+        'exec /bin/sh "$@"\n'
+    )
+    flaky.chmod(0o755)
+
+    job_out = tmp_path / "ran"
+    runner = QsubRunner(QsubConfig(
+        qsub_path=str(flaky), temp_dir=str(tmp_path / "jobs"),
+        worker_command=f"touch {job_out}; true",
+        server_args="",
+    ))
+    # the job script runs "<worker_command> server  -job info.json"; with
+    # the stub worker_command the touch proves the script executed
+    runner.run_task("{}", timeout=30)
+    assert job_out.exists()
+    assert int(marker.read_text().strip()) == 3  # failed twice, ran third
+
+
+def test_qsub_submit_gives_up_after_three(tmp_path):
+    from quaff_tpu.batch import MAX_QSUB_ATTEMPTS, QsubConfig, QsubRunner
+
+    marker = tmp_path / "attempts"
+    dead = tmp_path / "dead-qsub"
+    dead.write_text(
+        "#!/bin/sh\n"
+        f"n=$(cat {marker} 2>/dev/null || echo 0)\n"
+        f"echo $((n+1)) > {marker}\n"
+        "exit 1\n"
+    )
+    dead.chmod(0o755)
+    runner = QsubRunner(QsubConfig(
+        qsub_path=str(dead), temp_dir=str(tmp_path / "jobs"),
+        worker_command="true", server_args="",
+    ))
+    with pytest.raises(RuntimeError, match="3 attempts"):
+        runner.run_task("{}", timeout=30)
+    assert int(marker.read_text().strip()) == MAX_QSUB_ATTEMPTS
+
+
+def test_ec2_instance_rebooted_on_launch_failure(tmp_path):
+    """A cloud worker that fails its first READY handshake gets its
+    instance rebooted before the retry (qmodel.cpp:1211-1218)."""
+    import textwrap
+
+    from quaff_tpu.bootstrap import (
+        ElasticPool,
+        RemoteServerPool,
+        RemoteServerSpec,
+        SshLauncher,
+    )
+
+    calls = tmp_path / "aws-calls"
+    stub_aws = tmp_path / "fake-aws"
+    stub_aws.write_text(textwrap.dedent(f"""\
+        #!/bin/sh
+        echo "$@" >> {calls}
+        case "$2" in
+          reboot-instances) echo '{{}}' ;;
+          *) echo '{{}}' ;;
+        esac
+    """))
+    stub_aws.chmod(0o755)
+
+    # ssh stub: first launch prints nothing (no READY) and exits; the
+    # second prints the READY sentinel and serves nothing
+    state = tmp_path / "ssh-state"
+    stub_ssh = tmp_path / "fake-ssh"
+    stub_ssh.write_text(textwrap.dedent(f"""\
+        #!/bin/sh
+        if [ -f {state} ]; then echo '# READY'; sleep 2; else touch {state}; fi
+    """))
+    stub_ssh.chmod(0o755)
+
+    elastic = ElasticPool(aws_path=str(stub_aws))
+    pool = RemoteServerPool(
+        SshLauncher(str(stub_ssh)), worker_command="true",
+        ready_timeout=2.0, min_retry_delay=0.01, elastic=elastic,
+    )
+    spec = RemoteServerSpec(
+        addr="203.0.113.5", port=9999, threads=1, user="ec2-user",
+        instance_id="i-deadbeef",
+    )
+    handle = pool._start_one(spec, "")
+    assert handle is not None
+    pool.stop()
+    logged = calls.read_text()
+    assert "reboot-instances" in logged and "i-deadbeef" in logged
