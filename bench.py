@@ -8,11 +8,14 @@ the reference's integration-test workload: the 6,604-base nanopore read
 c8f30 aligned against itself with k-mer seeding (k=6, threshold 14,
 band 64 — the reference's default align banding, diagenv.h:12-18).
 
-Prints ONE JSON line.  vs_baseline is computed against an estimated
-2.5e7 cells/s for the reference's single-threaded scalar C++ DP loop
-(3-state log-space recursion with lookup-table log-sum-exp; the reference
-publishes no numbers, see BASELINE.md — this is a documented engineering
-estimate of qmodel.cpp:1512-1560 on one modern core).
+Prints ONE JSON line.  vs_baseline is computed against the MEASURED
+throughput of the reference binary's banded Viterbi fill
+(qmodel.cpp:1512-1560) on this host — 1.6e7 cells/s single-threaded,
+re-measurable with tools/oracle/build_ref.sh + measure_baseline.py (see
+BASELINE.md "Measured baseline").  The line also carries the driver's
+other two metrics in "extra": end-to-end align reads/s on the c8f30
+config (prep + fill + winner traceback + output) and warm EM-iteration
+wall-clock, each with its own vs_ref multiplier.
 """
 
 import json
@@ -22,7 +25,13 @@ import time
 
 import numpy as np
 
-REFERENCE_CELLS_PER_SEC_EST = 2.5e7
+# tools/oracle/measure_baseline.py on this host (BASELINE.md, round 2)
+REF_MEASURED = {
+    "fill_cells_per_sec": 1.6e7,
+    "c8f30_align_wall_s": 0.099,  # -> 10.1 reads/s end-to-end
+    "em_iter_wall_s": 0.45,
+}
+REFERENCE_CELLS_PER_SEC = REF_MEASURED["fill_cells_per_sec"]
 
 
 def main():
@@ -118,16 +127,113 @@ def _main_accelerator():
     total_cells = cells_per_pair * batch_size
     cells_per_sec = total_cells / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "banded_viterbi_cells_per_sec",
-                "value": round(cells_per_sec, 1),
-                "unit": "DP cells/s (in-envelope, c8f30 align config, f32)",
-                "vs_baseline": round(cells_per_sec / REFERENCE_CELLS_PER_SEC_EST, 3),
-            }
+    result = {
+        "metric": "banded_viterbi_cells_per_sec",
+        "value": round(cells_per_sec, 1),
+        "unit": "DP cells/s (in-envelope, c8f30 align config, f32)",
+        "vs_baseline": round(cells_per_sec / REFERENCE_CELLS_PER_SEC, 3),
+    }
+    try:
+        result["extra"] = _end_to_end_metrics()
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+    print(json.dumps(result))
+
+
+def _perturbed_reads(data, n, salt):
+    """n distinct copies of c8f30 (quality strings perturbed per copy and
+    per salt): the attached-device runtime caches identical executions,
+    so every timed pass must see fresh bytes."""
+    from quaff_tpu.io.fastseq import read_fast_seqs
+
+    reads = []
+    for i in range(n):
+        r = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
+        r.name = f"c8f30_{i}"
+        j = (salt * n + i) % len(r.qual)
+        q = 33 + (ord(r.qual[j]) - 33 + 1 + salt) % 40
+        r.qual = r.qual[:j] + chr(q) + r.qual[j + 1 :]
+        reads.append(r)
+    return reads
+
+
+def _end_to_end_metrics(n_reads: int = 8):
+    """The driver's other two metrics (BASELINE.json): end-to-end align
+    reads/s on the c8f30 config (envelope prep + batched fill + winner
+    traceback + Stockholm output) and one warm EM iteration's wall
+    (E-step counts + M-step refit), measured through the production
+    pipelines."""
+    import io
+
+    from quaff_tpu.aligner import DPConfig, QuaffAligner
+    from quaff_tpu.formats.alignment import AlignmentPrinter
+    from quaff_tpu.io.fastseq import read_fast_seqs
+    from quaff_tpu.model.params import QuaffNullParams, default_params
+    from quaff_tpu.trainer import QuaffCounter
+
+    data = pathlib.Path(__file__).parent / "tests" / "data"
+    ref = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
+    ref.qual = ""
+    refs = [ref]
+    params = default_params()
+    config = DPConfig(kmer_threshold=14)
+    printer = AlignmentPrinter()
+    printer.log_odds_threshold = float("-inf")
+
+    reads0 = _perturbed_reads(data, n_reads, 0)
+    null = QuaffNullParams.fit(reads0)
+    aligner = QuaffAligner(params, null, config)
+    aligner.align_all(io.StringIO(), refs, reads0, printer)  # warm/compile
+    times = []
+    for salt in (1, 2, 3):
+        reads = _perturbed_reads(data, n_reads, salt)
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        aligner.align_all(out, refs, reads, printer)
+        times.append(time.perf_counter() - t0)
+        assert "Score" in out.getvalue()
+    dt_align = float(np.median(times))
+    reads_per_sec = n_reads / dt_align
+
+    # one EM iteration, warm: E-step expected counts + M-step refit
+    order = [list(range(len(refs))) for _ in reads0]
+    counter = QuaffCounter(params, null, config, True)
+    counts, loglike, order = counter.get_counts(refs, reads0, order)  # warm
+    times = []
+    qp = params
+    for salt in (4, 5, 6):
+        reads = _perturbed_reads(data, n_reads, salt)
+        counter = QuaffCounter(qp, null, config, True)
+        t0 = time.perf_counter()
+        counts, loglike, order2 = counter.get_counts(
+            refs, reads, [list(range(len(refs))) for _ in reads]
         )
-    )
+        from quaff_tpu.model.params import QuaffParamCounts
+
+        cwp = QuaffParamCounts.zero(qp.match_kmer_len, qp.indel_kmer_len)
+        cwp.add_weighted(counts, 1.0)
+        qp2 = cwp.fit()
+        times.append(time.perf_counter() - t0)
+        qp = qp2  # next E-step sees fresh params, like a real EM loop
+    dt_em = float(np.median(times))
+
+    return {
+        "align_reads_per_sec": round(reads_per_sec, 2),
+        "vs_ref_align": round(
+            reads_per_sec * REF_MEASURED["c8f30_align_wall_s"], 2
+        ),
+        "em_iter_seconds": round(dt_em, 4),
+        # the reference's 0.45 s/iter is for ONE read-pair; ours covers
+        # n_reads pairs per iteration, so normalise per read
+        "vs_ref_em_iter": round(
+            REF_MEASURED["em_iter_wall_s"] * n_reads / dt_em, 2
+        ),
+        "em_reads": n_reads,
+        "ref_measured": REF_MEASURED,
+    }
 
 
 def _main_cpu_fallback():
@@ -200,7 +306,7 @@ def _main_cpu_fallback():
                     "CPU FALLBACK - accelerator unreachable)"
                 ),
                 "vs_baseline": round(
-                    cells_per_sec / REFERENCE_CELLS_PER_SEC_EST, 3
+                    cells_per_sec / REFERENCE_CELLS_PER_SEC, 3
                 ),
             }
         )
