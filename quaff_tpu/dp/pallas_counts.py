@@ -58,10 +58,14 @@ from .pallas_v2 import (
     _prepare_device,
     _round_up,
     _segment_arrays,
+    _sel_dot_exact,
     _split_emission_lookup,
 )
 
 _DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+_B_CONTRACT = (((0,), (0,)), ((), ()))  # contract over the batch axis
+
+
 
 
 def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik=0):
@@ -87,8 +91,8 @@ def _emission_lookup(keys_ref, emis_ref, insv_ref, ik_ref, B, n_ik=0):
     oh_cur = (
         jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
     ).astype(jnp.float32)
-    tr_prev = jnp.dot(oh_prev, ik_ref[:], **_DOT)
-    tr_cur = jnp.dot(oh_cur, ik_ref[:], **_DOT)
+    tr_prev = _sel_dot_exact(oh_prev, ik_ref[:])
+    tr_cur = _sel_dot_exact(oh_cur, ik_ref[:])
     return emit_cols, ins_emit, tr_prev, tr_cur, oh_k, oh_q, oh_t, oh_prev, oh_cur
 
 
@@ -376,13 +380,13 @@ def _bwd_kernel(
         ],
         axis=1,
     )  # [B, 4*QP]
-    d_emis_ref[:] += jax.lax.dot_general(
-        oh_k, mc_sq, (((0,), (0,)), ((), ())), **_DOT
-    )
+    # NOTE: chunked 3-pass accumulation (_acc_dot_chunked) was measured a
+    # wash here (0.095 -> 0.105 s/EM-iter @ 8 reads): the [B, 4*QP]
+    # chunk-prep VPU cost cancels the saved MXU passes.  HIGHEST keeps
+    # the deterministic summation order.
+    d_emis_ref[:] += jax.lax.dot_general(oh_k, mc_sq, _B_CONTRACT, **_DOT)
     ic_q = ic_row[:, None] * oh_q  # [B, QP]
-    d_insv_ref[:] += jax.lax.dot_general(
-        oh_t, ic_q, (((0,), (0,)), ((), ())), **_DOT
-    )
+    d_insv_ref[:] += jax.lax.dot_general(oh_t, ic_q, _B_CONTRACT, **_DOT)
 
     t_m2m = jnp.sum(w_m2m, axis=1)
     t_m2i = jnp.sum(w_m2i, axis=1)

@@ -68,6 +68,30 @@ QP = 128
 D_SENTINEL = 1 << 24
 
 
+def _sel_dot_exact(oh, table):
+    """Bit-exact f32 one-hot selection dot in ONE default-precision MXU
+    pass instead of HIGHEST's six.
+
+    The f32 table splits into three bf16-exact chunks (top/middle/low 8
+    mantissa bits — each difference is exactly representable, and each
+    chunk survives the MXU's bf16 operand rounding unchanged); tiling
+    the one-hot across the chunk axis makes a single K=3k contraction
+    whose f32 accumulation reassembles the chunks exactly (the partial
+    sums of one value's chunks always fit in 24 mantissa bits).  With
+    k=16 kmers the contraction stays under the MXU's 128-deep pass, so
+    this costs ONE pass where precision=HIGHEST costs six — and the
+    selection is still bitwise equal to the f64-rounded-to-f32 table
+    entry.
+    """
+    c1 = table.astype(jnp.bfloat16).astype(jnp.float32)
+    r = table - c1
+    c2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    c3 = r - c2
+    chunks = jnp.concatenate([c1, c2, c3], axis=0)
+    oh3 = jnp.concatenate([oh, oh, oh], axis=1)
+    return jnp.dot(oh3, chunks, preferred_element_type=jnp.float32)
+
+
 def _split_emission_lookup(keys_ref, emis_ref, insv_ref, r, B):
     """In-kernel emission resolution with SPLIT keys.
 
@@ -88,11 +112,6 @@ def _split_emission_lookup(keys_ref, emis_ref, insv_ref, r, B):
     kq = keys_ref[r, K_KQ, :]
     tq = keys_ref[r, K_TQ, :]
     qv = keys_ref[r, K_QUAL, :]
-    dot = functools.partial(
-        jnp.dot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
     oh_q = (
         jax.lax.broadcasted_iota(jnp.int32, (B, QP), 1) == qv[:, None]
     ).astype(jnp.float32)
@@ -102,7 +121,7 @@ def _split_emission_lookup(keys_ref, emis_ref, insv_ref, r, B):
         jax.lax.broadcasted_iota(jnp.int32, (B, kmp), 1) * Q
         == (kq - qv)[:, None]
     ).astype(jnp.float32)
-    emit_kq = dot(oh_k, emis_ref[:])  # [B, 4*QP]
+    emit_kq = _sel_dot_exact(oh_k, emis_ref[:])  # [B, 4*QP], 1 MXU pass
     emit_cols = tuple(
         jnp.sum(emit_kq[:, s * QP : (s + 1) * QP] * oh_q, axis=1)[:, None]
         for s in range(4)
@@ -111,7 +130,7 @@ def _split_emission_lookup(keys_ref, emis_ref, insv_ref, r, B):
         jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1) * Q
         == (tq - qv)[:, None]
     ).astype(jnp.float32)
-    ins_kq = dot(oh_t, insv_ref[:])  # [B, QP]
+    ins_kq = _sel_dot_exact(oh_t, insv_ref[:])  # [B, QP], 1 MXU pass
     ins_emit = jnp.sum(ins_kq * oh_q, axis=1)[:, None]
     return emit_cols, ins_emit, oh_k, oh_q, oh_t
 
@@ -262,10 +281,8 @@ def _one_row(
         oh_cur = (
             jax.lax.broadcasted_iota(jnp.int32, (B, ki), 1) == ik_cur[:, None]
         ).astype(jnp.float32)
-        tr_prev = jnp.dot(oh_prev, ik_ref[:], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        tr_cur = jnp.dot(oh_cur, ik_ref[:], preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+        tr_prev = _sel_dot_exact(oh_prev, ik_ref[:])
+        tr_cur = _sel_dot_exact(oh_cur, ik_ref[:])
         m2m_j = tr_prev[:, 0][:, None]
         m2i_j = tr_prev[:, 1][:, None]
         m2d_j = tr_cur[:, 2][:, None]
