@@ -412,13 +412,27 @@ class QuaffAligner:
         def round_up(v, m):
             return ((v + m - 1) // m) * m
 
-        # phase A: envelopes for every (read, ref) pair
+        # phase A: envelopes for every (read, ref) pair.  -threads N
+        # parallelises this host-side prep over reads (k-mer index +
+        # per-ref envelope are numpy-heavy and independent; order stays
+        # read-major so downstream output is unchanged)
+        def _read_jobs(ny):
+            y_index = KmerIndex(reads[ny], self.config.kmer_len)
+            return [
+                (ny, nx, self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE))
+                for nx, x in enumerate(refs)
+            ]
+
         jobs = []  # (ny, nx, env)
-        for ny, y in enumerate(reads):
-            y_index = KmerIndex(y, self.config.kmer_len)
-            for nx, x in enumerate(refs):
-                env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
-                jobs.append((ny, nx, env))
+        if self.config.threads > 1 and len(reads) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.config.threads) as ex:
+                for js in ex.map(_read_jobs, range(len(reads))):
+                    jobs.extend(js)
+        else:
+            for ny in range(len(reads)):
+                jobs.extend(_read_jobs(ny))
 
         # phase B: bucketed batch scoring (kernel batches must be
         # homogeneous in quality presence, so it joins the bucket key).

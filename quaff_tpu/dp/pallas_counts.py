@@ -55,6 +55,7 @@ from .pallas_v2 import (
     V2Tables,
     _advance_window,
     _lane_tables,
+    _lse2_fast,
     _prepare_device,
     _round_up,
     _segment_arrays,
@@ -121,7 +122,7 @@ def _fwd_kernel(
     i2m = meta_ref[6, :][:, None]
     B = member_ref.shape[0]
     W = width
-    lse = jnp.logaddexp
+    lse = _lse2_fast
 
     @pl.when(j0 == 0)
     def _init():
@@ -225,7 +226,7 @@ def _bwd_kernel(
     i2m = meta_ref[6, :][:, None]
     B = member_ref.shape[0]
     W = width
-    lse = jnp.logaddexp
+    lse = _lse2_fast
 
     @pl.when(g == 0)
     def _init():

@@ -43,6 +43,7 @@ from .pallas_v2 import (
     NEG_INF,
     VMEM_LIMIT_BYTES,
     _cyclic_lanes,
+    _lse2_fast,
     _roll_lanes_per_row,
     _round_up,
 )
@@ -101,7 +102,7 @@ def _ov_kernel(
     d2d_e = meta_ref[12, :][:, None]
     B = member_ref.shape[0]
     W = width
-    lse = jnp.logaddexp
+    lse = _lse2_fast
 
     wins = [wa0_ref, wa1_ref, wa2_ref, wa3_ref, wc_ref]
     inits = [a0_ref, a1_ref, a2_ref, a3_ref, c0_ref]

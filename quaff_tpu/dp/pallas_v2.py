@@ -68,6 +68,23 @@ QP = 128
 D_SENTINEL = 1 << 24
 
 
+def _lse2_fast(a, b):
+    """Fast log-add-exp for the kernels' f32 log-space recursions.
+
+    jnp.logaddexp measures 51 ALU-op equivalents per element on v5e
+    (inf/NaN guard branches + log1p); this runs at ~26: hardware log of
+    (1 + exp(-|a-b|)) — which differs from log1p by < 1.2e-7 absolute,
+    far below f32 resolution at DP-score magnitudes — plus ONE guard
+    select for the both-operands-near--inf case (an f32-min sentinel sum
+    can overflow to -inf, and -inf - -inf would turn the raw formula
+    into NaN; returning the max is exact there since log2 is absorbed by
+    rounding at 1e38 magnitudes).
+    """
+    m = jnp.maximum(a, b)
+    r = m + jnp.log(1.0 + jnp.exp(-jnp.abs(a - b)))
+    return jnp.where(m < -1e38, m, r)
+
+
 def _sel_dot_exact(oh, table):
     """Bit-exact f32 one-hot selection dot in ONE default-precision MXU
     pass instead of HIGHEST's six.
@@ -227,7 +244,7 @@ def _one_row(
     i2m = meta_ref[6, :][:, None]
     B = member_ref.shape[0]
     W = width
-    combine = jnp.maximum if mode == "viterbi" else jnp.logaddexp
+    combine = jnp.maximum if mode == "viterbi" else _lse2_fast
 
     if r == 0:
         @pl.when(g == 0)
