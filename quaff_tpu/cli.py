@@ -911,6 +911,10 @@ def _cmd_count(args: deque, config, state) -> int:
                 prefer_kernel=False,
             )
             counts, loglike, _ = counter.get_counts(refs, reads)
+    from .parallel.distributed import is_primary
+
+    if not is_primary():
+        return 0  # host 0 owns the counts artifact on multi-host runs
     if save_counts:
         with open(save_counts, "w") as f:
             counts.write_json(f)

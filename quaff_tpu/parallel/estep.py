@@ -231,26 +231,97 @@ class MeshCountsProvider:
             for y in reads
         ] + [1e30] * pad  # sentinel: posterior weight exactly 0
         tables = ScoreTables.from_params(seed_params)
-        grid, _ = build_pair_grid(
-            refs, padded, tables, config, FWDBACK_CELL_SIZE
+        mask = np.asarray([1.0] * len(reads) + [0.0] * pad, np.float32)
+        null_np = np.asarray(null_ll, np.float32)
+        sharded = self._build_grid_sharded(
+            mesh, refs, padded, tables, config, null_np, mask
         )
-        # promote to global arrays over the mesh: on a multi-host run each
-        # process donates the shards living on its own devices (the grid is
-        # built identically on every host — host-side assembly is cheap
-        # relative to the fills; see parallel/distributed.global_array)
-        from .distributed import global_array
+        if not sharded:
+            # single process (or an unsupported device layout): build the
+            # full grid and let each process donate its devices' shards
+            # (parallel/distributed.global_array)
+            from .distributed import global_array
 
-        self.grid = {
-            name: global_array(mesh, P("dp", "mp"), arr)
-            for name, arr in grid.items()
-        }
-        self.null_ll = global_array(
-            mesh, P("dp"), np.asarray(null_ll, np.float32)
+            grid, _ = build_pair_grid(
+                refs, padded, tables, config, FWDBACK_CELL_SIZE
+            )
+            self.grid = {
+                name: global_array(mesh, P("dp", "mp"), arr)
+                for name, arr in grid.items()
+            }
+            self.null_ll = global_array(mesh, P("dp"), null_np)
+            self.read_mask = global_array(mesh, P("dp"), mask)
+
+    def _build_grid_sharded(self, mesh, refs, padded, tables, config,
+                            null_np, mask) -> bool:
+        """Multi-host pair-grid assembly: each host builds ONLY its own
+        dp-shard of the reads (host prep and memory scale 1/nprocs — the
+        pod-scale input pipeline, replacing the reference's S3/rsync data
+        staging qmodel.cpp:1062-1085).  Global shape agreement: row/ref
+        padding is derived from the (replicated, cheap) sequence lists,
+        and the band width is an allgathered max over the hosts' local
+        envelopes.  Returns False when the device layout does not give
+        every process a contiguous block of dp rows (the caller then
+        falls back to the replicated full build)."""
+        import jax
+
+        nprocs = jax.process_count()
+        dp, mp = mesh.shape["dp"], mesh.shape["mp"]
+        ldev = jax.local_device_count()
+        R, K = len(padded), len(refs)
+        if (
+            nprocs == 1
+            or ldev % mp
+            or dp % nprocs
+            or dp != (ldev // mp) * nprocs
+            or R % dp
+        ):
+            return False
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding
+
+        from ..aligner import FWDBACK_CELL_SIZE
+        from ..dp.engine import PairBatch, host_batch
+        from ..io.fastseq import KmerIndex
+
+        pid = jax.process_index()
+        rpp = R // nprocs  # reads per process (contiguous dp block)
+        local_reads = padded[pid * rpp : (pid + 1) * rpp]
+        pairs = []
+        for y in local_reads:
+            y_index = KmerIndex(y, config.kmer_len)
+            for x in refs:
+                pairs.append(
+                    (x, y, config.make_envelope(x, y_index, FWDBACK_CELL_SIZE))
+                )
+        # global padded dims: Lx/Ly from the replicated sequence lists,
+        # band width from an allgathered max of the local envelopes
+        w_local = max(e.band_width for _, _, e in pairs)
+        w_g = int(
+            np.max(multihost_utils.process_allgather(jnp.asarray(w_local)))
         )
-        self.read_mask = global_array(
-            mesh, P("dp"),
-            np.asarray([1.0] * len(reads) + [0.0] * pad, np.float32),
+        lx_g = max(len(x.seq) for x in refs)
+        ly_g = max(len(y.seq) for y in padded)
+        flat = host_batch(
+            PairBatch.build(
+                pairs, tables, width=w_g, max_y_len=ly_g, max_x_len=lx_g
+            )
         )
+        self.grid = {}
+        for name, arr in flat.items():
+            local = np.reshape(arr, (rpp, K) + arr.shape[1:])
+            self.grid[name] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("dp", "mp")), local,
+                (R, K) + arr.shape[1:],
+            )
+        sh_r = NamedSharding(mesh, P("dp"))
+        self.null_ll = jax.make_array_from_process_local_data(
+            sh_r, null_np[pid * rpp : (pid + 1) * rpp], (R,)
+        )
+        self.read_mask = jax.make_array_from_process_local_data(
+            sh_r, mask[pid * rpp : (pid + 1) * rpp], (R,)
+        )
+        return True
 
     def __call__(self, qp, sort_order):
         from ..dp.engine import device_tables
