@@ -598,7 +598,15 @@ class QuaffAligner:
             self._mesh_chunk_scores(mesh_chunks, refs, reads, fast, scores)
             plog.log_progress(1.0, f"{len(jobs)}/{len(jobs)} pairs scored")
 
-        # phase C: pick winners, re-fill with matrices, traceback
+        # phase C: pick winners, re-fill with matrices, traceback.
+        # On a multi-host mesh run only host 0 writes output, so the
+        # other hosts stop here (phase B's shard_map/allgather are the
+        # last collectives; phase C is pure host work)
+        if self.mesh is not None:
+            from .parallel.distributed import is_primary
+
+            if not is_primary():
+                return {}
         winners = []  # (ny, nx, env)
         for ny in range(len(reads)):
             cands = [

@@ -903,6 +903,14 @@ def _cmd_count(args: deque, config, state) -> int:
         # the exact f64 path on the CPU device even on accelerator backends
         import jax
 
+        if config.use_mesh:
+            from .logger import logger
+
+            logger.log(
+                1,
+                "count: -mesh ignored (count output is the f64 parity "
+                "artifact; mesh-sharded counts drive `train -mesh`)",
+            )
         from .precision import x64_scope
 
         with x64_scope(), jax.default_device(jax.devices("cpu")[0]):

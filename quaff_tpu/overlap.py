@@ -838,6 +838,15 @@ class QuaffOverlapAligner:
                 scored[(nx, ny)] = float(s[b])
                 seg_scored[(nx, ny)] = segs[b]
 
+        # On a multi-host mesh run only host 0 writes output; the other
+        # hosts stop after the (collective) scoring phase — the exact
+        # pass below is pure host work
+        if self.mesh is not None:
+            from .parallel.distributed import is_primary
+
+            if not is_primary():
+                return
+
         # exact pass for candidates above threshold (with slack for the
         # kernel's exact-lse vs truncated-table difference), batched per
         # padded shape bucket so the f64 parity fill amortises its
