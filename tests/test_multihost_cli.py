@@ -193,19 +193,29 @@ def test_two_process_cli_align_matches_single_process(tmp_path):
 
 
 def test_multihost_without_mesh_fails(tmp_path):
+    """Also covers the ENV form of the cluster wiring: this pair joins
+    via QUAFF_COORDINATOR/QUAFF_NPROCS/QUAFF_PROCID instead of flags
+    (the cluster must be up before the -mesh check can fire on both
+    processes)."""
     _write_data(tmp_path)
     port = _free_port()
+
+    def env_for(pid):
+        env = _cli_env(4)
+        env["QUAFF_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["QUAFF_NPROCS"] = "2"
+        env["QUAFF_PROCID"] = str(pid)
+        return env
+
     procs = [
         subprocess.Popen(
             [
                 sys.executable, "-m", "quaff_tpu.cli", "train",
                 str(tmp_path / "ref.fasta"), str(tmp_path / "reads.fastq"),
                 "-fwdstrand", "-force", "-maxiter", "1",
-                "-coordinator", f"127.0.0.1:{port}",
-                "-nprocs", "2", "-procid", str(pid),
             ],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            env=_cli_env(4),
+            env=env_for(pid),
         )
         for pid in (0, 1)
     ]
