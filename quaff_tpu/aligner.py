@@ -324,6 +324,11 @@ class QuaffAligner:
         )
 
         D = self.mesh.devices.size
+        # every chunk in a group must produce identically-shaped arrays
+        # for the [D, ...] stack: the ref-axis padding is pinned to the
+        # global max ref length (chunks do not all contain the longest
+        # ref)
+        lx = max(len(x.seq) for x in refs)
         groups: dict = {}
         for hq, wp, lp, chunk in mesh_chunks:
             groups.setdefault((hq, wp, lp, pow2ceil(len(chunk))), []).append(
@@ -343,7 +348,10 @@ class QuaffAligner:
                     pairs.extend([pairs[-1]] * (bq - len(pairs)))
                     stacked_src.append(
                         host_batch(
-                            build(pairs, self.tables, width=wp, max_y_len=lp)
+                            build(
+                                pairs, self.tables, width=wp,
+                                max_y_len=lp, max_x_len=lx,
+                            )
                         )
                     )
                 stacked = {

@@ -164,6 +164,7 @@ class PairBatch:
         width: Optional[int] = None,
         max_y_len: Optional[int] = None,
         max_segs: int = 3,
+        max_x_len: Optional[int] = None,
     ) -> "PairBatch":
         """Lane-packed strip layout for the Pallas kernels: each pair's
         envelope is split into its independent diagonal strips (merged to
@@ -190,7 +191,10 @@ class PairBatch:
             (x, y, _PackedView(segs))
             for (x, y, _), segs in zip(pairs, segs_per_pair)
         ]
-        out = cls.build(packed_pairs, tables, width=width, max_y_len=max_y_len)
+        out = cls.build(
+            packed_pairs, tables, width=width, max_y_len=max_y_len,
+            max_x_len=max_x_len,
+        )
         B = len(pairs)
         # sentinel diagonal for absent segments (matches the kernels'
         # D_SENTINEL: rows are always out of x range there)

@@ -57,6 +57,42 @@ def test_mesh_align_printall_sam():
     assert mesh == seq
 
 
+def test_mesh_align_multichunk_mixed_ref_lengths(tmp_path, monkeypatch):
+    """Regression: chunks within one mesh dispatch group must stack even
+    when they contain references of different lengths (the ref-axis
+    padding is pinned to the global max).  A tiny VMEM-cell override
+    forces the chunker to emit several small chunks per group."""
+    import numpy as np
+
+    from quaff_tpu.alphabet import DNA_ALPHABET
+
+    monkeypatch.setenv("QUAFF_V2_VMEM_CELLS", str(128 * 2))
+    rng = np.random.default_rng(5)
+    refs = []
+    for i, n in enumerate((80, 200, 140)):  # mixed ref lengths
+        refs.append(
+            f">ref{i}\n"
+            + "".join(DNA_ALPHABET[t] for t in rng.integers(0, 4, n))
+            + "\n"
+        )
+    (tmp_path / "refs.fasta").write_text("".join(refs))
+    lines = []
+    for i in range(6):
+        seq = "".join(DNA_ALPHABET[t] for t in rng.integers(0, 4, 70))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(5, 30, 70))
+        lines.append(f"@r{i}\n{seq}\n+\n{qual}\n")
+    (tmp_path / "reads.fastq").write_text("".join(lines))
+    base = [
+        "align", str(tmp_path / "refs.fasta"), str(tmp_path / "reads.fastq"),
+        "-kmatchn", "1", "-nothreshold", "-printall",
+    ]
+    rc, seq_out = _run(base)
+    assert rc == 0
+    rc, mesh_out = _run(base + ["-mesh"])
+    assert rc == 0
+    assert mesh_out == seq_out
+
+
 def test_mesh_overlap_matches_sequential():
     base = [
         "overlap", str(DATA / "synth12.fastq"),
