@@ -93,6 +93,21 @@ def test_mesh_align_multichunk_mixed_ref_lengths(tmp_path, monkeypatch):
     assert mesh_out == seq_out
 
 
+def test_mesh_align_global_mode():
+    # -global changes the recursion's start/end constraints; the mesh
+    # scorer must carry the flag through shard_map
+    base = [
+        "align", str(DATA / "multiref.fasta"),
+        str(DATA / "multireads.fastq"), "-kmatchn", "1", "-nothreshold",
+        "-global",
+    ]
+    rc, seq = _run(base)
+    assert rc == 0
+    rc, mesh = _run(base + ["-mesh"])
+    assert rc == 0
+    assert mesh == seq
+
+
 def test_mesh_overlap_matches_sequential():
     base = [
         "overlap", str(DATA / "synth12.fastq"),
