@@ -392,14 +392,14 @@ def _run_remote_workers(workers, task_iter, handle_reply):
     worker has died with tasks unfinished does the pass fail."""
     queue_: List = list(task_iter)
     cv = threading.Condition()
-    state = {"pending": len(queue_)}
+    state = {"pending": len(queue_), "fatal": False}
     errors: List[BaseException] = []
 
     def loop(worker: RemoteWorker):
         while True:
             with cv:
                 while not queue_:
-                    if state["pending"] == 0:
+                    if state["pending"] == 0 or state["fatal"]:
                         return
                     cv.wait(0.05)
                 item = queue_.pop(0)
@@ -412,7 +412,16 @@ def _run_remote_workers(workers, task_iter, handle_reply):
                     cv.notify_all()
                 return
             with cv:
-                handle_reply(item, reply)
+                try:
+                    handle_reply(item, reply)
+                except BaseException as e:
+                    # a reply-handler failure is not retryable: abort the
+                    # pass instead of leaving the other workers waiting
+                    # on a pending count that can never drain
+                    errors.append(e)
+                    state["fatal"] = True
+                    cv.notify_all()
+                    return
                 state["pending"] -= 1
                 cv.notify_all()
 

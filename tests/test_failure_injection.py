@@ -137,6 +137,31 @@ def test_all_workers_dead_raises(count_setup):
         remote_get_counts([w0, w1], refs, reads, params, null)
 
 
+def test_reply_handler_failure_aborts_instead_of_hanging():
+    """A reply-handler exception is not retryable: the scheduler must
+    abort the pass (ConnectionError) rather than leave the surviving
+    workers waiting forever on a pending count that can never drain."""
+    from quaff_tpu.server import _run_remote_workers
+
+    class OkWorker:
+        def request(self, payload):
+            return "ok:" + payload
+
+    calls = []
+
+    def handler(item, reply):
+        calls.append(item)
+        if len(calls) == 2:
+            raise ValueError("boom")
+
+    with pytest.raises(ConnectionError):
+        _run_remote_workers(
+            [OkWorker(), OkWorker()],
+            [(f"t{i}", i) for i in range(6)],
+            handler,
+        )
+
+
 def test_qsub_submit_retries_then_succeeds(tmp_path, count_setup):
     """A qsub path that fails twice then behaves like /bin/sh: the runner
     must retry (<= 3 attempts, qmodel.h:81) and produce the result."""
