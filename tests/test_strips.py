@@ -183,3 +183,31 @@ def test_dp_fill_rejects_packed():
             mode="viterbi", local=True, return_matrices=False,
             dtype=jnp.float32,
         )
+
+
+def test_host_batch_matches_device_batch():
+    """host_batch is device_batch's numpy twin (mesh paths stack host
+    arrays before one global transfer); keys, dtypes and values must
+    stay in lockstep if either gains a field."""
+    import numpy as np
+
+    from quaff_tpu.dp.engine import PairBatch, device_batch, host_batch
+    from quaff_tpu.dp.scores import ScoreTables
+    from quaff_tpu.envelope import sparse_envelope
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.model.params import default_params
+
+    x = FastSeq(name="x", seq="ACGTACGTACGTACGTACGT")
+    y = FastSeq(name="y", seq="ACGTACGAACGT", qual="IIIIIIIIIIII")
+    env = sparse_envelope(x, KmerIndex(y, 6), band_size=16, kmer_threshold=1)
+    tables = ScoreTables.from_params(default_params())
+    for build in (PairBatch.build, PairBatch.build_packed):
+        batch = build([(x, y, env)] * 2, tables)
+        dev = device_batch(batch)
+        host = host_batch(batch)
+        assert set(dev) == set(host)
+        for k in dev:
+            d = np.asarray(dev[k])
+            h = np.asarray(host[k])
+            assert d.dtype == h.dtype, k
+            np.testing.assert_array_equal(d, h, err_msg=k)
