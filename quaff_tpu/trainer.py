@@ -519,6 +519,25 @@ class QuaffTrainer:
                 sort_order = ckpt.sort_order
                 start_iter = ckpt.iteration
                 log(f"Resuming from checkpoint at EM iteration {start_iter}")
+            import jax
+
+            if jax.process_count() > 1:
+                # every host must resume the same EM state or the SPMD
+                # mesh steps diverge silently: only host 0 writes the
+                # checkpoint, so the dir must be on a shared filesystem
+                import jax.numpy as jnp
+                from jax.experimental import multihost_utils
+
+                iters = multihost_utils.process_allgather(
+                    jnp.asarray(start_iter, jnp.int32)
+                )
+                if int(iters.min()) != int(iters.max()):
+                    raise RuntimeError(
+                        "multi-host checkpoint resume desync: hosts see "
+                        f"different EM iterations {sorted(set(int(i) for i in iters))} "
+                        f"— -checkpoint dir '{self.checkpoint_dir}' must be "
+                        "a shared filesystem visible to every host"
+                    )
         for it in range(start_iter, self.max_iterations):
             if counts_provider is not None:
                 counts, loglike, sort_order = counts_provider(qp, sort_order)

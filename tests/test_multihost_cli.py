@@ -192,6 +192,50 @@ def test_two_process_cli_align_matches_single_process(tmp_path):
     assert got == single.stdout.decode()
 
 
+def _run_pair(args_for, timeout=420):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            args_for(pid) + ["-coordinator", f"127.0.0.1:{port}",
+                             "-nprocs", "2", "-procid", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=_cli_env(4),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=timeout))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host pair timed out")
+    return procs, outs
+
+
+def test_multihost_checkpoint_desync_detected(tmp_path):
+    """Only host 0 writes EM checkpoints; if the hosts' -checkpoint dirs
+    are NOT a shared filesystem, a resume would silently diverge the
+    SPMD steps — the trainer must detect it and fail clearly."""
+    _write_data(tmp_path)
+
+    def args_for(pid):
+        # deliberately per-host checkpoint dirs (simulating no shared FS)
+        return _base_args(tmp_path) + [
+            "-checkpoint", str(tmp_path / f"ckpt{pid}")
+        ]
+
+    procs, outs = _run_pair(args_for)
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+    # run again: host 0 resumes from its checkpoint, host 1 has none
+    procs, outs = _run_pair(args_for)
+    assert any(p.returncode != 0 for p in procs)
+    blob = b"".join(err for _, err in outs)
+    assert b"desync" in blob or b"shared filesystem" in blob
+
+
 def test_multihost_without_mesh_fails(tmp_path):
     """Also covers the ENV form of the cluster wiring: this pair joins
     via QUAFF_COORDINATOR/QUAFF_NPROCS/QUAFF_PROCID instead of flags
