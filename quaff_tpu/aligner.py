@@ -704,8 +704,27 @@ class QuaffAligner:
 
         # PairBatch.build pads every entry to the batch max (rows,
         # width), so the cap tracks the PADDED footprint
+        pending: list = []  # (chunk, entries)
         chunk: list = []
         n_strips = wmax = rmax = 0
+
+        def flush():
+            nonlocal chunk, n_strips, wmax, rmax
+            if not chunk:
+                return
+            pending.append(
+                (
+                    chunk,
+                    [
+                        (refs[jx], reads[jy], s)
+                        for jy, jx, ss in chunk
+                        for s in ss
+                    ],
+                )
+            )
+            chunk = []
+            n_strips = wmax = rmax = 0
+
         for job in jobs2:
             ny, nx, strips = job
             w_j = max(s.band_width for s in strips)
@@ -716,25 +735,34 @@ class QuaffAligner:
                 * max(wmax, w_j)
             )
             if chunk and padded > max_elems:
-                entries = [
-                    (refs[jx], reads[jy], s)
-                    for jy, jx, ss in chunk
-                    for s in ss
-                ]
-                finish(chunk, fill(entries))
-                chunk = []
-                n_strips = wmax = rmax = 0
+                flush()
             chunk.append(job)
             n_strips += len(strips)
             wmax = max(wmax, w_j)
             rmax = max(rmax, r_j)
-        if chunk:
-            entries = [
-                (refs[jx], reads[jy], s)
-                for jy, jx, ss in chunk
-                for s in ss
-            ]
-            finish(chunk, fill(entries))
+        flush()
+        # -threads N parallelises the winner f64 fills across chunks
+        # (the native fill releases the GIL); finish() stays sequential
+        # in chunk order, so per_read contents are order-independent of
+        # the thread schedule
+        if self.config.threads > 1 and len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # windowed: at most threads+1 chunks' f64 matrices in flight
+            # (each chunk holds up to ~max_elems*3 doubles)
+            T = self.config.threads
+            with ThreadPoolExecutor(T) as ex:
+                futs: dict = {}
+                for i, (ck, entries) in enumerate(pending):
+                    futs[i] = ex.submit(fill, entries)
+                    if i >= T:
+                        j = i - T
+                        finish(pending[j][0], futs.pop(j).result())
+                for j in sorted(futs):
+                    finish(pending[j][0], futs.pop(j).result())
+        else:
+            for ck, entries in pending:
+                finish(ck, fill(entries))
         for ny in per_read:
             per_read[ny].sort(key=lambda a: -a.score)
         return per_read

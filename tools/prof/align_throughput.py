@@ -8,7 +8,7 @@ from quaff_tpu.io.fastseq import read_fast_seqs
 from quaff_tpu.model.params import QuaffNullParams, default_params
 data = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data"
 ref = read_fast_seqs(str(data/"c8f30.fastq.gz"))[0]; ref.qual = ""
-n = 64
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 reads0 = bench._perturbed_reads(data, n, 0)
 null = QuaffNullParams.fit(reads0)
 printer = AlignmentPrinter(); printer.log_odds_threshold = float("-inf")
