@@ -988,48 +988,75 @@ class QuaffOverlapAligner:
                 round_up(x_len, 512),
             )
             buckets.setdefault(key, []).append((job, strips))
+        pending: list = []  # (chunk, y_comp, wp, lyp, lxp)
         for (y_comp, wp, lyp, lxp), js in sorted(buckets.items()):
-            tables, tdev = self._tables(y_comp)
             # cap the f64 matrix footprint (3 matrices x B x lyp x wp),
             # keeping each pair's strips within a single chunk
             max_b = max(1, int(max_elems // (lyp * wp)))
             chunk: list = []
-
-            def flush():
-                if not chunk:
-                    return
-                entries = [
-                    (seqs[j[0]], seqs[j[1]], s)
-                    for j, ss in chunk
-                    for s, _, _ in ss
-                ]
-                offs = [o for _, ss in chunk for _, o, _ in ss]
-                ob = OverlapBatch(
-                    entries, tables, width=wp, max_x_len=lxp,
-                    row_off=offs, n_rows=lyp,
-                )
-                res = self._exact_fill(ob, tables, tdev)
-                b = 0
-                for (nx, ny, yc, env), ss in chunk:
-                    best_b, best_sc = b, float(res["score"][b])
-                    for k in range(1, len(ss)):
-                        sc = float(res["score"][b + k])
-                        if sc > best_sc:
-                            best_b, best_sc = b + k, sc
-                    s_env, s_off, _ = ss[best_b - b]
-                    results[(nx, ny)] = self._finish_pair(
-                        seqs[nx], seqs[ny], yc, s_env, tables, res,
-                        best_b, row_off=s_off,
-                    )
-                    b += len(ss)
-                chunk.clear()
-
             n_in_chunk = 0
             for job, strips in js:
                 if chunk and n_in_chunk + len(strips) > max_b:
-                    flush()
+                    pending.append((chunk, y_comp, wp, lyp, lxp))
+                    chunk = []
                     n_in_chunk = 0
                 chunk.append((job, strips))
                 n_in_chunk += len(strips)
-            flush()
+            if chunk:
+                pending.append((chunk, y_comp, wp, lyp, lxp))
+
+        def fill_chunk(item):
+            chunk, y_comp, wp, lyp, lxp = item
+            tables, tdev = self._tables(y_comp)
+            entries = [
+                (seqs[j[0]], seqs[j[1]], s)
+                for j, ss in chunk
+                for s, _, _ in ss
+            ]
+            offs = [o for _, ss in chunk for _, o, _ in ss]
+            ob = OverlapBatch(
+                entries, tables, width=wp, max_x_len=lxp,
+                row_off=offs, n_rows=lyp,
+            )
+            return self._exact_fill(ob, tables, tdev)
+
+        def finish_chunk(item, res):
+            chunk, y_comp, wp, lyp, lxp = item
+            tables, _ = self._tables(y_comp)
+            b = 0
+            for (nx, ny, yc, env), ss in chunk:
+                best_b, best_sc = b, float(res["score"][b])
+                for k in range(1, len(ss)):
+                    sc = float(res["score"][b + k])
+                    if sc > best_sc:
+                        best_b, best_sc = b + k, sc
+                s_env, s_off, _ = ss[best_b - b]
+                results[(nx, ny)] = self._finish_pair(
+                    seqs[nx], seqs[ny], yc, s_env, tables, res,
+                    best_b, row_off=s_off,
+                )
+                b += len(ss)
+
+        # -threads N parallelises the f64 chunk fills (the native fill
+        # releases the GIL), windowed to bound in-flight matrices;
+        # finish stays sequential in chunk order
+        if self.config.threads > 1 and len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            for yc in {it[1] for it in pending}:
+                self._tables(yc)  # lazy strand-table build isn't thread-safe
+
+            T = self.config.threads
+            with ThreadPoolExecutor(T) as ex:
+                futs: dict = {}
+                for i, item in enumerate(pending):
+                    futs[i] = ex.submit(fill_chunk, item)
+                    if i >= T:
+                        j = i - T
+                        finish_chunk(pending[j], futs.pop(j).result())
+                for j in sorted(futs):
+                    finish_chunk(pending[j], futs.pop(j).result())
+        else:
+            for item in pending:
+                finish_chunk(item, fill_chunk(item))
         return results
