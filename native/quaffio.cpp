@@ -202,7 +202,6 @@ int64_t qio_diag_kmer_counts(const int32_t* x_tok, int64_t x_len,
                              int64_t* out_diags, int64_t* out_counts) {
   if (x_len < k || y_len < k) return 0;
   const int64_t ny = y_len - k + 1;
-  const int64_t nx = x_len - k + 1;
   const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
 
   if (k <= 12) {
