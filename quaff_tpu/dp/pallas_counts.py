@@ -344,7 +344,9 @@ def _bwd_kernel(
     start_ok = (
         jnp.broadcast_to(is_first, (B, W)) if local else (is_first & (idx == 0.0))
     )
-    w_s2m = jnp.where(start_ok, post(me_cur + bm_cur), 0.0)
+    # shared with the back-score contribution below (sb): one exp
+    post_s2m = post(me_cur + bm_cur)
+    w_s2m = jnp.where(start_ok, post_s2m, 0.0)
     mc = w_m2m + w_d2m + w_i2m + w_s2m
 
     w_m2i = post(shift_hi(fm_prev) + m2i_p + ie_cur + bi_cur)
@@ -416,11 +418,7 @@ def _bwd_kernel(
     d_sc_ref[2, :] += jnp.sum(w_d2d, axis=1)
     d_sc_ref[3, :] += jnp.sum(w_d2m, axis=1)
     # back score contribution (j == 1)
-    sb = jnp.where(
-        valid & (jnp.broadcast_to(is_first, (B, W)) if local else (is_first & (idx == 0.0))),
-        jnp.exp(jnp.minimum(me_cur + bm_cur - f_norm, 40.0)),
-        0.0,
-    )
+    sb = jnp.where(valid & start_ok, post_s2m, 0.0)
     d_sc_ref[4, :] += jnp.sum(sb, axis=1)
 
     bm_ref[:] = bm_cur
