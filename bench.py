@@ -25,11 +25,13 @@ import time
 
 import numpy as np
 
-# tools/oracle/measure_baseline.py on this host (BASELINE.md, round 2)
+# tools/oracle/measure_baseline.py on this host (BASELINE.md, round 3)
 REF_MEASURED = {
     "fill_cells_per_sec": 1.6e7,
     "c8f30_align_wall_s": 0.099,  # -> 10.1 reads/s end-to-end
     "em_iter_wall_s": 0.45,
+    # 8-read all-vs-all overlap (28 unordered pairs, rc included)
+    "overlap_pairs_per_sec": None,  # set from measure_baseline.py
 }
 REFERENCE_CELLS_PER_SEC = REF_MEASURED["fill_cells_per_sec"]
 
@@ -160,12 +162,42 @@ def _perturbed_reads(data, n, salt):
     return reads
 
 
+def _overlap_reads(n, salt=0):
+    """All-vs-all overlap workload: n substrings of c8f30 (1/3 to 1/2
+    length, 5% substitutions).  MUST stay in sync with
+    tools/oracle/measure_baseline.py::overlap_reads so vs_ref_overlap
+    compares identical inputs; salt > 0 perturbs one quality char per
+    read (the attached-device runtime caches identical executions)."""
+    from quaff_tpu.io.fastseq import FastSeq, read_fast_seqs
+
+    data = pathlib.Path(__file__).parent / "tests" / "data"
+    base = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
+    rng = np.random.default_rng(0)
+    L = len(base.seq)
+    reads = []
+    for i in range(n):
+        s0 = int(rng.integers(0, L // 2))
+        ln = int(rng.integers(L // 3, L // 2))
+        seq = list(base.seq[s0 : s0 + ln])
+        qual = list(base.qual[s0 : s0 + ln])
+        for _ in range(int(len(seq) * 0.05)):
+            p = int(rng.integers(0, len(seq)))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        if salt:
+            j = (salt * n + i) % len(qual)
+            qual[j] = chr(33 + (ord(qual[j]) - 33 + salt) % 40)
+        reads.append(
+            FastSeq(name=f"r{i}", seq="".join(seq), qual="".join(qual))
+        )
+    return reads
+
+
 def _end_to_end_metrics(n_reads: int = 8):
-    """The driver's other two metrics (BASELINE.json): end-to-end align
+    """The driver's other metrics (BASELINE.json): end-to-end align
     reads/s on the c8f30 config (envelope prep + batched fill + winner
-    traceback + Stockholm output) and one warm EM iteration's wall
-    (E-step counts + M-step refit), measured through the production
-    pipelines."""
+    traceback + Stockholm output), one warm EM iteration's wall
+    (E-step counts + M-step refit), and all-vs-all overlap pairs/s,
+    measured through the production pipelines."""
     import io
 
     from quaff_tpu.aligner import DPConfig, QuaffAligner
@@ -179,7 +211,11 @@ def _end_to_end_metrics(n_reads: int = 8):
     ref.qual = ""
     refs = [ref]
     params = default_params()
-    config = DPConfig(kmer_threshold=14)
+    # threads=4: the host side of the pipeline (winner f64 fills,
+    # tracebacks, envelope prep) uses the host's cores, exactly as the
+    # reference's own -threads scheduler would; vs_ref multipliers are
+    # against the reference's single-core measurement (BASELINE.md)
+    config = DPConfig(kmer_threshold=14, threads=4)
     printer = AlignmentPrinter()
     printer.log_odds_threshold = float("-inf")
 
@@ -220,7 +256,27 @@ def _end_to_end_metrics(n_reads: int = 8):
         qp = qp2  # next E-step sees fresh params, like a real EM loop
     dt_em = float(np.median(times))
 
-    return {
+    # all-vs-all overlap: n_reads c8f30 substrings = n*(n-1)/2 unordered
+    # pairs (rc included), same workload measure_baseline.py times on
+    # the reference binary
+    from quaff_tpu.io.fastseq import add_revcomps
+    from quaff_tpu.overlap import QuaffOverlapAligner
+
+    ov_pairs = n_reads * (n_reads - 1) // 2
+    ov_times = []
+    for salt in (0, 7, 8):  # salt 0 doubles as the warm/compile pass
+        ov_reads = _overlap_reads(n_reads, salt)
+        ov_null = QuaffNullParams.fit(ov_reads)
+        ov = QuaffOverlapAligner(params, ov_null, config)
+        seqs = add_revcomps(ov_reads)
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        ov.align_all(out, seqs, n_reads, printer)
+        ov_times.append(time.perf_counter() - t0)
+    dt_ov = float(np.median(ov_times[1:]))
+    ov_pps = ov_pairs / dt_ov
+
+    extra = {
         "align_reads_per_sec": round(reads_per_sec, 2),
         "vs_ref_align": round(
             reads_per_sec * REF_MEASURED["c8f30_align_wall_s"], 2
@@ -232,8 +288,15 @@ def _end_to_end_metrics(n_reads: int = 8):
             REF_MEASURED["em_iter_wall_s"] * n_reads / dt_em, 2
         ),
         "em_reads": n_reads,
+        "overlap_pairs_per_sec": round(ov_pps, 3),
+        "overlap_pairs": ov_pairs,
         "ref_measured": REF_MEASURED,
     }
+    if REF_MEASURED.get("overlap_pairs_per_sec"):
+        extra["vs_ref_overlap"] = round(
+            ov_pps / REF_MEASURED["overlap_pairs_per_sec"], 2
+        )
+    return extra
 
 
 def _main_cpu_fallback():

@@ -380,7 +380,7 @@ class QuaffAligner:
                 s = gather_scores(s)
                 for chunk, srow in zip(gset, np.asarray(s, np.float64)):
                     for (ny, nx, env), sc in zip(chunk, srow):
-                        scores[(ny, nx)] = (float(sc), env)
+                        scores[(ny, nx)] = (float(sc), env, None)
 
     def align_all(
         self,
@@ -506,9 +506,200 @@ class QuaffAligner:
                     i += 1
                 chunks.append((hq, wmax, lp, chunk))
 
-        scores = {}
+        scores = {}  # (ny, nx) -> (score, env, per-strip kernel scores|None)
         n_done = 0
         mesh_chunks = []  # -mesh: same-shape chunks scored D-at-a-time
+        remaining = [0] * len(reads)  # unscored pairs per read
+        for ny, nx, env in jobs:
+            remaining[ny] += 1
+
+        # ---- phase C machinery: winner strip fills + tracebacks ----
+        # Runs CONCURRENTLY with phase B (the round-2 architecture ran it
+        # strictly after, leaving the device idle ~98% of align wall —
+        # the reference's per-read task threads overlap fill and output
+        # trivially, qmodel.cpp:2624-2646).  As each scored chunk drains,
+        # reads whose pairs are all scored emit winner jobs immediately;
+        # jobs accumulate into footprint-capped fill chunks submitted to
+        # a worker pool (the native f64 fill and traceback release the
+        # GIL).  Every worker output carries a (read, candidate-rank)
+        # sequence tag, and results are merged in tag order, so output
+        # bytes are independent of thread scheduling AND of chunk
+        # grouping (each pair's padded fill is bitwise independent of
+        # its chunk-mates).
+        import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .envelope import pack_strips
+        from .native import align_fill_native
+        from .precision import x64_scope
+
+        # Per-strip f64 refill scope: only strips whose f32 kernel score
+        # is within this margin (nats) of the pair's best strip are
+        # refilled for the winner traceback — the same bound the overlap
+        # exact pass uses (kernel f32 error on these fills is ~1e-3
+        # nats, so the true f64-best strip is always in scope; the
+        # all-vs-all overlap goldens pin the equivalent filter
+        # byte-identical).  Non-kernel scoring paths fill all strips.
+        strip_margin = 1.0
+
+        cpu = jax.devices("cpu")[0]
+        null_cache = {}
+        null_lock = threading.Lock()
+        wtab = None
+        wtab_lock = threading.Lock()
+
+        def null_ll(ny):
+            v = null_cache.get(ny)
+            if v is None:
+                v = self.null_model.log_likelihood(reads[ny])
+                with null_lock:
+                    null_cache[ny] = v
+            return v
+
+        def fill(entries):
+            wbatch = PairBatch.build(entries, self.tables)
+            res = align_fill_native(
+                wbatch, self.tables, mode="viterbi", local=self.config.local
+            )
+            if res is not None:
+                return res
+            nonlocal wtab
+            with wtab_lock, x64_scope(), jax.default_device(cpu):
+                if wtab is None:
+                    wtab = device_tables(self.tables)
+                wdev = {
+                    k: jax.device_put(v, cpu)
+                    for k, v in device_batch(wbatch).items()
+                }
+                res = dp_fill(
+                    wtab, wdev, mode="viterbi", local=self.config.local,
+                    return_matrices=True,
+                    dtype=self.config.resolve_dtype(),
+                )
+            return {k: np.asarray(v) for k, v in res.items()}
+
+        def fill_and_walk(chunk):
+            """One worker unit: f64-fill a chunk of winner strips and walk
+            each pair's best strip back.  chunk: [(seq, ny, nx, strips)]."""
+            entries = [
+                (refs[nx], reads[ny], s)
+                for _, ny, nx, ss in chunk
+                for s in ss
+            ]
+            res = fill(entries)
+            out = []
+            b = 0
+            for seq, ny, nx, strips in chunk:
+                best_b = b
+                best_sc = float(res["score"][b])
+                for k in range(1, len(strips)):
+                    sc = float(res["score"][b + k])
+                    if sc > best_sc:
+                        best_b, best_sc = b + k, sc
+                a = viterbi_traceback(
+                    refs[nx], reads[ny], strips[best_b - b], self.tables,
+                    res["mat"][best_b], res["ins"][best_b],
+                    res["del"][best_b], best_sc,
+                    local=self.config.local,
+                )
+                a.score -= null_ll(ny)
+                out.append((seq, ny, a))
+                b += len(strips)
+            return out
+
+        # PairBatch.build pads every entry to the chunk max (rows,
+        # width), so the footprint cap tracks the PADDED element count;
+        # in-flight futures are windowed so at most T+1 chunks' f64
+        # matrices exist at once.
+        max_elems = 20_000_000
+        T = max(1, self.config.threads)
+        pool = ThreadPoolExecutor(T)
+        futures = deque()
+        collected = []  # (seq, ny, alignment)
+        cbuf = []
+        cb_strips = cb_w = cb_r = 0
+
+        def flush():
+            nonlocal cbuf, cb_strips, cb_w, cb_r
+            if not cbuf:
+                return
+            chunk, cbuf = cbuf, []
+            cb_strips = cb_w = cb_r = 0
+            while len(futures) > T:
+                collected.extend(futures.popleft().result())
+            futures.append(pool.submit(fill_and_walk, chunk))
+
+        def add_winner(seq, ny, nx, env, segs):
+            nonlocal cb_strips, cb_w, cb_r
+            strips = pack_strips(env, 3)
+            if segs is not None and len(strips) > 1:
+                best = max(float(v) for v in segs[: len(strips)])
+                strips = [
+                    s for k, s in enumerate(strips)
+                    if float(segs[k]) >= best - strip_margin
+                ]
+            w_j = max(s.band_width for s in strips)
+            r_j = len(reads[ny].seq) + 1
+            padded = (
+                (cb_strips + len(strips)) * max(cb_r, r_j) * max(cb_w, w_j)
+            )
+            if cbuf and padded > max_elems:
+                flush()
+            cbuf.append((seq, ny, nx, strips))
+            cb_strips += len(strips)
+            cb_w = max(cb_w, w_j)
+            cb_r = max(cb_r, r_j)
+
+        def emit_read(ny):
+            """All of read ny's pairs are scored: queue its winner(s)."""
+            cands = [
+                (nx,) + scores[(ny, nx)] for nx in range(len(refs))
+                if math.isfinite(scores[(ny, nx)][0])
+            ]
+            if not cands:
+                return
+            if self.print_all:
+                for rank, (nx, sc, env, segs) in enumerate(cands):
+                    add_winner((ny, rank), ny, nx, env, segs)
+            else:
+                best_nx, best_sc, best_env, best_segs = cands[0]
+                for nx, sc, env, segs in cands[1:]:
+                    if sc > best_sc:
+                        best_nx, best_sc, best_env, best_segs = (
+                            nx, sc, env, segs
+                        )
+                add_winner((ny, 0), ny, best_nx, best_env, best_segs)
+
+        def record_chunk(chunk, s, segs):
+            nonlocal n_done
+            for i, (ny, nx, env) in enumerate(chunk):
+                scores[(ny, nx)] = (
+                    float(s[i]), env, None if segs is None else segs[i]
+                )
+                remaining[ny] -= 1
+                # -mesh defers all emission to after the primary check
+                if remaining[ny] == 0 and self.mesh is None:
+                    emit_read(ny)
+            n_done += len(chunk)
+            plog.log_progress(
+                n_done / len(jobs), f"{n_done}/{len(jobs)} pairs scored"
+            )
+
+        # ---- phase B: dispatch kernel chunks ahead (deferred fetch),
+        # drain in order — the device fills chunk i+1 while the host
+        # walks chunk i's winners; on the tunnelled runtime this also
+        # collapses per-chunk RTTs into one pipeline.
+        inflight = deque()  # (chunk, device handle, padded B, n_segs)
+        max_inflight = 4
+
+        def drain_one():
+            chunk, dev, bq, n_segs = inflight.popleft()
+            packed = np.asarray(dev, dtype=np.float64)
+            s = packed[:bq]
+            s = np.where(np.isfinite(s), s, -np.inf)
+            record_chunk(chunk, s, packed[bq:].reshape(bq, n_segs))
+
         for hq, wp, lp, chunk in chunks:
                 if self.mesh is not None and not (
                     fast and wp > WIDE_ENVELOPE_FALLBACK_LANES
@@ -555,11 +746,8 @@ class QuaffAligner:
                     # engine instead (bounding-band layout — the engine
                     # does not read lane-packed strip descriptors; the
                     # packed batch is never built or transferred)
-                    from .precision import x64_scope
-
-                    cpu = jax.devices("cpu")[0]
                     with x64_scope(), jax.default_device(cpu):
-                        wtab = device_tables(self.tables)
+                        wide_tab = device_tables(self.tables)
                         wdev = {
                             k: jax.device_put(v, cpu)
                             for k, v in device_batch(
@@ -570,199 +758,69 @@ class QuaffAligner:
                         }
                         s = np.asarray(
                             dp_fill(
-                                wtab, wdev, mode="viterbi",
+                                wide_tab, wdev, mode="viterbi",
                                 local=self.config.local,
                                 return_matrices=False,
                                 dtype=self.config.resolve_dtype(),
                             )["score"],
                             dtype=np.float64,
                         )
+                    record_chunk(chunk, s, None)
                 elif fast:
                     from .dp.pallas_v2 import scores_v2_device
 
-                    s = np.asarray(
-                        scores_v2_device(
-                            self.tables, self._v2_tables(hq), bdev,
-                            mode="viterbi", local=self.config.local,
-                        ),
-                        dtype=np.float64,
+                    dev = scores_v2_device(
+                        self.tables, self._v2_tables(hq), bdev,
+                        mode="viterbi", local=self.config.local,
+                        return_segments=True, defer_fetch=True,
                     )
-                elif s is None:
-                    s = np.asarray(
-                        dp_fill(
-                            self._tdev, bdev, mode="viterbi",
-                            local=self.config.local, return_matrices=False,
-                            dtype=self.config.resolve_dtype(),
-                        )["score"],
-                        dtype=np.float64,
+                    inflight.append(
+                        (chunk, dev, bq, batch.seg_d_lo.shape[1])
                     )
-                for (ny, nx, env), sc in zip(chunk, s):
-                    scores[(ny, nx)] = (float(sc), env)
-                n_done += len(chunk)
-                plog.log_progress(
-                    n_done / len(jobs), f"{n_done}/{len(jobs)} pairs scored"
-                )
+                    if len(inflight) >= max_inflight:
+                        drain_one()
+                else:
+                    if s is None:
+                        s = np.asarray(
+                            dp_fill(
+                                self._tdev, bdev, mode="viterbi",
+                                local=self.config.local,
+                                return_matrices=False,
+                                dtype=self.config.resolve_dtype(),
+                            )["score"],
+                            dtype=np.float64,
+                        )
+                    record_chunk(chunk, s, None)
+        while inflight:
+            drain_one()
         if mesh_chunks:
             self._mesh_chunk_scores(mesh_chunks, refs, reads, fast, scores)
             plog.log_progress(1.0, f"{len(jobs)}/{len(jobs)} pairs scored")
 
-        # phase C: pick winners, re-fill with matrices, traceback.
-        # On a multi-host mesh run only host 0 writes output, so the
+        # -mesh: emission was deferred (scores arrive via allgather);
+        # only host 0 of a multi-host cluster writes output, so the
         # other hosts stop here (phase B's shard_map/allgather are the
-        # last collectives; phase C is pure host work)
+        # last collectives; winner fills are pure host work)
         if self.mesh is not None:
             from .parallel.distributed import is_primary
 
             if not is_primary():
+                pool.shutdown(wait=False)
                 return {}
-        winners = []  # (ny, nx, env)
-        for ny in range(len(reads)):
-            cands = [
-                (nx, scores[(ny, nx)]) for nx in range(len(refs))
-                if math.isfinite(scores[(ny, nx)][0])
-            ]
-            if not cands:
-                continue
-            if self.print_all:
-                winners.extend((ny, nx, env) for nx, (sc, env) in cands)
-            else:
-                best_nx, (best_sc, best_env) = cands[0]
-                for nx, (sc, env) in cands[1:]:
-                    if sc > best_sc:
-                        best_nx, best_sc, best_env = nx, sc, env
-                winners.append((ny, best_nx, best_env))
+            for ny in range(len(reads)):
+                emit_read(ny)
 
-        per_read = {}
-        if not winners:
-            return per_read
-        from .envelope import pack_strips
-        from .native import align_fill_native
-        from .precision import x64_scope
-
-        cpu = jax.devices("cpu")[0]
-        null_cache = {}
-        wtab = None
-
-        def fill(entries):
-            wbatch = PairBatch.build(entries, self.tables)
-            res = align_fill_native(
-                wbatch, self.tables, mode="viterbi", local=self.config.local
-            )
-            if res is not None:
-                return res
-            nonlocal wtab
-            with x64_scope(), jax.default_device(cpu):
-                if wtab is None:
-                    wtab = device_tables(self.tables)
-                wdev = {
-                    k: jax.device_put(v, cpu)
-                    for k, v in device_batch(wbatch).items()
-                }
-                res = dp_fill(
-                    wtab, wdev, mode="viterbi", local=self.config.local,
-                    return_matrices=True,
-                    dtype=self.config.resolve_dtype(),
-                )
-            return {k: np.asarray(v) for k, v in res.items()}
-
-        # The winner fill runs per envelope STRIP, not per bounding band:
-        # a far-from-diagonal-0 seed cluster leaves the bounding band
-        # thousands of mostly-dead lanes wide, and the f64 matrices of a
-        # bounding-band chunk can run to gigabytes (strips are
-        # independent DP subproblems — paths cannot cross the non-member
-        # gap between diagonal clusters, so the pair score is the max of
-        # its strip scores and the traceback lives in the winning
-        # strip).  Chunks cap total f64 matrix elements, keeping every
-        # pair's strips together.
-        max_elems = 20_000_000
-        jobs2 = []  # (ny, nx, strips)
-        for ny, nx, env in winners:
-            jobs2.append((ny, nx, pack_strips(env, 3)))
-
-        def finish(chunk, res):
-            b = 0
-            for ny, nx, strips in chunk:
-                best_b = b
-                best_sc = float(res["score"][b])
-                for k in range(1, len(strips)):
-                    sc = float(res["score"][b + k])
-                    if sc > best_sc:
-                        best_b, best_sc = b + k, sc
-                a = viterbi_traceback(
-                    refs[nx], reads[ny], strips[best_b - b], self.tables,
-                    res["mat"][best_b], res["ins"][best_b],
-                    res["del"][best_b], best_sc,
-                    local=self.config.local,
-                )
-                if ny not in null_cache:
-                    null_cache[ny] = self.null_model.log_likelihood(
-                        reads[ny]
-                    )
-                a.score -= null_cache[ny]
-                per_read.setdefault(ny, []).append(a)
-                b += len(strips)
-
-        # PairBatch.build pads every entry to the batch max (rows,
-        # width), so the cap tracks the PADDED footprint
-        pending: list = []  # (chunk, entries)
-        chunk: list = []
-        n_strips = wmax = rmax = 0
-
-        def flush():
-            nonlocal chunk, n_strips, wmax, rmax
-            if not chunk:
-                return
-            pending.append(
-                (
-                    chunk,
-                    [
-                        (refs[jx], reads[jy], s)
-                        for jy, jx, ss in chunk
-                        for s in ss
-                    ],
-                )
-            )
-            chunk = []
-            n_strips = wmax = rmax = 0
-
-        for job in jobs2:
-            ny, nx, strips = job
-            w_j = max(s.band_width for s in strips)
-            r_j = len(reads[ny].seq) + 1
-            padded = (
-                (n_strips + len(strips))
-                * max(rmax, r_j)
-                * max(wmax, w_j)
-            )
-            if chunk and padded > max_elems:
-                flush()
-            chunk.append(job)
-            n_strips += len(strips)
-            wmax = max(wmax, w_j)
-            rmax = max(rmax, r_j)
         flush()
-        # -threads N parallelises the winner f64 fills across chunks
-        # (the native fill releases the GIL); finish() stays sequential
-        # in chunk order, so per_read contents are order-independent of
-        # the thread schedule
-        if self.config.threads > 1 and len(pending) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        while futures:
+            collected.extend(futures.popleft().result())
+        pool.shutdown()
 
-            # windowed: at most threads+1 chunks' f64 matrices in flight
-            # (each chunk holds up to ~max_elems*3 doubles)
-            T = self.config.threads
-            with ThreadPoolExecutor(T) as ex:
-                futs: dict = {}
-                for i, (ck, entries) in enumerate(pending):
-                    futs[i] = ex.submit(fill, entries)
-                    if i >= T:
-                        j = i - T
-                        finish(pending[j][0], futs.pop(j).result())
-                for j in sorted(futs):
-                    finish(pending[j][0], futs.pop(j).result())
-        else:
-            for ck, entries in pending:
-                finish(ck, fill(entries))
+        # merge in (read, candidate-rank) tag order — byte-identical to
+        # the sequential read-major walk regardless of thread timing
+        collected.sort(key=lambda t: t[0])
+        per_read: dict = {}
+        for seq, ny, a in collected:
+            per_read.setdefault(ny, []).append(a)
         for ny in per_read:
             per_read[ny].sort(key=lambda a: -a.score)
         return per_read

@@ -764,13 +764,22 @@ class V2Tables:
 
 def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
                         local: bool = True, rows_per_step: int = 1,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        return_segments: bool = False):
     """Jit-traceable device path: prep + kernel + end reduction, with no
     host round-trips — suitable for wrapping in an outer `jax.jit`
     (the driver's single-chip compile check uses this).  `v2tab` is any
     object with .emis/.insv/.ik device arrays and a .trans 4-sequence
     (d2d, d2m, i2i, i2m) — converted to a traced f32 array, so changing
     params does NOT recompile.
+
+    With return_segments=True (lane-packed batches only, Viterbi mode)
+    returns the packed [B + B*S] array of pair scores followed by
+    row-major per-strip end maxima — strips are lane-isolated DP
+    subproblems (halo lanes block the in-row recursions at seams), so
+    the max over segment k's lane range is that strip's own end score,
+    in pack_strips order.  The aligner uses these to fill only
+    near-best strips in the winner traceback pass.
 
     The production eager path (`scores_v2_device`) instead fetches the
     band row and reduces host-side — see the comment there for why.
@@ -797,6 +806,22 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
         n_segs=n_segs, n_ik=int(getattr(v2tab, "n_ik", 0)),
     )
     o = out[:B]
+    if return_segments:
+        if "seg_start" not in batch:
+            raise ValueError("return_segments needs a lane-packed batch")
+        if mode != "viterbi":
+            raise ValueError("return_segments is Viterbi-only")
+        lane = jnp.arange(o.shape[1], dtype=jnp.int32)[None, None, :]
+        lo = jnp.asarray(batch["seg_start"], jnp.int32)[:, :, None]
+        hi = lo + jnp.asarray(batch["seg_width"], jnp.int32)[:, :, None]
+        in_seg = (lane >= lo) & (lane < hi)
+        segmax = jnp.max(
+            jnp.where(in_seg, o[:, None, :], NEG_INF), axis=2
+        )
+        segmax = jnp.where(segmax <= NEG_INF / 2, -jnp.inf, segmax)
+        s = jnp.max(o, axis=1)
+        s = jnp.where(s <= NEG_INF / 2, -jnp.inf, s)
+        return jnp.concatenate([s, segmax.ravel()])
     if mode == "viterbi":
         s = jnp.max(o, axis=1)
     else:
@@ -808,32 +833,51 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "local", "rows_per_step")
+    jax.jit,
+    static_argnames=("mode", "local", "rows_per_step", "return_segments"),
 )
-def _scores_v2_jit(emis, insv, ik, batch, trans4, mode, local, rows_per_step=1):
+def _scores_v2_jit(emis, insv, ik, batch, trans4, mode, local,
+                   rows_per_step=1, return_segments=False):
     import types
 
     tab = types.SimpleNamespace(emis=emis, insv=insv, ik=ik, trans=trans4)
     return scores_v2_traceable(
-        tab, batch, mode=mode, local=local, rows_per_step=rows_per_step
+        tab, batch, mode=mode, local=local, rows_per_step=rows_per_step,
+        return_segments=return_segments,
     )
 
 
 def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
                      mode: str = "viterbi", local: bool = True,
-                     rows_per_step: int = 1):
+                     rows_per_step: int = 1,
+                     return_segments: bool = False,
+                     defer_fetch: bool = False):
     # rows_per_step > 1 trades grid-dispatch overhead for VMEM block size;
     # measured slower on v5e at W=512 (71ms -> 87ms at R=8), so default 1
     """Production path: one jit = one dispatch (prep + kernel + end
     reduction fused), one [B]-float fetch.  Measured ~8% faster than the
     previous eager 3-dispatch + [B,W]-fetch variant at B=256/W=512 on the
-    tunnelled v5e (91.6 ms vs 99.5 ms)."""
-    s = np.asarray(
-        _scores_v2_jit(
-            v2tab.emis, v2tab.insv, v2tab.ik, batch,
-            jnp.asarray(v2tab.trans, jnp.float32),
-            mode=mode, local=local,
-            rows_per_step=rows_per_step,
-        )
-    ).astype(np.float64)
+    tunnelled v5e (91.6 ms vs 99.5 ms).
+
+    return_segments=True also returns the per-strip end maxima [B, S]
+    (see scores_v2_traceable); with defer_fetch=True the UNFETCHED
+    packed [B + B*S] device array is returned instead, so callers
+    dispatching many chunks through a tunnelled device drain them all
+    after the last enqueue rather than paying one RTT per chunk."""
+    dev = _scores_v2_jit(
+        v2tab.emis, v2tab.insv, v2tab.ik, batch,
+        jnp.asarray(v2tab.trans, jnp.float32),
+        mode=mode, local=local,
+        rows_per_step=rows_per_step, return_segments=return_segments,
+    )
+    if return_segments:
+        if defer_fetch:
+            return dev
+        B = batch["member"].shape[0]
+        n_segs = batch["seg_start"].shape[1]
+        packed = np.asarray(dev, dtype=np.float64)
+        s = packed[:B]
+        s = np.where(np.isfinite(s) & (s > NEG_INF / 2), s, -np.inf)
+        return s, packed[B:].reshape(B, n_segs)
+    s = np.asarray(dev).astype(np.float64)
     return np.where(np.isfinite(s) & (s > NEG_INF / 2), s, -np.inf)

@@ -132,6 +132,54 @@ def test_packed_kernel_matches_legacy(mode):
     np.testing.assert_allclose(packed, legacy, rtol=1e-5, atol=1e-3)
 
 
+def test_packed_kernel_segment_scores():
+    """return_segments: per-strip end maxima from the packed kernel must
+    match independent per-strip fills (pack_strips order), and the pair
+    score must equal the max over its strips."""
+    from quaff_tpu.dp.pallas_v2 import V2Tables, scores_v2_traceable
+    from quaff_tpu.envelope import pack_strips
+
+    rng = np.random.default_rng(27)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _synthetic_multistrip(rng, 4)
+    assert any(len(pack_strips(e, 3)) >= 2 for _, _, e in pairs)
+
+    v2tab = V2Tables(tables)
+    packed_b = PairBatch.build_packed(pairs, tables)
+    packed = np.asarray(scores_v2_traceable(
+        v2tab, device_batch(packed_b), mode="viterbi", local=True,
+        interpret=True, return_segments=True,
+    ))
+    B = len(pairs)
+    n_segs = packed_b.seg_d_lo.shape[1]
+    scores = packed[:B]
+    segmax = packed[B:].reshape(B, n_segs)
+
+    tdev = device_tables(tables)
+    for b, (x, y, env) in enumerate(pairs):
+        strips = pack_strips(env, 3)
+        per_strip = np.asarray(dp_fill(
+            tdev,
+            device_batch(PairBatch.build([(x, y, s) for s in strips], tables)),
+            mode="viterbi", local=True, return_matrices=False,
+            dtype=jnp.float64,
+        )["score"])
+        finite = np.isfinite(per_strip)
+        got = segmax[b, : len(strips)]
+        np.testing.assert_allclose(
+            got[finite], per_strip[finite], rtol=1e-5, atol=1e-3
+        )
+        assert np.all(got[~finite] <= -1e30) or np.all(
+            ~np.isfinite(got[~finite])
+        )
+        # absent segments rank below every real strip
+        for k in range(len(strips), n_segs):
+            assert not np.isfinite(segmax[b, k]) or segmax[b, k] <= -1e30
+        np.testing.assert_allclose(
+            scores[b], np.max(per_strip), rtol=1e-5, atol=1e-3
+        )
+
+
 def test_packed_estep_matches_engine():
     """Fused E-step on a packed batch matches the f64 engine's
     posterior-weighted totals."""

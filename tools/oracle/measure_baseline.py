@@ -21,11 +21,16 @@ import pathlib
 import statistics
 import subprocess
 import sys
+import tempfile
 import time
 
 QUAFF = "/tmp/quaffref/quaff"
 DATA = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data"
 C8F30 = str(DATA / "c8f30.fastq.gz")
+
+# every oracle run gets a scratch cwd: the reference's TempDir creates
+# tempdirN droppings in whatever directory it runs from (util.h:47)
+SCRATCH = tempfile.mkdtemp(prefix="quaffref-baseline-")
 
 CELLS_T14 = 1_277_030  # envelope cells, threshold 14 (quaff_tpu.envelope)
 CELLS_T1000 = 428_204  # threshold 1000: the always-included diagonal-0 band
@@ -40,10 +45,39 @@ def med(cmd, n=9):
     for _ in range(n):
         t0 = time.perf_counter()
         subprocess.run(
-            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=SCRATCH,
         )
         ts.append(time.perf_counter() - t0)
     return min(ts)
+
+
+def overlap_reads(n=8):
+    """All-vs-all overlap workload: n substrings of c8f30 (1/3 to 1/2
+    length, 5% substitutions) — the same shape tools/prof/overlap_prof.py
+    profiles.  MUST stay in sync with bench.py::_overlap_reads so the
+    vs_ref_overlap multiplier compares identical inputs."""
+    import numpy as np
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    from quaff_tpu.io.fastseq import FastSeq, read_fast_seqs
+
+    base = read_fast_seqs(C8F30)[0]
+    rng = np.random.default_rng(0)
+    L = len(base.seq)
+    reads = []
+    for i in range(n):
+        s0 = int(rng.integers(0, L // 2))
+        ln = int(rng.integers(L // 3, L // 2))
+        seq = list(base.seq[s0 : s0 + ln])
+        qual = list(base.qual[s0 : s0 + ln])
+        for _ in range(int(len(seq) * 0.05)):
+            p = int(rng.integers(0, len(seq)))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append(
+            FastSeq(name=f"r{i}", seq="".join(seq), qual="".join(qual))
+        )
+    return reads
 
 
 def main():
@@ -66,6 +100,17 @@ def main():
     t_synth = med([QUAFF, "align", str(DATA / "synth12-genome.fasta"),
                    str(DATA / "synth12.fastq"), "-kmatchn", "10",
                    "-nothreshold"])
+    # all-vs-all overlap (qoverlap.cpp:312-334): 8 c8f30 substrings ->
+    # 28 unordered pairs, rc included (the reference default)
+    n_ov = 8
+    ov_reads = overlap_reads(n_ov)
+    ov_path = pathlib.Path(SCRATCH) / "ovreads.fastq"
+    with open(ov_path, "w") as fh:
+        for r in ov_reads:
+            r.write_fastq(fh)
+    t_ov = med([QUAFF, "overlap", str(ov_path), "-kmatchn", "14",
+                "-nothreshold"], n=5)
+    ov_pairs = n_ov * (n_ov - 1) // 2
     print(json.dumps({
         "viterbi_fill_cells_per_sec": round(fill_cells_per_sec, 0),
         "viterbi_fill_cells_per_sec_fullmatrix": round(
@@ -75,6 +120,9 @@ def main():
         "c8f30_align_reads_per_sec": round(1.0 / t14, 3),
         "em_iter_wall_s": round((tr3 - tr1) / 2, 4),
         "synth12_align_reads_per_sec": round(12.0 / t_synth, 1),
+        "overlap_wall_s": round(t_ov, 4),
+        "overlap_pairs": ov_pairs,
+        "overlap_pairs_per_sec": round(ov_pairs / t_ov, 3),
     }))
 
 
