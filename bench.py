@@ -30,8 +30,9 @@ REF_MEASURED = {
     "fill_cells_per_sec": 1.6e7,
     "c8f30_align_wall_s": 0.099,  # -> 10.1 reads/s end-to-end
     "em_iter_wall_s": 0.45,
-    # 8-read all-vs-all overlap (28 unordered pairs, rc included)
-    "overlap_pairs_per_sec": None,  # set from measure_baseline.py
+    # 8-read all-vs-all overlap (28 unordered pairs, rc included):
+    # best-of-5 whole-process wall 2.145 s -> 13.05 pairs/s
+    "overlap_pairs_per_sec": 13.05,
 }
 REFERENCE_CELLS_PER_SEC = REF_MEASURED["fill_cells_per_sec"]
 

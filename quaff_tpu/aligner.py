@@ -559,8 +559,18 @@ class QuaffAligner:
 
         def fill(entries):
             wbatch = PairBatch.build(entries, self.tables)
+            # each pool worker fills its chunk serially (the pool itself
+            # is the parallelism — a per-fill inner pool just
+            # oversubscribes the cores) and reuses its thread-local
+            # output arenas (fill_and_walk consumes the matrices before
+            # the worker takes another chunk)
+            import os as _os
+
             res = align_fill_native(
-                wbatch, self.tables, mode="viterbi", local=self.config.local
+                wbatch, self.tables, mode="viterbi",
+                local=self.config.local,
+                threads=max(1, (_os.cpu_count() or 1) // T),
+                reuse_buffers=True,
             )
             if res is not None:
                 return res
@@ -611,8 +621,12 @@ class QuaffAligner:
         # PairBatch.build pads every entry to the chunk max (rows,
         # width), so the footprint cap tracks the PADDED element count;
         # in-flight futures are windowed so at most T+1 chunks' f64
-        # matrices exist at once.
-        max_elems = 20_000_000
+        # matrices exist at once.  Smaller chunks balance the worker
+        # pool and interleave with device draining at the cost of
+        # per-chunk build overhead (measured optimum on this 4-core
+        # host: ~6M elems = ~13 full-length c8f30 winners per chunk).
+        max_elems = int(os.environ.get("QUAFF_WINNER_CHUNK_ELEMS",
+                                       "6000000"))
         T = max(1, self.config.threads)
         pool = ThreadPoolExecutor(T)
         futures = deque()

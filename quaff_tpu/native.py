@@ -41,6 +41,38 @@ def _alloc_outputs(shapes) -> list:
             _ma._set_madvise_hugepage(prev)
 
 
+_TLS = None
+
+
+def _alloc_outputs_reusable(shapes) -> list:
+    """Per-thread grow-only arenas for the fill matrices: the pipelined
+    align submits a fill chunk every few winners, and fresh np.empty
+    buffers re-fault ~150 MB of pages per chunk (mmap'd anew each time).
+    Each worker thread instead keeps one flat f64 arena per output slot
+    and hands out reshaped views — pages fault once per thread, not once
+    per chunk.  CALLER CONTRACT: the returned views of a thread are
+    invalidated by that thread's next call (the aligner consumes each
+    chunk's matrices before submitting another fill on the same
+    worker)."""
+    global _TLS
+    if _TLS is None:
+        import threading
+
+        _TLS = threading.local()
+    arenas = getattr(_TLS, "arenas", None)
+    if arenas is None:
+        arenas = _TLS.arenas = []
+    out = []
+    for i, s in enumerate(shapes):
+        n = int(np.prod(s))
+        if i >= len(arenas):
+            arenas.append(_alloc_outputs([(n,)])[0])
+        elif arenas[i].size < n:
+            arenas[i] = _alloc_outputs([(max(n, arenas[i].size * 2),)])[0]
+        out.append(arenas[i][:n].reshape(s))
+    return out
+
+
 def _lib_path() -> pathlib.Path:
     return pathlib.Path(__file__).parent / "libquaffio.so"
 
@@ -439,11 +471,17 @@ def overlap_score_native(batch, tables):
 
 
 def align_fill_native(batch, tables, mode: str = "viterbi",
-                      local: bool = True) -> Optional[dict]:
+                      local: bool = True, threads: Optional[int] = None,
+                      reuse_buffers: bool = False) -> Optional[dict]:
     """Exact banded read-vs-ref fill for a PairBatch via the native
     engine, one C call per pair on a thread pool.  Same contract as
     dp.engine.dp_fill with return_matrices=True (host numpy).  None if
-    the library is not built."""
+    the library is not built.
+
+    threads caps the internal pool (default: one per core) — callers
+    already running on a worker pool pass 1 to avoid oversubscription.
+    reuse_buffers=True returns views of per-thread arenas instead of
+    fresh allocations (see _alloc_outputs_reusable's caller contract)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "qdp_align_fill"):
         return None
@@ -482,7 +520,8 @@ def align_fill_native(batch, tables, mode: str = "viterbi",
     y_q = np.ascontiguousarray(batch.y_qual, np.int32)
     member = np.ascontiguousarray(batch.member, np.uint8)
 
-    mat, ins, dele = _alloc_outputs([(B, R + 1, W)] * 3)
+    alloc = _alloc_outputs_reusable if reuse_buffers else _alloc_outputs
+    mat, ins, dele = alloc([(B, R + 1, W)] * 3)
     end = np.empty(B, np.float64)
 
     def p32(a):
@@ -510,10 +549,12 @@ def align_fill_native(batch, tables, mode: str = "viterbi",
             end[b:].ctypes.data_as(f64p),
         )
 
-    if B == 1:
-        run(0)
+    n_threads = min(B, threads if threads else (os.cpu_count() or 1))
+    if n_threads <= 1:
+        for b in range(B):
+            run(b)
     else:
-        with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
+        with ThreadPoolExecutor(n_threads) as ex:
             list(ex.map(run, range(B)))
 
     return {"score": end, "mat": mat, "ins": ins, "del": dele}
