@@ -15,14 +15,18 @@
 // number of columns (the caller reads the LAST n columns), or -1 when
 // no finite traceback source exists.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <limits>
 #include <vector>
 
 namespace {
 
 const double NEG_INF = -std::numeric_limits<double>::infinity();
+
+static inline double max2(double a, double b) { return a > b ? a : b; }
 
 enum State { MATCH = 0, INSERT = 1, DELETE = 2, START = 3 };
 
@@ -122,6 +126,251 @@ int64_t qdp_viterbi_traceback(
       --pos;
       col_x[pos] = -1;
       col_y[pos] = (int32_t)j;
+      cand[nc] = m(i, j) + m2i[y_ik_pad[j]] + emit;
+      cst[nc++] = MATCH;
+      cand[nc] = I(i, j) + i2i + emit;
+      cst[nc++] = INSERT;
+    } else {  // DELETE
+      --i;
+      --pos;
+      col_x[pos] = (int32_t)i;
+      col_y[pos] = -1;
+      cand[nc] = m(i, j) + m2d[y_ik_pad[j]];
+      cst[nc++] = MATCH;
+      cand[nc] = D(i, j) + d2d;
+      cst[nc++] = DELETE;
+    }
+    double src = NEG_INF;
+    int next = -1;
+    for (int c = 0; c < nc; ++c)
+      if (cand[c] > src) {
+        src = cand[c];
+        next = cst[c];
+      }
+    if (next < 0) return -1;
+    state = next;
+  }
+  bounds[0] = i + 1;  // x_start
+  bounds[1] = x_end;
+  return cap - pos;
+}
+
+// Checkpointed Viterbi fill + traceback in ONE call, per (pair, strip):
+// the full-matrix winner fill writes 3*(R+1)*W doubles (~10 MB per
+// full-length read) and is store-bandwidth-bound — measured 3x the cost
+// of the score-only fill.  This routine instead stores every K-th row
+// (plus 2 scratch rows) during the forward pass, then walks back
+// through K-row windows refilled on demand from the checkpoints.  The
+// window refill recomputes rows with the IDENTICAL per-row code and
+// operand order as the forward pass, so every cell the traceback reads
+// is bitwise equal to the full fill's — alignments are unchanged.
+// Cost ~ 2 score-only fills; the working set (3*(K+1)*W doubles) stays
+// L2-resident.  Viterbi + read-global modes only (the align pipeline's
+// winner pass; qmodel.cpp:1562-1646 is the reference walk).
+//
+// Outputs as in qdp_viterbi_traceback, plus *score_out = the end score
+// (bitwise equal to qdp_align_fill/qdp_align_score's).  Returns the
+// column count, or -1 when no finite traceback source exists.
+int64_t qdp_align_viterbi_path(
+    const int32_t* x_tok, int64_t x_len,
+    const int32_t* y_tok, const int32_t* y_mk, const int32_t* y_ik_pad,
+    const int32_t* y_q, int64_t y_len, int32_t y_has_qual,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* match_score, const double* match_score_noq,
+    const double* insert_score, const double* insert_score_noq,
+    int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d,
+    const double* m2e,
+    double d2d, double d2m, double i2i, double i2m,
+    int32_t local,
+    double* score_out,
+    int32_t* col_x, int32_t* col_y, int64_t* bounds) {
+  const int64_t K = 64;  // checkpoint stride (window: 3*(K+1)*W doubles)
+
+  // one row of the banded recursion: prev row (mat_p/ins_p/del_p) ->
+  // cur row.  MUST stay expression-for-expression identical to
+  // align_fill_impl's Viterbi branch (overlapdp.cpp) — qdp_align_score
+  // and this routine must produce bitwise-equal cells.
+  auto fill_row = [&](int64_t j, const double* mat_p, const double* ins_p,
+                      const double* del_p, double* mat_c, double* ins_c,
+                      double* del_c, double* end) {
+    const int32_t ik_prev = y_ik_pad[j - 1];
+    const int32_t ik_cur = y_ik_pad[j];
+    const double m2m_j = m2m[ik_prev];
+    const double m2i_j = m2i[ik_prev];
+    const double m2d_j = m2d[ik_cur];
+    const double m2e_j = m2e[ik_cur];
+
+    const int32_t ykm = y_mk[j - 1];
+    const int32_t yqv = y_has_qual ? y_q[j - 1] : 0;
+    const int32_t yt = y_tok[j - 1];
+    double mrow[4];
+    for (int r = 0; r < 4; ++r)
+      mrow[r] = y_has_qual
+                    ? match_score[((int64_t)r * Km + ykm) * Q + yqv]
+                    : match_score_noq[(int64_t)r * Km + ykm];
+    const double ins_emit = y_has_qual
+                                ? insert_score[(int64_t)yt * Q + yqv]
+                                : insert_score_noq[yt];
+
+    int64_t w_min = -(d_lo + j - 1);
+    if (w_min < 0) w_min = 0;
+    int64_t w_max = x_len - (d_lo + j - 1);
+    if (w_max > W) w_max = W;
+
+    double del_prev = NEG_INF;
+    for (int64_t w = 0; w < W; ++w) {
+      if (w < w_min || w >= w_max || !member[w]) {
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+        del_prev = NEG_INF;
+        continue;
+      }
+      const int64_t idx = d_lo + j - 1 + w;  // i-1
+
+      double m = max2(max2(mat_p[w] + m2m_j, del_p[w] + d2m),
+                      ins_p[w] + i2m);
+      if (j == 1 && (local || idx == 0)) m = max2(m, 0.0);
+      m += mrow[x_tok[idx]];
+      mat_c[w] = m;
+
+      double mp1 = (w + 1 < W) ? mat_p[w + 1] : NEG_INF;
+      double ip1 = (w + 1 < W) ? ins_p[w + 1] : NEG_INF;
+      ins_c[w] = ins_emit + max2(ip1 + i2i, mp1 + m2i_j);
+
+      double b = (w > 0 ? mat_c[w - 1] : NEG_INF) + m2d_j;
+      double dc = max2(del_prev + d2d, b);
+      del_c[w] = dc;
+      del_prev = dc;
+
+      if (end && j == y_len && (local || idx == x_len - 1))
+        *end = max2(*end, m + m2e_j);
+    }
+  };
+
+  // forward pass: 2 scratch rows, checkpoints at rows 0, K, 2K, ...
+  const int64_t n_ckpt = y_len / K + 1;
+  std::vector<double> ck(3 * n_ckpt * W);
+  double* ck_mat = ck.data();
+  double* ck_ins = ck_mat + n_ckpt * W;
+  double* ck_del = ck_ins + n_ckpt * W;
+  std::vector<double> scratch(6 * W);
+  double* s_mat = scratch.data();
+  double* s_ins = s_mat + 2 * W;
+  double* s_del = s_ins + 2 * W;
+  for (int64_t w = 0; w < W; ++w)
+    s_mat[w] = s_ins[w] = s_del[w] = NEG_INF;
+  std::memcpy(ck_mat, s_mat, W * sizeof(double));
+  std::memcpy(ck_ins, s_ins, W * sizeof(double));
+  std::memcpy(ck_del, s_del, W * sizeof(double));
+
+  double end = NEG_INF;
+  for (int64_t j = 1; j <= y_len; ++j) {
+    const int64_t rp = (j - 1) & 1, rc = j & 1;
+    fill_row(j, s_mat + rp * W, s_ins + rp * W, s_del + rp * W,
+             s_mat + rc * W, s_ins + rc * W, s_del + rc * W, &end);
+    if (j % K == 0) {
+      const int64_t c = j / K;
+      std::memcpy(ck_mat + c * W, s_mat + rc * W, W * sizeof(double));
+      std::memcpy(ck_ins + c * W, s_ins + rc * W, W * sizeof(double));
+      std::memcpy(ck_del + c * W, s_del + rc * W, W * sizeof(double));
+    }
+  }
+  *score_out = end;
+
+  // traceback window: rows base .. base+K (row 0 of the window is the
+  // checkpoint row); refilled on demand as the walk descends
+  std::vector<double> win(3 * (K + 1) * W);
+  double* w_mat = win.data();
+  double* w_ins = w_mat + (K + 1) * W;
+  double* w_del = w_ins + (K + 1) * W;
+  int64_t base = -1;
+
+  auto ensure = [&](int64_t j) {
+    if (base >= 0 && j >= base && j <= base + K) return;
+    base = j > 0 ? ((j - 1) / K) * K : 0;
+    const int64_t c = base / K;
+    std::memcpy(w_mat, ck_mat + c * W, W * sizeof(double));
+    std::memcpy(w_ins, ck_ins + c * W, W * sizeof(double));
+    std::memcpy(w_del, ck_del + c * W, W * sizeof(double));
+    const int64_t top = std::min(base + K, y_len);
+    for (int64_t r = base + 1; r <= top; ++r) {
+      const int64_t o = r - base;
+      fill_row(r, w_mat + (o - 1) * W, w_ins + (o - 1) * W,
+               w_del + (o - 1) * W, w_mat + o * W, w_ins + o * W,
+               w_del + o * W, nullptr);
+    }
+  };
+
+  auto cell = [&](const double* arr, int64_t i, int64_t j) {
+    if (j < 0 || j > y_len || i < 0 || i > x_len) return NEG_INF;
+    const int64_t w = i - j - d_lo;
+    if (w < 0 || w >= W) return NEG_INF;
+    return arr[(j - base) * W + w];
+  };
+  auto m = [&](int64_t i, int64_t j) { return cell(w_mat, i, j); };
+  auto I = [&](int64_t i, int64_t j) { return cell(w_ins, i, j); };
+  auto D = [&](int64_t i, int64_t j) { return cell(w_del, i, j); };
+
+  auto match_emit = [&](int64_t i, int64_t j) {
+    if (y_has_qual)
+      return match_score[((int64_t)x_tok[i - 1] * Km + y_mk[j - 1]) * Q +
+                         y_q[j - 1]];
+    return match_score_noq[(int64_t)x_tok[i - 1] * Km + y_mk[j - 1]];
+  };
+  auto insert_emit = [&](int64_t j) {
+    if (y_has_qual)
+      return insert_score[(int64_t)y_tok[j - 1] * Q + y_q[j - 1]];
+    return insert_score_noq[y_tok[j - 1]];
+  };
+
+  // end column choice — identical to qdp_viterbi_traceback
+  ensure(y_len);
+  int64_t x_end = x_len;
+  if (local) {
+    double best = NEG_INF;
+    for (int64_t i_end = x_len; i_end >= 1; --i_end) {
+      double sc = m(i_end, y_len) + m2e[y_ik_pad[y_len]];
+      if (i_end == x_len || sc > best) {
+        best = sc;
+        x_end = i_end;
+      }
+    }
+  }
+
+  int64_t i = x_end, j = y_len;
+  const int64_t cap = x_len + y_len;
+  int64_t pos = cap;
+  int state = MATCH;
+
+  while (state != START) {
+    double cand[4];
+    int cst[4];
+    int nc = 0;
+    if (state == MATCH) {
+      double emit = match_emit(i, j);
+      --i;
+      --j;
+      --pos;
+      col_x[pos] = (int32_t)i;
+      col_y[pos] = (int32_t)j;
+      ensure(j >= 0 ? j : 0);
+      cand[nc] = m(i, j) + m2m[y_ik_pad[j]] + emit;
+      cst[nc++] = MATCH;
+      cand[nc] = I(i, j) + i2m + emit;
+      cst[nc++] = INSERT;
+      cand[nc] = D(i, j) + d2m + emit;
+      cst[nc++] = DELETE;
+      if (j == 0 && (i == 0 || local)) {
+        cand[nc] = emit;
+        cst[nc++] = START;
+      }
+    } else if (state == INSERT) {
+      double emit = insert_emit(j);
+      --j;
+      --pos;
+      col_x[pos] = -1;
+      col_y[pos] = (int32_t)j;
+      ensure(j >= 0 ? j : 0);
       cand[nc] = m(i, j) + m2i[y_ik_pad[j]] + emit;
       cst[nc++] = MATCH;
       cand[nc] = I(i, j) + i2i + emit;

@@ -589,16 +589,49 @@ class QuaffAligner:
                 )
             return {k: np.asarray(v) for k, v in res.items()}
 
+        from .dp.traceback import viterbi_path_traceback
+        from .native import align_path_available, align_score_native
+        # one checkpointed native call per winner (fill + walk fused, no
+        # DP matrices): ~3x the matrix fill's throughput (the full-
+        # matrix fill is store-bandwidth-bound at 3*(R+1)*W doubles per
+        # strip).  Falls back to the matrix fill when the library is
+        # not built.
+        use_path = align_path_available()
+
         def fill_and_walk(chunk):
-            """One worker unit: f64-fill a chunk of winner strips and walk
-            each pair's best strip back.  chunk: [(seq, ny, nx, strips)]."""
+            """One worker unit: resolve each winner's best strip in f64
+            and walk its traceback.  chunk: [(seq, ny, nx, strips)]."""
+            out = []
+            if use_path:
+                for seq, ny, nx, strips in chunk:
+                    if len(strips) > 1:
+                        # matrix-free score fills pick the f64-best strip
+                        # (bitwise equal to the full fill's scores; first
+                        # strict max, like the matrix path's scan)
+                        wb = PairBatch.build(
+                            [(refs[nx], reads[ny], s) for s in strips],
+                            self.tables,
+                        )
+                        sc = align_score_native(
+                            wb, self.tables, mode="viterbi",
+                            local=self.config.local, threads=1,
+                        )
+                        strip = strips[int(np.argmax(sc))]
+                    else:
+                        strip = strips[0]
+                    a = viterbi_path_traceback(
+                        refs[nx], reads[ny], strip, self.tables,
+                        local=self.config.local,
+                    )
+                    a.score -= null_ll(ny)
+                    out.append((seq, ny, a))
+                return out
             entries = [
                 (refs[nx], reads[ny], s)
                 for _, ny, nx, ss in chunk
                 for s in ss
             ]
             res = fill(entries)
-            out = []
             b = 0
             for seq, ny, nx, strips in chunk:
                 best_b = b

@@ -50,6 +50,58 @@ class _Cells:
         return float(self.arr[j, w])
 
 
+def _cols_to_alignment(x, y, col_x, col_y, x_start, x_end, score, local,
+                       has_qual):
+    ref_row = FastSeq(name="Ref")
+    read_row = FastSeq(name="Read")
+    if local:
+        ref_row.comment = f"substr({x.name},{x_start}..{x_end})"
+    else:
+        ref_row.comment = x.name
+    read_row.comment = y.name
+    ref_row.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
+    read_row.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
+    if has_qual:
+        read_row.qual = _cols_to_str(col_y, y.qual, "~")
+    ref_row.source = SeqIntervalCoords(
+        x.name, x_start, x_end, False
+    ).compose(x.source)
+    read_row.source = SeqIntervalCoords(
+        y.name, 1, len(y.seq), False
+    ).compose(y.source)
+    return Alignment(gapped_seq=[ref_row, read_row], score=score)
+
+
+def viterbi_path_traceback(
+    x: FastSeq,
+    y: FastSeq,
+    env: Envelope,
+    tables: ScoreTables,
+    local: bool = True,
+):
+    """Fill AND walk one (pair, strip) in a single checkpointed native
+    call — no DP matrices materialise (native qdp_align_viterbi_path;
+    cells the walk reads are bitwise equal to the full fill's).  The
+    returned Alignment's score is the raw end score (caller subtracts
+    the null model).  None when the native library is missing."""
+    from ..native import align_viterbi_path_cols
+
+    x_len, y_len = len(x.seq), len(y.seq)
+    has_qual = y.has_qual()
+    y_ik = np.concatenate([[0], y.kmers(tables.indel_kmer_len)])
+    res = align_viterbi_path_cols(
+        x.tokens(), x_len, y.tokens(), y.kmers(tables.match_kmer_len),
+        y_ik, y.qual_scores() if has_qual else None, y_len, has_qual,
+        tables, local, env.band_lo, env.band_width, env.member_mask(),
+    )
+    if res is None:
+        return None
+    col_x, col_y, x_start, x_end, score = res
+    return _cols_to_alignment(
+        x, y, col_x, col_y, x_start, x_end, score, local, has_qual
+    )
+
+
 def viterbi_traceback(
     x: FastSeq,
     y: FastSeq,
@@ -79,24 +131,9 @@ def viterbi_traceback(
         )
         if cols is not None:
             col_x, col_y, x_start, x_end = cols
-            ref_row = FastSeq(name="Ref")
-            read_row = FastSeq(name="Read")
-            if local:
-                ref_row.comment = f"substr({x.name},{x_start}..{x_end})"
-            else:
-                ref_row.comment = x.name
-            read_row.comment = y.name
-            ref_row.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
-            read_row.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
-            if has_qual:
-                read_row.qual = _cols_to_str(col_y, y.qual, "~")
-            ref_row.source = SeqIntervalCoords(
-                x.name, x_start, x_end, False
-            ).compose(x.source)
-            read_row.source = SeqIntervalCoords(
-                y.name, 1, y_len, False
-            ).compose(y.source)
-            return Alignment(gapped_seq=[ref_row, read_row], score=result)
+            return _cols_to_alignment(
+                x, y, col_x, col_y, x_start, x_end, result, local, has_qual
+            )
 
     m = _Cells(mat, env)
     i_ = _Cells(ins, env)

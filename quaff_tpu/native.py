@@ -197,6 +197,25 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p, f64p, f64p,  # mat, ins, del
             i32p, i32p, i64p,  # col_x, col_y, bounds
         ]
+    if hasattr(lib, "qdp_align_viterbi_path"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        f64 = ctypes.c_double
+        lib.qdp_align_viterbi_path.restype = i64
+        lib.qdp_align_viterbi_path.argtypes = [
+            i32p, i64,  # x_tok, x_len
+            i32p, i32p, i32p, i32p, i64, ctypes.c_int32,  # y side
+            i64, i64, u8p,  # d_lo, W, member
+            f64p, f64p, f64p, f64p, i64, i64,  # emission tables, Km, Q
+            f64p, f64p, f64p, f64p,  # m2m/m2i/m2d/m2e
+            f64, f64, f64, f64,  # d2d, d2m, i2i, i2m
+            ctypes.c_int32,  # local
+            f64p,  # score out
+            i32p, i32p, i64p,  # col_x, col_y, bounds
+        ]
     if hasattr(lib, "qdp_align_fill"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -561,7 +580,7 @@ def align_fill_native(batch, tables, mode: str = "viterbi",
 
 
 def align_score_native(batch, tables, mode: str = "viterbi",
-                       local: bool = True):
+                       local: bool = True, threads: Optional[int] = None):
     """Score-only banded read-vs-ref fills for a PairBatch: returns the
     end scores [B] float64 (no matrices stored or allocated — 2 scratch
     rows per fill instead of 3*(R+1)*W doubles), one C call per pair on
@@ -631,12 +650,99 @@ def align_score_native(batch, tables, mode: str = "viterbi",
             end[b:].ctypes.data_as(f64p),
         )
 
-    if B == 1:
-        run(0)
+    n_threads = min(B, threads if threads else (os.cpu_count() or 1))
+    if n_threads <= 1:
+        for b in range(B):
+            run(b)
     else:
-        with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
+        with ThreadPoolExecutor(n_threads) as ex:
             list(ex.map(run, range(B)))
     return end
+
+
+
+
+def _align_tabs(tables):
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        def c64(a):
+            return np.ascontiguousarray(a, dtype=np.float64)
+
+        tabs = {
+            "match_score": c64(tables.match_score),
+            "match_score_noq": c64(tables.match_score_noq),
+            "insert_score": c64(tables.insert_score),
+            "insert_score_noq": c64(tables.insert_score_noq),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "m2e": c64(tables.m2e),
+        }
+        tables._native_tabs = tabs
+    return tabs
+
+
+def align_path_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "qdp_align_viterbi_path")
+
+
+def align_viterbi_path_cols(
+    x_tok, x_len, y_tok, y_mk, y_ik_pad, y_q, y_len, y_has_qual,
+    tables, local, d_lo, W, member,
+):
+    """Checkpointed fill + traceback in one native call (per pair and
+    strip; no DP matrices ever materialise host-side).  Returns (col_x,
+    col_y, x_start, x_end, score) with score bitwise equal to the full
+    fill's end score, or None if the library is missing.  Raises on a
+    broken traceback, matching the Python walk."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_align_viterbi_path"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    tabs = _align_tabs(tables)
+    Km = tabs["match_score"].shape[1]
+    Q = tabs["match_score"].shape[2]
+
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    member = np.ascontiguousarray(member, np.uint8)
+    cap = int(x_len) + int(y_len)
+    col_x = np.empty(cap, np.int32)
+    col_y = np.empty(cap, np.int32)
+    bounds = np.zeros(4, np.int64)
+    score = np.zeros(1, np.float64)
+    zq = np.zeros(max(int(y_len), 1), np.int32)
+    n = lib.qdp_align_viterbi_path(
+        p32(x_tok), int(x_len),
+        p32(y_tok), p32(y_mk), p32(y_ik_pad),
+        p32(y_q if y_q is not None else zq), int(y_len), int(y_has_qual),
+        int(d_lo), int(W),
+        member.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        p64(tabs["match_score"]), p64(tabs["match_score_noq"]),
+        p64(tabs["insert_score"]), p64(tabs["insert_score_noq"]),
+        Km, Q,
+        p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]),
+        p64(tabs["m2e"]),
+        float(tables.d2d), float(tables.d2m),
+        float(tables.i2i), float(tables.i2m),
+        int(bool(local)),
+        score.ctypes.data_as(f64p),
+        col_x.ctypes.data_as(i32p), col_y.ctypes.data_as(i32p),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        raise RuntimeError("Traceback error: no finite source")
+    return (
+        col_x[cap - n :], col_y[cap - n :],
+        int(bounds[0]), int(bounds[1]), float(score[0]),
+    )
 
 
 def viterbi_traceback_cols(

@@ -402,3 +402,81 @@ def test_native_lse2_softplus_table():
     assert lse2(1.25, 2.5) == lse2(2.5, 1.25)
     # NaN propagates (falls through to the exact path)
     assert np.isnan(lse2(float("nan"), 1.0))
+
+
+def test_align_viterbi_path_matches_matrix_walk(data_dir):
+    """The checkpointed fill+walk (qdp_align_viterbi_path) must return
+    the SAME alignment rows, bounds and a bitwise-equal score as the
+    stored-matrix fill + traceback, across quality/global/multi-strip
+    variants (window refills recompute cells bitwise-identically)."""
+    import numpy as np
+    import pytest
+
+    from quaff_tpu import native
+    from quaff_tpu.aligner import DPConfig, VITERBI_CELL_SIZE
+    from quaff_tpu.dp.engine import PairBatch
+    from quaff_tpu.dp.scores import ScoreTables
+    from quaff_tpu.dp.traceback import (
+        viterbi_path_traceback,
+        viterbi_traceback,
+    )
+    from quaff_tpu.envelope import pack_strips
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex, read_fast_seqs
+    from quaff_tpu.model.params import default_params
+
+    if not native.align_path_available():
+        pytest.skip("native library lacks qdp_align_viterbi_path")
+
+    tables = ScoreTables.from_params(default_params())
+    rng = np.random.default_rng(31)
+
+    cases = []
+    # c8f30 self-align strips (full-length, all three strips)
+    x = read_fast_seqs(str(data_dir / "c8f30.fastq.gz"))[0]
+    y = read_fast_seqs(str(data_dir / "c8f30.fastq.gz"))[0]
+    x.qual = ""
+    cfg = DPConfig(kmer_threshold=14)
+    env = cfg.make_envelope(x, KmerIndex(y, 6), VITERBI_CELL_SIZE)
+    for s in pack_strips(env, 3):
+        cases.append((x, y, s, True))
+    # random short pairs: qual/noqual, local/global, window edge rows
+    for ln in (37, 63, 64, 65, 129, 200):
+        base = "".join("acgt"[t] for t in rng.integers(0, 4, ln + 40))
+        seq = list(base[20 : 20 + ln])
+        for _ in range(max(1, ln // 15)):
+            p = int(rng.integers(0, ln))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        for qual in (True, False):
+            yy = FastSeq(
+                name=f"y{ln}", seq="".join(seq),
+                qual="".join(
+                    chr(33 + int(q)) for q in rng.integers(3, 40, ln)
+                ) if qual else "",
+            )
+            xx = FastSeq(name=f"x{ln}", seq=base)
+            e = cfg.make_envelope(xx, KmerIndex(yy, 6), VITERBI_CELL_SIZE)
+            for s in pack_strips(e, 3):
+                cases.append((xx, yy, s, True))
+                cases.append((xx, yy, s, False))
+
+    n_finite = 0
+    for xx, yy, s, local in cases:
+        full = native.align_fill_native(
+            PairBatch.build([(xx, yy, s)], tables), tables,
+            mode="viterbi", local=local,
+        )
+        sc = float(full["score"][0])
+        if not np.isfinite(sc):
+            continue
+        got = viterbi_path_traceback(xx, yy, s, tables, local=local)
+        n_finite += 1
+        want = viterbi_traceback(
+            xx, yy, s, tables, full["mat"][0], full["ins"][0],
+            full["del"][0], sc, local=local,
+        )
+        assert got.score == want.score  # bitwise
+        for g, w in zip(got.gapped_seq, want.gapped_seq):
+            assert g.seq == w.seq
+            assert g.qual == w.qual
+            assert g.comment == w.comment
+    assert n_finite >= 8
