@@ -186,7 +186,7 @@ class QuaffAligner:
         ]
         fast = self._use_fast_scores()
         if fast:
-            from .dp.pallas_v2 import scores_v2_device
+            from .dp.pallas_v2 import batch_max_prop, scores_v2_device
 
             # lane-packed strips: multi-cluster envelopes cost their
             # member lanes, not their bounding band
@@ -198,6 +198,7 @@ class QuaffAligner:
                     self.tables, self._v2_tables(y.has_qual()),
                     device_batch(kbatch),
                     mode="viterbi", local=self.config.local,
+                    max_prop=batch_max_prop(kbatch),
                 ),
                 dtype=np.float64,
             )
@@ -814,12 +815,16 @@ class QuaffAligner:
                         )
                     record_chunk(chunk, s, None)
                 elif fast:
-                    from .dp.pallas_v2 import scores_v2_device
+                    from .dp.pallas_v2 import (
+                        batch_max_prop,
+                        scores_v2_device,
+                    )
 
                     dev = scores_v2_device(
                         self.tables, self._v2_tables(hq), bdev,
                         mode="viterbi", local=self.config.local,
                         return_segments=True, defer_fetch=True,
+                        max_prop=batch_max_prop(batch),
                     )
                     inflight.append(
                         (chunk, dev, bq, batch.seg_d_lo.shape[1])

@@ -216,6 +216,7 @@ def _row_kernel(
     rows_per_step: int = 1,
     n_segs: int = MAX_SEGS,
     n_ik: int = 0,
+    max_prop=None,
 ):
     g = pl.program_id(0)
     for _r in range(rows_per_step):
@@ -225,7 +226,7 @@ def _row_kernel(
             del_ref, win_ref,
             width=width, mode=mode, local=local,
             g=g, r=_r, rows_per_step=rows_per_step, n_segs=n_segs,
-            n_ik=n_ik,
+            n_ik=n_ik, max_prop=max_prop,
         )
 
 
@@ -233,6 +234,7 @@ def _one_row(
     keys_ref, emis_ref, insv_ref, ik_ref, member_ref, xs0_ref, meta_ref,
     doff_ref, snew_ref, out_ref, mat_ref, ins_ref, del_ref, win_ref,
     *, width, mode, local, g, r, rows_per_step, n_segs, n_ik,
+    max_prop=None,
 ):
     j0 = g * rows_per_step + r
     # gap transitions ride meta rows 3-6 as device data (not compiled-in
@@ -335,8 +337,14 @@ def _one_row(
 
     c_vec = jnp.where(valid, d2d, NEG_INF)
     b_vec = jnp.where(valid, shift_lo(mat_c) + m2d_j, NEG_INF)
+    # the max-plus scan only needs to reach across the WIDEST lane-packed
+    # strip, not the padded width: non-member halo lanes reset c_vec to
+    # -inf, so legal propagation never crosses a strip seam — callers
+    # that know the max strip width pass it (pow2) to drop scan steps
+    # (strips <= 128 on a W=256 pack: 7 steps instead of 8)
+    reach = W if max_prop is None else min(int(max_prop), W)
     s = 1
-    while s < W:
+    while s < reach:
         c_s = jnp.where(lane >= s, pltpu.roll(c_vec, jnp.int32(s), 1), 0.0)
         b_s = jnp.where(lane >= s, pltpu.roll(b_vec, jnp.int32(s), 1), NEG_INF)
         b_vec = combine(b_s + c_vec, b_vec)
@@ -470,14 +478,14 @@ def prepare_inputs(tables, batch: dict) -> dict:
     jax.jit,
     static_argnames=(
         "width", "b_pad", "n_rows", "mode", "local", "interpret",
-        "rows_per_step", "n_segs", "n_ik",
+        "rows_per_step", "n_segs", "n_ik", "max_prop",
     ),
 )
 def fill_v2(
     keys, emis, insv, ik, member, xs0, meta, doff, snew,
     width, b_pad, n_rows, mode="viterbi", local=True,
     interpret=False, rows_per_step=1,
-    n_segs=MAX_SEGS, n_ik=0,
+    n_segs=MAX_SEGS, n_ik=0, max_prop=None,
 ):
     R = rows_per_step
     n_steps = -(-n_rows // R)
@@ -485,7 +493,7 @@ def fill_v2(
         keys = jnp.pad(keys, ((0, n_steps * R - keys.shape[0]), (0, 0), (0, 0)))
     kernel = functools.partial(
         _row_kernel, width=width, mode=mode, local=local,
-        rows_per_step=R, n_segs=n_segs, n_ik=n_ik,
+        rows_per_step=R, n_segs=n_segs, n_ik=n_ik, max_prop=max_prop,
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -765,7 +773,8 @@ class V2Tables:
 def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
                         local: bool = True, rows_per_step: int = 1,
                         interpret: bool = False,
-                        return_segments: bool = False):
+                        return_segments: bool = False,
+                        max_prop: int = None):
     """Jit-traceable device path: prep + kernel + end reduction, with no
     host round-trips — suitable for wrapping in an outer `jax.jit`
     (the driver's single-chip compile check uses this).  `v2tab` is any
@@ -804,6 +813,7 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
         width=W, b_pad=Bp, n_rows=Ly, mode=mode, local=local,
         rows_per_step=rows_per_step, interpret=interpret,
         n_segs=n_segs, n_ik=int(getattr(v2tab, "n_ik", 0)),
+        max_prop=max_prop,
     )
     o = out[:B]
     if return_segments:
@@ -834,24 +844,43 @@ def scores_v2_traceable(v2tab, batch: dict, mode: str = "viterbi",
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "local", "rows_per_step", "return_segments"),
+    static_argnames=(
+        "mode", "local", "rows_per_step", "return_segments", "max_prop"
+    ),
 )
 def _scores_v2_jit(emis, insv, ik, batch, trans4, mode, local,
-                   rows_per_step=1, return_segments=False):
+                   rows_per_step=1, return_segments=False, max_prop=None):
     import types
 
     tab = types.SimpleNamespace(emis=emis, insv=insv, ik=ik, trans=trans4)
     return scores_v2_traceable(
         tab, batch, mode=mode, local=local, rows_per_step=rows_per_step,
-        return_segments=return_segments,
+        return_segments=return_segments, max_prop=max_prop,
     )
+
+
+def batch_max_prop(batch) -> "int | None":
+    """Static del-scan reach for a host PairBatch: the max lane-packed
+    strip width, pow2-rounded (compile variants stay bounded).  None for
+    non-packed batches (full-width scan)."""
+    sw = getattr(batch, "seg_width", None)
+    if sw is None:
+        return None
+    m = int(np.max(sw))
+    if m <= 0:
+        return None
+    p = 1
+    while p < m:
+        p *= 2
+    return p
 
 
 def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
                      mode: str = "viterbi", local: bool = True,
                      rows_per_step: int = 1,
                      return_segments: bool = False,
-                     defer_fetch: bool = False):
+                     defer_fetch: bool = False,
+                     max_prop: int = None):
     # rows_per_step > 1 trades grid-dispatch overhead for VMEM block size;
     # measured slower on v5e at W=512 (71ms -> 87ms at R=8), so default 1
     """Production path: one jit = one dispatch (prep + kernel + end
@@ -869,6 +898,7 @@ def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
         jnp.asarray(v2tab.trans, jnp.float32),
         mode=mode, local=local,
         rows_per_step=rows_per_step, return_segments=return_segments,
+        max_prop=max_prop,
     )
     if return_segments:
         if defer_fetch:

@@ -117,10 +117,11 @@ def _fake_kernel_scores():
     from quaff_tpu.dp.pallas_v2 import NEG_INF, scores_v2_traceable
 
     def fake(tables, v2tab, batch, mode="viterbi", local=True,
-             rows_per_step=1, return_segments=False, defer_fetch=False):
+             rows_per_step=1, return_segments=False, defer_fetch=False,
+             max_prop=None):
         dev = scores_v2_traceable(
             v2tab, batch, mode=mode, local=local, interpret=True,
-            return_segments=return_segments,
+            return_segments=return_segments, max_prop=max_prop,
         )
         if return_segments and defer_fetch:
             return dev

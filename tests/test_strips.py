@@ -259,3 +259,31 @@ def test_host_batch_matches_device_batch():
             h = np.asarray(host[k])
             assert d.dtype == h.dtype, k
             np.testing.assert_array_equal(d, h, err_msg=k)
+
+
+def test_packed_kernel_max_prop_invariant():
+    """Bounding the del-scan reach at the max strip width (pow2) must not
+    change any packed-kernel score: halo lanes already stop legal
+    propagation at strip seams."""
+    from quaff_tpu.dp.pallas_v2 import (
+        V2Tables,
+        batch_max_prop,
+        scores_v2_traceable,
+    )
+
+    rng = np.random.default_rng(29)
+    tables = ScoreTables.from_params(default_params())
+    pairs = _synthetic_multistrip(rng, 4)
+    v2tab = V2Tables(tables)
+    b = PairBatch.build_packed(pairs, tables)
+    mp = batch_max_prop(b)
+    assert mp is not None and mp < 128 * 2  # strips are narrow here
+    for mode in ("viterbi", "forward"):
+        full = np.asarray(scores_v2_traceable(
+            v2tab, device_batch(b), mode=mode, local=True, interpret=True,
+        ))
+        capped = np.asarray(scores_v2_traceable(
+            v2tab, device_batch(b), mode=mode, local=True, interpret=True,
+            max_prop=mp,
+        ))
+        np.testing.assert_array_equal(capped, full)

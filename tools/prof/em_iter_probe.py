@@ -15,7 +15,9 @@ reads0 = bench._perturbed_reads(data, n, 0)
 null = QuaffNullParams.fit(reads0)
 order=[list(range(1)) for _ in reads0]
 counter=QuaffCounter(params, null, config, True)
+t0=time.perf_counter()
 counter.get_counts(refs, reads0, order)  # warm
+print(f"cold first E-step (fresh process): {time.perf_counter()-t0:.1f}s")
 qp=params; times=[]
 for salt in (4,5,6,7):
     reads=bench._perturbed_reads(data, n, salt)
