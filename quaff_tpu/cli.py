@@ -838,9 +838,14 @@ def _cmd_count(args: deque, config, state) -> int:
     implicit = ["-ref", "-read"]
     allow_null = True
     save_counts = None
+    fast_counts = False
     while args:
         if args[0] == "-force":
             allow_null = False
+            args.popleft()
+            continue
+        if args[0] == "-fast":
+            fast_counts = True
             args.popleft()
             continue
         if args[0] == "-savecounts":
@@ -898,6 +903,43 @@ def _cmd_count(args: deque, config, state) -> int:
         counts, loglike, _ = qsub_get_counts(
             _make_qsub_runner(config, sargs), refs, reads, params, null
         )
+    elif fast_counts:
+        # `count -fast`: the production-precision E-step train itself
+        # runs — fused Pallas kernel on TPU backends, f32 XLA engine
+        # elsewhere; `-mesh` shards it over the device mesh exactly like
+        # `train -mesh`.  Totals differ from the f64 parity artifact
+        # only by f32 accumulation rounding (documented tolerance in
+        # docs/manual.md; pinned by tests/test_count_fast.py).
+        import jax
+
+        if config.use_mesh:
+            import jax.numpy as jnp
+
+            from .parallel.distributed import make_global_mesh
+            from .parallel.estep import MeshCountsProvider
+
+            n_dev = len(jax.devices())
+            if config.mesh_mp > n_dev or n_dev % config.mesh_mp != 0:
+                raise SystemExit(
+                    f"-meshmp {config.mesh_mp} must divide the device "
+                    f"count ({n_dev} available)"
+                )
+            mesh = make_global_mesh(config.mesh_mp)
+            provider = MeshCountsProvider(
+                mesh, refs, reads, params, null, config,
+                allow_null=allow_null, dtype=jnp.float32,
+            )
+            counts, loglike, _ = provider(
+                params, [list(range(len(refs))) for _ in reads]
+            )
+        else:
+            import jax.numpy as jnp
+
+            config.dtype = jnp.float32  # production precision, always
+            counter = QuaffCounter(
+                params, null, config, use_null_model=allow_null,
+            )
+            counts, loglike, _ = counter.get_counts(refs, reads)
     else:
         # the `count` command's JSON output is a parity artifact: compute
         # the exact f64 path on the CPU device even on accelerator backends
@@ -908,8 +950,8 @@ def _cmd_count(args: deque, config, state) -> int:
 
             logger.log(
                 1,
-                "count: -mesh ignored (count output is the f64 parity "
-                "artifact; mesh-sharded counts drive `train -mesh`)",
+                "count: -mesh ignored without -fast (count output is the "
+                "f64 parity artifact; mesh-sharded counts need `-fast`)",
             )
         from .precision import x64_scope
 
