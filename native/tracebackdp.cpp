@@ -22,9 +22,13 @@
 #include <limits>
 #include <vector>
 
+#include "lse2.h"
+
 namespace {
 
 const double NEG_INF = -std::numeric_limits<double>::infinity();
+
+using quaff_lse::lse2;  // shared softplus-table log-sum-exp (lse2.h)
 
 static inline double max2(double a, double b) { return a > b ? a : b; }
 
@@ -397,6 +401,333 @@ int64_t qdp_align_viterbi_path(
   }
   bounds[0] = i + 1;  // x_start
   bounds[1] = x_end;
+  return cap - pos;
+}
+
+// Checkpointed overlap Viterbi fill + traceback in ONE call, per
+// (pair, strip) — the overlap analogue of qdp_align_viterbi_path: the
+// exact pass's full-matrix fills (3*(R+1)*W doubles per strip) are
+// store-bandwidth-bound; this stores every K-th row during a
+// two-scratch-row forward pass, then walks back through K-row windows
+// refilled from the checkpoints with the IDENTICAL per-row code and
+// operand order as qdp_overlap_fill (overlapdp.cpp), so every cell the
+// traceback reads is bitwise equal to the full fill's.
+//
+// Unlike qdp_overlap_fill, y-side arrays are FULL-length (indexed at
+// true row jt = j_off + r); slicing in the batched fill reads the same
+// values, so cells agree bitwise.  The walk replicates
+// qdp_overlap_traceback below (strict-greater candidate order,
+// ins/del-run squashing, qoverlap.cpp:162-290).
+//
+// *end_out = best end-cell score (add the full-sequence insert scores
+// host-side, as for qdp_overlap_score).  Returns the column count,
+// -2 when no finite end cell exists (no alignment — not an error), or
+// -1 when a finite end has no finite traceback source (a real bug).
+int64_t qdp_overlap_viterbi_path(
+    const int32_t* x_mk, const int32_t* x_ik_pad, const int32_t* x_q,
+    int64_t x_len, int32_t x_has_qual,
+    const int32_t* y_mk, const int32_t* y_ik_pad, const int32_t* y_q,
+    int64_t y_len, int32_t y_has_qual,
+    int64_t j_off, int64_t n_rows,
+    int64_t d_lo, int64_t W, const uint8_t* member,
+    const double* pair_qq, const double* pair_xq, const double* pair_yq,
+    const double* pair_nn, int64_t Km, int64_t Q,
+    const double* m2m, const double* m2i, const double* m2d, int64_t Ki,
+    const double* trans6,
+    double* end_out,
+    int32_t* col_x, int32_t* col_y, int64_t* bounds) {
+  const int64_t K = 64;  // checkpoint stride (window: 3*(K+1)*W doubles)
+  const double i2m = trans6[0], i2i = trans6[1], i2d = trans6[2];
+  const double d2m = trans6[3], d2i = trans6[4], d2d = trans6[5];
+  const int qq = x_has_qual && y_has_qual;
+  const int xq_only = x_has_qual && !y_has_qual;
+  const int yq_only = !x_has_qual && y_has_qual;
+
+  // one local row r (true row jt = j_off + r) of the banded recursion —
+  // MUST stay expression-for-expression identical to overlap_fill_impl
+  // (overlapdp.cpp), with y arrays indexed at the true row.
+  auto fill_row = [&](int64_t r, const double* mat_p, const double* ins_p,
+                      const double* del_p, double* mat_c, double* ins_c,
+                      double* del_c, double* end) {
+    const int64_t jt = j_off + r;
+    if (jt > y_len) {
+      for (int64_t w = 0; w < W; ++w)
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+      return;
+    }
+    const int32_t ykm = y_mk[jt - 1];
+    const int32_t yqv = y_has_qual ? y_q[jt - 1] : 0;
+    const int32_t yik_j = y_ik_pad[jt];
+    const int32_t yik_jm1 = y_ik_pad[jt - 1];
+    const double* eq_row =
+        qq ? pair_qq + ((int64_t)ykm * Q * Q + yqv) : nullptr;
+    const double* ex_row = xq_only ? pair_xq + (int64_t)ykm * Q : nullptr;
+    const double* ey_row =
+        yq_only ? pair_yq + ((int64_t)ykm * Q + yqv) : nullptr;
+    const double* en_row =
+        (!x_has_qual && !y_has_qual) ? pair_nn + ykm : nullptr;
+
+    int64_t w_min = -(d_lo + jt - 1);
+    if (w_min < 0) w_min = 0;
+    int64_t w_max = x_len - (d_lo + jt - 1);
+    if (w_max > W) w_max = W;
+
+    double del_prev = NEG_INF;
+    for (int64_t w = 0; w < W; ++w) {
+      if (w < w_min || w >= w_max || !member[w]) {
+        mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
+        del_prev = NEG_INF;
+        continue;
+      }
+      const int64_t idx = d_lo + jt - 1 + w;  // i-1
+      const int32_t xkm = x_mk[idx];
+      const int32_t xik_im1 = x_ik_pad[idx];
+      const int32_t xik_i = x_ik_pad[idx + 1];
+
+      double emit;
+      if (qq)
+        emit = eq_row[((int64_t)xkm * Km * Q + x_q[idx]) * Q];
+      else if (xq_only)
+        emit = ex_row[((int64_t)xkm * Km + 0) * Q + x_q[idx]];
+      else if (yq_only)
+        emit = ey_row[(int64_t)xkm * Km * Q];
+      else
+        emit = en_row[(int64_t)xkm * Km];
+
+      double m = max2(
+          max2(mat_p[w] + m2m[(int64_t)xik_im1 * Ki + yik_jm1],
+               del_p[w] + d2m),
+          ins_p[w] + i2m);
+      if (jt == 1 || idx == 0) m = max2(m, 0.0);  // both ends free
+      m += emit;
+      mat_c[w] = m;
+
+      double mp1 = (w + 1 < W) ? mat_p[w + 1] : NEG_INF;
+      double ip1 = (w + 1 < W) ? ins_p[w + 1] : NEG_INF;
+      double dp1 = (w + 1 < W) ? del_p[w + 1] : NEG_INF;
+      double ic = max2(lse2(ip1 + i2i, dp1 + d2i),
+                       mp1 + m2i[(int64_t)xik_i * Ki + yik_jm1]);
+      ins_c[w] = ic;
+
+      double k = (w > 0 ? ins_c[w - 1] : NEG_INF) + d2i;
+      double b = (w > 0 ? mat_c[w - 1] : NEG_INF) +
+                 m2d[(int64_t)xik_im1 * Ki + yik_j];
+      double dc = max2(lse2(del_prev + d2d, k), b);
+      del_c[w] = dc;
+      del_prev = dc;
+
+      if (end && (jt == y_len || idx == x_len - 1)) *end = max2(*end, m);
+    }
+  };
+
+  // forward pass: 2 scratch rows, checkpoints at local rows 0, K, 2K...
+  const int64_t n_ckpt = n_rows / K + 1;
+  std::vector<double> ck(3 * n_ckpt * W);
+  double* ck_mat = ck.data();
+  double* ck_ins = ck_mat + n_ckpt * W;
+  double* ck_del = ck_ins + n_ckpt * W;
+  std::vector<double> scratch(6 * W);
+  double* s_mat = scratch.data();
+  double* s_ins = s_mat + 2 * W;
+  double* s_del = s_ins + 2 * W;
+  for (int64_t w = 0; w < W; ++w)
+    s_mat[w] = s_ins[w] = s_del[w] = NEG_INF;
+  std::memcpy(ck_mat, s_mat, W * sizeof(double));
+  std::memcpy(ck_ins, s_ins, W * sizeof(double));
+  std::memcpy(ck_del, s_del, W * sizeof(double));
+
+  double end = NEG_INF;
+  for (int64_t r = 1; r <= n_rows; ++r) {
+    const int64_t rp = (r - 1) & 1, rc = r & 1;
+    fill_row(r, s_mat + rp * W, s_ins + rp * W, s_del + rp * W,
+             s_mat + rc * W, s_ins + rc * W, s_del + rc * W, &end);
+    if (r % K == 0) {
+      const int64_t c = r / K;
+      std::memcpy(ck_mat + c * W, s_mat + rc * W, W * sizeof(double));
+      std::memcpy(ck_ins + c * W, s_ins + rc * W, W * sizeof(double));
+      std::memcpy(ck_del + c * W, s_del + rc * W, W * sizeof(double));
+    }
+  }
+  *end_out = end;
+  if (end == NEG_INF) return -2;  // no finite end cell: no alignment
+
+  // traceback window over local rows base .. base+K
+  std::vector<double> win(3 * (K + 1) * W);
+  double* w_mat = win.data();
+  double* w_ins = w_mat + (K + 1) * W;
+  double* w_del = w_ins + (K + 1) * W;
+  int64_t base = -1;
+
+  auto ensure = [&](int64_t r) {
+    if (r < 0) r = 0;
+    if (r > n_rows) r = n_rows;
+    if (base >= 0 && r >= base && r <= base + K) return;
+    base = r > 0 ? ((r - 1) / K) * K : 0;
+    const int64_t c = base / K;
+    std::memcpy(w_mat, ck_mat + c * W, W * sizeof(double));
+    std::memcpy(w_ins, ck_ins + c * W, W * sizeof(double));
+    std::memcpy(w_del, ck_del + c * W, W * sizeof(double));
+    const int64_t top = std::min(base + K, n_rows);
+    for (int64_t rr = base + 1; rr <= top; ++rr) {
+      const int64_t o = rr - base;
+      fill_row(rr, w_mat + (o - 1) * W, w_ins + (o - 1) * W,
+               w_del + (o - 1) * W, w_mat + o * W, w_ins + o * W,
+               w_del + o * W, nullptr);
+    }
+  };
+
+  // banded window accessor with the Cells bounds semantics (row r must
+  // already be inside the ensured window when finite)
+  auto cell = [&](const double* arr, int64_t i, int64_t j) {
+    if (j < 0 || j > y_len || i < 0 || i > x_len) return NEG_INF;
+    const int64_t w = i - j - d_lo;
+    if (w < 0 || w >= W) return NEG_INF;
+    const int64_t r = j - j_off;
+    if (r < 0 || r > n_rows) return NEG_INF;
+    return arr[(r - base) * W + w];
+  };
+  auto m = [&](int64_t i, int64_t j) { return cell(w_mat, i, j); };
+  auto I = [&](int64_t i, int64_t j) { return cell(w_ins, i, j); };
+  auto D = [&](int64_t i, int64_t j) { return cell(w_del, i, j); };
+
+  auto match_emit = [&](int64_t i, int64_t j) {
+    const int64_t xi = x_mk[i - 1], yj = y_mk[j - 1];
+    if (qq)
+      return pair_qq[(((xi * Km + yj) * Q) + x_q[i - 1]) * Q + y_q[j - 1]];
+    if (xq_only) return pair_xq[(xi * Km + yj) * Q + x_q[i - 1]];
+    if (yq_only) return pair_yq[(xi * Km + yj) * Q + y_q[j - 1]];
+    return pair_nn[xi * Km + yj];
+  };
+  auto t_m2m = [&](int64_t i, int64_t j) {
+    return m2m[(int64_t)x_ik_pad[i] * Ki + y_ik_pad[j]];
+  };
+  auto t_m2i = [&](int64_t i, int64_t j) {
+    return m2i[(int64_t)x_ik_pad[i] * Ki + y_ik_pad[j]];
+  };
+  auto t_m2d = [&](int64_t i, int64_t j) {
+    return m2d[(int64_t)x_ik_pad[i] * Ki + y_ik_pad[j]];
+  };
+
+  // end cell: best over last row then last column (qoverlap.cpp:164-182)
+  // — identical scan order to qdp_overlap_traceback; rows outside the
+  // strip's live window read -inf without touching the window buffer
+  int64_t x_end = x_len, y_end = y_len;
+  auto scan_cell = [&](int64_t i, int64_t j) {
+    if (j < 0 || j > y_len || i < 0 || i > x_len) return NEG_INF;
+    const int64_t w = i - j - d_lo;
+    if (w < 0 || w >= W) return NEG_INF;
+    const int64_t r = j - j_off;
+    if (r < 0 || r > n_rows) return NEG_INF;
+    ensure(r);
+    return w_mat[(r - base) * W + w];
+  };
+  double best = scan_cell(x_len, y_len);
+  for (int64_t i_end = x_len; i_end >= 1; --i_end) {
+    double sc = scan_cell(i_end, y_len);
+    if (sc > best) {
+      best = sc;
+      x_end = i_end;
+      y_end = y_len;
+    }
+  }
+  for (int64_t j_end = y_len; j_end >= 1; --j_end) {
+    double sc = scan_cell(x_len, j_end);
+    if (sc > best) {
+      best = sc;
+      x_end = x_len;
+      y_end = j_end;
+    }
+  }
+
+  int64_t i = x_end, j = y_end;
+  const int64_t cap = x_len + y_len;
+  int64_t pos = cap;
+  int state = MATCH;
+  std::vector<int32_t> ins_run, del_run;
+  ins_run.reserve(64);
+  del_run.reserve(64);
+
+  ensure(y_end - j_off);
+  while (state != START) {
+    double cand[4];
+    int cst[4];
+    int nc = 0;
+    if (state == MATCH) {
+      double emit = match_emit(i, j);
+      --i;
+      --j;
+      --pos;
+      col_x[pos] = (int32_t)i;
+      col_y[pos] = (int32_t)j;
+      ensure(j - j_off);
+      cand[nc] = m(i, j) + t_m2m(i, j) + emit;
+      cst[nc++] = MATCH;
+      cand[nc] = I(i, j) + i2m + emit;
+      cst[nc++] = INSERT;
+      cand[nc] = D(i, j) + d2m + emit;
+      cst[nc++] = DELETE;
+      if (j == 0 || i == 0) {
+        cand[nc] = emit;
+        cst[nc++] = START;
+      }
+    } else if (state == INSERT) {
+      --j;
+      ins_run.push_back((int32_t)j);
+      ensure(j - j_off);
+      cand[nc] = m(i, j) + t_m2i(i, j);
+      cst[nc++] = MATCH;
+      cand[nc] = I(i, j) + i2i;
+      cst[nc++] = INSERT;
+      cand[nc] = D(i, j) + d2i;
+      cst[nc++] = DELETE;
+    } else {  // DELETE
+      --i;
+      del_run.push_back((int32_t)i);
+      cand[nc] = m(i, j) + t_m2d(i, j);
+      cst[nc++] = MATCH;
+      cand[nc] = I(i, j) + i2d;
+      cst[nc++] = INSERT;
+      cand[nc] = D(i, j) + d2d;
+      cst[nc++] = DELETE;
+    }
+    double src = NEG_INF;
+    int next = -1;
+    for (int c = 0; c < nc; ++c)
+      if (cand[c] > src) {
+        src = cand[c];
+        next = cst[c];
+      }
+    if (next < 0) return -1;
+    state = next;
+
+    if (state == MATCH && (!ins_run.empty() || !del_run.empty())) {
+      const int64_t ni = (int64_t)ins_run.size();
+      const int64_t nd = (int64_t)del_run.size();
+      const int64_t shared = ni < nd ? ni : nd;
+      const int64_t extra_i = ni - shared, extra_d = nd - shared;
+      for (int64_t t = 0; t < extra_i; ++t) {
+        --pos;
+        col_x[pos] = -1;
+        col_y[pos] = ins_run[t];
+      }
+      for (int64_t t = 0; t < extra_d; ++t) {
+        --pos;
+        col_x[pos] = del_run[t];
+        col_y[pos] = -1;
+      }
+      for (int64_t s = 0; s < shared; ++s) {
+        --pos;
+        col_x[pos] = del_run[extra_d + s];
+        col_y[pos] = ins_run[extra_i + s];
+      }
+      ins_run.clear();
+      del_run.clear();
+    }
+  }
+  bounds[0] = i + 1;
+  bounds[1] = x_end;
+  bounds[2] = j + 1;
+  bounds[3] = y_end;
   return cap - pos;
 }
 

@@ -197,6 +197,24 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p, f64p, f64p,  # mat, ins, del
             i32p, i32p, i64p,  # col_x, col_y, bounds
         ]
+    if hasattr(lib, "qdp_overlap_viterbi_path"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        lib.qdp_overlap_viterbi_path.restype = i64
+        lib.qdp_overlap_viterbi_path.argtypes = [
+            i32p, i32p, i32p, i64, ctypes.c_int32,  # x side
+            i32p, i32p, i32p, i64, ctypes.c_int32,  # y side (FULL arrays)
+            i64, i64,  # j_off, n_rows
+            i64, i64, u8p,  # d_lo, W, member
+            f64p, f64p, f64p, f64p, i64, i64,  # pair tables, Km, Q
+            f64p, f64p, f64p, i64,  # m2m/m2i/m2d, Ki
+            f64p,  # trans6
+            f64p,  # end out
+            i32p, i32p, i64p,  # col_x, col_y, bounds
+        ]
     if hasattr(lib, "qdp_align_viterbi_path"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -313,6 +331,32 @@ def ref_lse_chain_native(acc: np.ndarray, terms: np.ndarray) -> bool:
 def overlap_fill_available() -> bool:
     lib = get_lib()
     return lib is not None and hasattr(lib, "qdp_overlap_fill")
+
+
+def _overlap_tabs(tables) -> dict:
+    """Contiguous f64 table arrays for the native overlap calls, cached
+    per OverlapScoreTables instance."""
+    tabs = getattr(tables, "_native_tabs", None)
+    if tabs is None:
+        def c64(a):
+            return np.ascontiguousarray(a, dtype=np.float64)
+
+        tabs = {
+            "pair_qq": c64(tables.pair_qq),
+            "pair_xq": c64(tables.pair_xq),
+            "pair_yq": c64(tables.pair_yq),
+            "pair_nn": c64(tables.pair_nn),
+            "m2m": c64(tables.m2m),
+            "m2i": c64(tables.m2i),
+            "m2d": c64(tables.m2d),
+            "trans": np.array(
+                [tables.i2m_eff, tables.i2i_eff, tables.i2d_eff,
+                 tables.d2m_eff, tables.d2i_eff, tables.d2d_eff],
+                dtype=np.float64,
+            ),
+        }
+        tables._native_tabs = tabs
+    return tabs
 
 
 def overlap_fill_native(batch, tables) -> Optional[dict]:
@@ -487,6 +531,148 @@ def overlap_score_native(batch, tables):
         with ThreadPoolExecutor(min(B, os.cpu_count() or 1)) as ex:
             list(ex.map(run, range(B)))
     return end + batch.x_insert_score + batch.y_insert_score
+
+
+def overlap_path_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "qdp_overlap_viterbi_path")
+
+
+def overlap_strip_score_native(
+    x_mk, x_ik_pad, x_q, x_len, x_has_qual,
+    y_mk, y_ik_pad, y_q, y_len, y_has_qual,
+    j_off, n_rows, d_lo, W, member, tables,
+):
+    """Score-only exact fill of ONE envelope strip (qdp_overlap_score)
+    from per-pair full-length arrays — no OverlapBatch, no padding.  The
+    y-side arrays are sliced here to the live row window exactly as
+    OverlapBatch's row trimming does, so the end score is bitwise equal
+    to the batched fill's.  Returns the raw end score (caller adds the
+    full-sequence insert scores), or None if the library is missing."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_overlap_score"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    tabs = _overlap_tabs(tables)
+    Km = tabs["pair_qq"].shape[0]
+    Q = tabs["pair_qq"].shape[2]
+    Ki = tabs["m2m"].shape[0]
+
+    o, n = int(j_off), int(n_rows)
+    nn = max(0, min(n, int(y_len) - o))
+    ymk_s = np.zeros(n, np.int32)
+    ymk_s[:nn] = y_mk[o : o + nn]
+    yq_s = np.zeros(n, np.int32)
+    if y_q is not None:
+        yq_s[:nn] = y_q[o : o + nn]
+    yik_s = np.zeros(n + 1, np.int32)
+    yik_s[: nn + 1] = y_ik_pad[o : o + nn + 1]
+    member = np.ascontiguousarray(member, np.uint8)
+    x_mk = np.ascontiguousarray(x_mk, np.int32)
+    x_ik_pad = np.ascontiguousarray(x_ik_pad, np.int32)
+    xq_a = np.ascontiguousarray(
+        x_q if x_q is not None else np.zeros(max(int(x_len), 1)), np.int32
+    )
+    end = np.zeros(1, np.float64)
+
+    def p32(a):
+        return a.ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    lib.qdp_overlap_score(
+        p32(x_mk), p32(x_ik_pad), p32(xq_a),
+        int(x_len), int(bool(x_has_qual)),
+        p32(ymk_s), p32(yik_s), p32(yq_s),
+        int(y_len), int(bool(y_has_qual)),
+        o, n,
+        int(d_lo), int(W), member.ctypes.data_as(u8p),
+        p64(tabs["pair_qq"]), p64(tabs["pair_xq"]),
+        p64(tabs["pair_yq"]), p64(tabs["pair_nn"]), Km, Q,
+        p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]), Ki,
+        p64(tabs["trans"]),
+        end.ctypes.data_as(f64p),
+    )
+    return float(end[0])
+
+
+def overlap_viterbi_path_cols(
+    x_mk, x_ik_pad, x_q, x_len, x_has_qual,
+    y_mk, y_ik_pad, y_q, y_len, y_has_qual,
+    j_off, n_rows, d_lo, W, member, tables,
+):
+    """Checkpointed overlap fill + traceback in one native call, per
+    (pair, strip); no DP matrices ever materialise host-side.  y-side
+    arrays are FULL-length.  Returns (cols, end) where cols is
+    (col_x, col_y, x_start, x_end, y_start, y_end) or None when no
+    finite end cell exists (no alignment), and end is the raw end score
+    (bitwise equal to the stored fill's; caller adds insert scores).
+    Returns None (not a tuple) if the library is missing.  Raises on a
+    broken traceback, matching the Python walk."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_overlap_viterbi_path"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    tabs = _overlap_tabs(tables)
+    Km = tabs["pair_qq"].shape[0]
+    Q = tabs["pair_qq"].shape[2]
+    Ki = tabs["m2m"].shape[0]
+
+    member = np.ascontiguousarray(member, np.uint8)
+    x_mk = np.ascontiguousarray(x_mk, np.int32)
+    x_ik_pad = np.ascontiguousarray(x_ik_pad, np.int32)
+    xq_a = np.ascontiguousarray(
+        x_q if x_q is not None else np.zeros(max(int(x_len), 1)), np.int32
+    )
+    y_mk = np.ascontiguousarray(y_mk, np.int32)
+    y_ik_pad = np.ascontiguousarray(y_ik_pad, np.int32)
+    yq_a = np.ascontiguousarray(
+        y_q if y_q is not None else np.zeros(max(int(y_len), 1)), np.int32
+    )
+    cap = int(x_len) + int(y_len)
+    col_x = np.empty(cap, np.int32)
+    col_y = np.empty(cap, np.int32)
+    bounds = np.zeros(4, np.int64)
+    end = np.zeros(1, np.float64)
+
+    def p32(a):
+        return a.ctypes.data_as(i32p)
+
+    def p64(a):
+        return a.ctypes.data_as(f64p)
+
+    n = lib.qdp_overlap_viterbi_path(
+        p32(x_mk), p32(x_ik_pad), p32(xq_a),
+        int(x_len), int(bool(x_has_qual)),
+        p32(y_mk), p32(y_ik_pad), p32(yq_a),
+        int(y_len), int(bool(y_has_qual)),
+        int(j_off), int(n_rows),
+        int(d_lo), int(W), member.ctypes.data_as(u8p),
+        p64(tabs["pair_qq"]), p64(tabs["pair_xq"]),
+        p64(tabs["pair_yq"]), p64(tabs["pair_nn"]), Km, Q,
+        p64(tabs["m2m"]), p64(tabs["m2i"]), p64(tabs["m2d"]), Ki,
+        p64(tabs["trans"]),
+        end.ctypes.data_as(f64p),
+        col_x.ctypes.data_as(i32p), col_y.ctypes.data_as(i32p),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n == -2:
+        return (None, float(end[0]))
+    if n < 0:
+        raise RuntimeError("Traceback error: no finite source")
+    return (
+        (
+            col_x[cap - n :], col_y[cap - n :],
+            int(bounds[0]), int(bounds[1]),
+            int(bounds[2]), int(bounds[3]),
+        ),
+        float(end[0]),
+    )
 
 
 def align_fill_native(batch, tables, mode: str = "viterbi",

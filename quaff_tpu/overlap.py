@@ -955,7 +955,7 @@ class QuaffOverlapAligner:
             return ((v + m - 1) // m) * m
 
         results: dict = {}
-        buckets: dict = {}
+        jobs: list = []
         for job in cands:
             nx, ny, y_comp, env = job
             x_len, y_len = len(seqs[nx].seq), len(seqs[ny].seq)
@@ -980,6 +980,22 @@ class QuaffOverlapAligner:
                 j0 = max(1, 1 - d2)
                 rows = max(min(y_len, x_len - d1) - j0 + 1, 1)
                 strips.append((s, j0 - 1, rows))
+            jobs.append((job, strips))
+
+        from .native import overlap_path_available
+
+        if overlap_path_available():
+            # matrix-free path: per-strip score-only fills pick each
+            # pair's winner, then one checkpointed fill+traceback call
+            # walks it — no DP matrices ever materialise (the stored
+            # fill writes 3x the cells it reads back and is
+            # store-bandwidth-bound, like the align winner pass)
+            return self._exact_pass_path(seqs, jobs)
+
+        buckets: dict = {}
+        for (job, strips) in jobs:
+            nx, ny, y_comp, env = job
+            x_len, y_len = len(seqs[nx].seq), len(seqs[ny].seq)
             wp = round_up(max(max(s.band_width for s, _, _ in strips), 64), 64)
             key = (
                 y_comp,
@@ -1059,4 +1075,123 @@ class QuaffOverlapAligner:
         else:
             for item in pending:
                 finish_chunk(item, fill_chunk(item))
+        return results
+
+    def _exact_pass_path(self, seqs, jobs) -> dict:
+        """Matrix-free exact pass: per pair, score-only f64 fills pick
+        the winning strip (only when more than one strip survived the
+        kernel's seg_slack cut), then ONE checkpointed fill+traceback
+        native call (qdp_overlap_viterbi_path) walks it.  Every cell the
+        walk reads is bitwise equal to the stored fill's, the winner
+        comparison uses the same summed f64 scores in the same order,
+        and the walk replicates qdp_overlap_traceback — output
+        byte-identical to the matrix path (pinned by
+        test_native.test_overlap_viterbi_path_*).  Cost ~2 score-fills
+        per pair instead of 3x-stored fills of every kept strip; pairs
+        parallelise across host cores (the native calls release the
+        GIL), replacing the batched fill's internal per-pair pool."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .dp.traceback import _cols_to_str
+        from .native import (
+            _overlap_tabs,
+            overlap_strip_score_native,
+            overlap_viterbi_path_cols,
+        )
+
+        # per-(seq, strand) arrays built up-front so the threaded native
+        # calls never touch lazy per-instance state
+        x_cache: dict = {}
+        y_cache: dict = {}
+        for (nx, ny, yc, env), _ in jobs:
+            tables, _td = self._tables(yc)
+            _overlap_tabs(tables)
+            if (nx, yc) not in x_cache:
+                x = seqs[nx]
+                x_tok = x.tokens()
+                x_q = x.qual_scores() if x.has_qual() else None
+                x_cache[(nx, yc)] = (
+                    x.kmers(tables.match_kmer_len),
+                    np.concatenate([[0], x.kmers(tables.indel_kmer_len)]),
+                    x_q,
+                    _insert_score_sum(tables, x_tok, x_q),
+                )
+            if (ny, yc) not in y_cache:
+                y_tok, y_mk, y_ik_raw, y_q = _y_strand_arrays(
+                    seqs[ny], tables
+                )
+                y_cache[(ny, yc)] = (
+                    y_mk,
+                    np.concatenate([[0], y_ik_raw]),
+                    y_q,
+                    _insert_score_sum(tables, y_tok, y_q),
+                )
+
+        def work(item):
+            (nx, ny, yc, env), strips = item
+            tables = self._tables(yc)[0]
+            x, y = seqs[nx], seqs[ny]
+            x_mk, x_ik_pad, x_q, x_ins = x_cache[(nx, yc)]
+            y_mk, y_ik_pad, y_q, y_ins = y_cache[(ny, yc)]
+            x_len, y_len = len(x.seq), len(y.seq)
+            best = 0
+            if len(strips) > 1:
+                best_sc = None
+                for k, (s, off, rows) in enumerate(strips):
+                    end = overlap_strip_score_native(
+                        x_mk, x_ik_pad, x_q, x_len, x_q is not None,
+                        y_mk, y_ik_pad, y_q, y_len, y_q is not None,
+                        off, rows, s.band_lo, s.band_width,
+                        s.member_mask(), tables,
+                    )
+                    # same summed-score comparison (and first-wins tie
+                    # order) as the matrix path's res["score"] argmax
+                    sc = (end + x_ins) + y_ins
+                    if best_sc is None or sc > best_sc:
+                        best_sc, best = sc, k
+            s, off, rows = strips[best]
+            cols, end = overlap_viterbi_path_cols(
+                x_mk, x_ik_pad, x_q, x_len, x_q is not None,
+                y_mk, y_ik_pad, y_q, y_len, y_q is not None,
+                off, rows, s.band_lo, s.band_width, s.member_mask(),
+                tables,
+            )
+            score = (end + x_ins) + y_ins
+            if cols is None or not math.isfinite(score):
+                return (nx, ny), None
+            col_x, col_y, x_start, x_end, y_start, y_end = cols
+            row_x = FastSeq(
+                name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
+            )
+            row_y = FastSeq(
+                name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
+            )
+            row_x.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
+            row_y.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
+            if x_q is not None:
+                row_x.qual = _cols_to_str(col_x, x.qual, "~")
+            if y_q is not None:
+                row_y.qual = _cols_to_str(col_y, y.qual, "~")
+            row_x.source = SeqIntervalCoords(
+                x.name, x_start, x_end, False
+            ).compose(x.source)
+            row_y.source = SeqIntervalCoords(
+                y.name, y_start, y_end, False
+            ).compose(y.source)
+            a = Alignment(gapped_seq=[row_x, row_y], score=score)
+            a.score -= self._null_ll(x) + self._null_ll(y, yc)
+            return (nx, ny), a
+
+        results: dict = {}
+        if len(jobs) > 1:
+            with ThreadPoolExecutor(
+                min(len(jobs), os.cpu_count() or 1)
+            ) as ex:
+                for key, a in ex.map(work, jobs):
+                    results[key] = a
+        else:
+            for item in jobs:
+                key, a = work(item)
+                results[key] = a
         return results

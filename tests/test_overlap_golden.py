@@ -196,3 +196,64 @@ def test_ref_lse_chain_native_matches_numpy():
     for t in range(terms.shape[0]):
         acc_py = _ref_lse(acc_py, terms[t])
     assert np.array_equal(acc_c, acc_py)
+
+
+def test_exact_pass_matrix_fallback_matches_path(monkeypatch):
+    """Both _exact_pass branches (matrix-free checkpointed path vs the
+    bucketed stored-matrix fallback used when the native path symbol is
+    missing) must stay byte-identical."""
+    import io as _io
+
+    import numpy as np
+
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.aligner import VITERBI_CELL_SIZE
+
+    def format_alignment(a):
+        s = _io.StringIO()
+        a.write_stockholm(s)
+        return s.getvalue()
+
+    rng = np.random.default_rng(11)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1500))
+    reads = []
+    for i in range(3):
+        ln = int(rng.integers(300, 500))
+        s0 = int(rng.integers(0, 900))
+        seq = list(base[s0 : s0 + ln])
+        for _ in range(len(seq) // 20):
+            p = int(rng.integers(0, len(seq)))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append(
+            FastSeq(
+                name=f"r{i}", seq="".join(seq),
+                qual="".join(
+                    chr(33 + int(q)) for q in rng.integers(3, 40, ln)
+                ),
+            )
+        )
+    null = QuaffNullParams.fit(reads)
+    cfg = DPConfig()
+    aligner = QuaffOverlapAligner(default_params(), null, cfg)
+    jobs = []
+    for nx, ny, y_comp in aligner.enumerate_pairs(reads, len(reads)):
+        env = cfg.make_envelope(
+            reads[nx], KmerIndex(reads[ny], cfg.kmer_len), VITERBI_CELL_SIZE
+        )
+        jobs.append((nx, ny, y_comp, env))
+
+    got_path = aligner._exact_pass(reads, jobs)
+
+    import quaff_tpu.native as qn
+
+    monkeypatch.setattr(qn, "overlap_path_available", lambda: False)
+    got_matrix = aligner._exact_pass(reads, jobs)
+
+    assert got_path.keys() == got_matrix.keys()
+    for key in got_path:
+        a, b = got_path[key], got_matrix[key]
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        assert a.score == b.score
+        assert format_alignment(a) == format_alignment(b)
