@@ -520,28 +520,44 @@ int64_t qdp_overlap_viterbi_path(
     }
   };
 
-  // forward pass: 2 scratch rows, checkpoints at local rows 0, K, 2K...
-  const int64_t n_ckpt = n_rows / K + 1;
-  std::vector<double> ck(3 * n_ckpt * W);
+  // Small strips (the all-vs-all overlap common case: tens of lanes)
+  // store the full matrix during the forward pass — it stays cache-
+  // resident, and the walk then needs ZERO window refills (saves one
+  // full fill pass).  Large strips keep the checkpointed scheme.  Cell
+  // values are bitwise identical either way (same fill_row, same order).
+  const bool full_store = 3 * (n_rows + 1) * W * 8 <= (4 << 20);
+  const int64_t Keff = full_store ? n_rows : K;
+
+  // forward pass: checkpoints at local rows 0, K, 2K... (full_store:
+  // the "window" buffer below doubles as the whole matrix)
+  const int64_t n_ckpt = full_store ? 1 : n_rows / K + 1;
+  std::vector<double> ck(full_store ? 0 : 3 * n_ckpt * W);
   double* ck_mat = ck.data();
   double* ck_ins = ck_mat + n_ckpt * W;
   double* ck_del = ck_ins + n_ckpt * W;
-  std::vector<double> scratch(6 * W);
-  double* s_mat = scratch.data();
-  double* s_ins = s_mat + 2 * W;
-  double* s_del = s_ins + 2 * W;
+  std::vector<double> win(3 * (Keff + 1) * W);
+  double* w_mat = win.data();
+  double* w_ins = w_mat + (Keff + 1) * W;
+  double* w_del = w_ins + (Keff + 1) * W;
+  std::vector<double> scratch(full_store ? 0 : 6 * W);
+  double* s_mat = full_store ? w_mat : scratch.data();
+  double* s_ins = full_store ? w_ins : scratch.data() + 2 * W;
+  double* s_del = full_store ? w_del : scratch.data() + 4 * W;
   for (int64_t w = 0; w < W; ++w)
     s_mat[w] = s_ins[w] = s_del[w] = NEG_INF;
-  std::memcpy(ck_mat, s_mat, W * sizeof(double));
-  std::memcpy(ck_ins, s_ins, W * sizeof(double));
-  std::memcpy(ck_del, s_del, W * sizeof(double));
+  if (!full_store) {
+    std::memcpy(ck_mat, s_mat, W * sizeof(double));
+    std::memcpy(ck_ins, s_ins, W * sizeof(double));
+    std::memcpy(ck_del, s_del, W * sizeof(double));
+  }
 
   double end = NEG_INF;
   for (int64_t r = 1; r <= n_rows; ++r) {
-    const int64_t rp = (r - 1) & 1, rc = r & 1;
+    const int64_t rp = full_store ? (r - 1) : ((r - 1) & 1);
+    const int64_t rc = full_store ? r : (r & 1);
     fill_row(r, s_mat + rp * W, s_ins + rp * W, s_del + rp * W,
              s_mat + rc * W, s_ins + rc * W, s_del + rc * W, &end);
-    if (r % K == 0) {
+    if (!full_store && r % K == 0) {
       const int64_t c = r / K;
       std::memcpy(ck_mat + c * W, s_mat + rc * W, W * sizeof(double));
       std::memcpy(ck_ins + c * W, s_ins + rc * W, W * sizeof(double));
@@ -551,17 +567,14 @@ int64_t qdp_overlap_viterbi_path(
   *end_out = end;
   if (end == NEG_INF) return -2;  // no finite end cell: no alignment
 
-  // traceback window over local rows base .. base+K
-  std::vector<double> win(3 * (K + 1) * W);
-  double* w_mat = win.data();
-  double* w_ins = w_mat + (K + 1) * W;
-  double* w_del = w_ins + (K + 1) * W;
-  int64_t base = -1;
+  // traceback window over local rows base .. base+Keff
+  int64_t base = full_store ? 0 : -1;
 
   auto ensure = [&](int64_t r) {
+    if (full_store) return;  // whole matrix already resident
     if (r < 0) r = 0;
     if (r > n_rows) r = n_rows;
-    if (base >= 0 && r >= base && r <= base + K) return;
+    if (base >= 0 && r >= base && r <= base + Keff) return;
     base = r > 0 ? ((r - 1) / K) * K : 0;
     const int64_t c = base / K;
     std::memcpy(w_mat, ck_mat + c * W, W * sizeof(double));
