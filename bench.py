@@ -33,6 +33,9 @@ REF_MEASURED = {
     # 8-read all-vs-all overlap (28 unordered pairs, rc included):
     # best-of-5 whole-process wall 2.145 s -> 13.05 pairs/s
     "overlap_pairs_per_sec": 13.05,
+    # 16-read point (120 pairs): best-of-3 wall 8.555 s; pairs/s is
+    # N-independent for the single-threaded reference
+    "overlap16_pairs_per_sec": 14.03,
 }
 REFERENCE_CELLS_PER_SEC = REF_MEASURED["fill_cells_per_sec"]
 
@@ -269,19 +272,25 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
     from quaff_tpu.io.fastseq import add_revcomps
     from quaff_tpu.overlap import QuaffOverlapAligner
 
+    def time_overlap(n):
+        times = []
+        for salt in (0, 7, 8):  # salt 0 doubles as the warm/compile pass
+            ov_reads = _overlap_reads(n, salt)
+            ov_null = QuaffNullParams.fit(ov_reads)
+            ov = QuaffOverlapAligner(params, ov_null, config)
+            seqs = add_revcomps(ov_reads)
+            out = io.StringIO()
+            t0 = time.perf_counter()
+            ov.align_all(out, seqs, n, printer)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times[1:]))
+
     ov_pairs = n_ov * (n_ov - 1) // 2
-    ov_times = []
-    for salt in (0, 7, 8):  # salt 0 doubles as the warm/compile pass
-        ov_reads = _overlap_reads(n_ov, salt)
-        ov_null = QuaffNullParams.fit(ov_reads)
-        ov = QuaffOverlapAligner(params, ov_null, config)
-        seqs = add_revcomps(ov_reads)
-        out = io.StringIO()
-        t0 = time.perf_counter()
-        ov.align_all(out, seqs, n_ov, printer)
-        ov_times.append(time.perf_counter() - t0)
-    dt_ov = float(np.median(ov_times[1:]))
-    ov_pps = ov_pairs / dt_ov
+    ov_pps = ov_pairs / time_overlap(n_ov)
+    # 16-read point: the production-representative all-vs-all scale —
+    # the batched device scorer amortises its dispatch latency while the
+    # single-threaded reference stays at ~14 pairs/s at any N
+    ov16_pps = 120 / time_overlap(16)
 
     extra = {
         "align_reads_per_sec": round(reads_per_sec, 2),
@@ -297,11 +306,16 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
         "em_reads": n_reads,
         "overlap_pairs_per_sec": round(ov_pps, 3),
         "overlap_pairs": ov_pairs,
+        "overlap_pairs_per_sec_16": round(ov16_pps, 3),
         "ref_measured": REF_MEASURED,
     }
     if REF_MEASURED.get("overlap_pairs_per_sec"):
         extra["vs_ref_overlap"] = round(
             ov_pps / REF_MEASURED["overlap_pairs_per_sec"], 2
+        )
+    if REF_MEASURED.get("overlap16_pairs_per_sec"):
+        extra["vs_ref_overlap_16"] = round(
+            ov16_pps / REF_MEASURED["overlap16_pairs_per_sec"], 2
         )
     return extra
 

@@ -111,6 +111,16 @@ def main():
     t_ov = med([QUAFF, "overlap", str(ov_path), "-kmatchn", "14",
                 "-nothreshold"], n=5)
     ov_pairs = n_ov * (n_ov - 1) // 2
+    # 16-read point (120 pairs): pairs/s is N-independent for the
+    # single-threaded reference; this corroborates the 8-read number at
+    # the scale bench.py's overlap_pairs_per_sec_16 metric uses
+    ov16_reads = overlap_reads(16)
+    ov16_path = pathlib.Path(SCRATCH) / "ovreads16.fastq"
+    with open(ov16_path, "w") as fh:
+        for r in ov16_reads:
+            r.write_fastq(fh)
+    t_ov16 = med([QUAFF, "overlap", str(ov16_path), "-kmatchn", "14",
+                  "-nothreshold"], n=3)
     print(json.dumps({
         "viterbi_fill_cells_per_sec": round(fill_cells_per_sec, 0),
         "viterbi_fill_cells_per_sec_fullmatrix": round(
@@ -123,6 +133,9 @@ def main():
         "overlap_wall_s": round(t_ov, 4),
         "overlap_pairs": ov_pairs,
         "overlap_pairs_per_sec": round(ov_pairs / t_ov, 3),
+        "overlap16_wall_s": round(t_ov16, 4),
+        "overlap16_pairs": 120,
+        "overlap16_pairs_per_sec": round(120 / t_ov16, 3),
     }))
 
 
