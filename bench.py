@@ -244,10 +244,17 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
     dt_align = float(np.median(times))
     reads_per_sec = n_reads / dt_align
 
-    # one EM iteration, warm: E-step expected counts + M-step refit
+    # one EM iteration, warm: E-step expected counts + M-step refit.
+    # The warm-up call's wall is reported as em_first_iter_seconds —
+    # time-to-first-result in a fresh process with a warm persistent
+    # compile cache (the axon remote compiler still recompiles Pallas
+    # kernels server-side on first execution, so this number carries
+    # that variance; see CLAUDE.md).
     order = [list(range(len(refs))) for _ in reads0]
     counter = QuaffCounter(params, null, config, True)
+    t0 = time.perf_counter()
     counts, loglike, order = counter.get_counts(refs, reads0, order)  # warm
+    dt_em_first = time.perf_counter() - t0
     times = []
     qp = params
     for salt in (4, 5, 6):
@@ -304,6 +311,7 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
             REF_MEASURED["em_iter_wall_s"] * n_reads / dt_em, 2
         ),
         "em_reads": n_reads,
+        "em_first_iter_seconds": round(dt_em_first, 2),
         "overlap_pairs_per_sec": round(ov_pps, 3),
         "overlap_pairs": ov_pairs,
         "overlap_pairs_per_sec_16": round(ov16_pps, 3),
