@@ -143,6 +143,9 @@ def _main_accelerator():
         "unit": "DP cells/s (in-envelope, c8f30 align config, f32)",
         "vs_baseline": round(cells_per_sec / REFERENCE_CELLS_PER_SEC, 3),
     }
+    if os.environ.get("QUAFF_BENCH_FILL_ONLY"):
+        print(json.dumps(result))
+        return
     try:
         result["extra"] = _end_to_end_metrics()
     except Exception:
