@@ -634,45 +634,48 @@ class QuaffOverlapAligner:
                 [env], [len(seqs[nx].seq)], [len(seqs[ny].seq)]
             )
         buckets: dict = {}
-        # Greedy chunking per strand, longest live-row window first: the
-        # kernel's cost is dominated by grid rows, so merging pairs of
-        # mixed row counts into one dispatch at the max lp beats one
-        # dispatch per padded shape.  A chunk stops accepting shorter
-        # pairs once the padding rows added exceed one extra full scan.
+        # Greedy chunking per strand, longest live-row window first.  The
+        # measured kernel cost is lp * (a + b*Bp): a fixed per-row-step
+        # term worth ~100 batch lanes plus a per-lane term (B=128 -> 63 ms
+        # vs B=1024 -> 320 ms at lp=3584, tools/prof notes) — and each
+        # extra dispatch also pays its submit RTT and a cold server-side
+        # recompile.  Padding rows are therefore ~1000x cheaper than
+        # extra dispatches: merge aggressively, capping only the
+        # per-pair blowup (a pair may at most double its own rows) so a
+        # pathological long pair cannot drag a fleet of short ones.
+        # Chunks never mix lane tiers: widening a chunk multiplies every
+        # member's cost, so each (strand, padded width) tier chunks
+        # independently.
         OV_VMEM_CELLS = _ov_vmem_cells()
 
-        by_strand: dict = {}
+        by_tier: dict = {}
         for job in jobs:
             nx, ny, y_comp, env = job
             member1, _, _, _, _, rows1 = packed[(nx, ny)]
             wp1 = round_up(max(member1.shape[1], 128), 128)
             rp1 = round_up(max(rows1, 1), 512)
-            by_strand.setdefault(y_comp, []).append((rp1, wp1, job))
-        for y_comp, ents in by_strand.items():
-            ents.sort(key=lambda e: (-e[0], -e[1]))
-            i = 0
-            while i < len(ents):
-                lp = ents[i][0]
-                chunk = [ents[i]]
-                wmax = ents[i][1]
-                i += 1
-                waste = 0
-                while i < len(ents) and len(chunk) < max_batch:
-                    w_j = lp - ents[i][0]
-                    wm = max(wmax, ents[i][1])
+            by_tier.setdefault((y_comp, wp1), []).append((rp1, job))
+        for (y_comp, wp1), ents in by_tier.items():
+            ents.sort(key=lambda e: -e[0])
+            rest = list(ents)
+            while rest:
+                lp = rest[0][0]
+                chunk = [rest.pop(0)]
+                kept = []
+                for e in rest:
+                    rp_j, _ = e
                     if (
-                        waste + w_j > lp
-                        or pow2ceil(len(chunk) + 1) * wm > OV_VMEM_CELLS
+                        len(chunk) >= max_batch
+                        or lp - rp_j > rp_j
+                        or pow2ceil(len(chunk) + 1) * wp1 > OV_VMEM_CELLS
                     ):
-                        break
-                    waste += w_j
-                    wmax = wm
-                    chunk.append(ents[i])
-                    i += 1
-                wp = max(e[1] for e in chunk)
-                buckets[(y_comp, wp, lp)] = buckets.get(
-                    (y_comp, wp, lp), []
-                ) + [e[2] for e in chunk]
+                        kept.append(e)
+                        continue
+                    chunk.append(e)
+                rest = kept
+                buckets[(y_comp, wp1, lp)] = buckets.get(
+                    (y_comp, wp1, lp), []
+                ) + [e[1] for e in chunk]
 
         # sequence bank: each distinct (sequence, strand) transferred ONCE;
         # chunks carry only row indices + envelope masks (all-vs-all would
