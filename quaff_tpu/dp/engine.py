@@ -236,6 +236,27 @@ def _linear_recurrence(combine, c_vec, b_vec):
     return x
 
 
+def _linear_recurrence_seq(combine, c_vec, b_vec):
+    """Strictly sequential x[w] = combine(x[w-1] + c[w], b[w]) over lanes.
+
+    The associative-scan form above composes the +c offsets in log-depth
+    doubling order, whose rounding sequence differs from the reference's
+    lane-at-a-time C++ loop (qmodel.cpp:1546-1547) by ulps — enough to
+    flip equal-scoring delete placements in repeat regions.  The f64
+    Viterbi parity path uses this sequential scan instead (round 4)."""
+
+    def step(x_prev, cb):
+        c, b = cb
+        x = combine(x_prev + c, b)
+        return x, x
+
+    init = jnp.full(b_vec.shape[:-1], -jnp.inf, b_vec.dtype)
+    _, xs = jax.lax.scan(
+        step, init, (jnp.moveaxis(c_vec, -1, 0), jnp.moveaxis(b_vec, -1, 0))
+    )
+    return jnp.moveaxis(xs, 0, -1)
+
+
 # ---------------------------------------------------------------------------
 # DP fill
 
@@ -351,10 +372,18 @@ def dp_fill(
         ins_c = ins_emit + combine(shift_hi(ins_p) + i2i, shift_hi(mat_p) + m2i_j)
         ins_c = jnp.where(valid, ins_c, neg_inf)
 
-        # delete state: in-row linear recurrence over lanes
+        # delete state: in-row linear recurrence over lanes.  The f64
+        # Viterbi parity path must replicate the reference's sequential
+        # lane-order rounding exactly (tie-class traceback parity); the
+        # f32 production path keeps the log-depth associative scan.
         b_vec = jnp.where(valid, shift_lo(mat_c) + m2d_j, neg_inf)
         c_vec = jnp.where(valid, d2d, neg_inf)
-        del_c = jnp.where(valid, _linear_recurrence(combine, c_vec, b_vec), neg_inf)
+        recurrence = (
+            _linear_recurrence_seq
+            if mode == "viterbi" and np.dtype(dtype) == np.float64
+            else _linear_recurrence
+        )
+        del_c = jnp.where(valid, recurrence(combine, c_vec, b_vec), neg_inf)
 
         # end contribution fires only on each pair's final row
         end_ok = valid & (local | (idx == x_len[:, None] - 1))

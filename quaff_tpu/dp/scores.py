@@ -38,21 +38,45 @@ class ScoreTables:
 
     @classmethod
     def from_params(cls, qp: QuaffParams) -> "ScoreTables":
+        # Every log below is the scalar libm math.log, and every table entry
+        # is built with the reference's exact op sequence
+        # (SymQualScores ctor, qmodel.cpp:87-93: logSymProb = log(symProb);
+        # logSymQualProb[q] = logSymProb + log(nb_pdf(q))), so the f64
+        # tables are BITWISE identical to the oracle's QuaffScores —
+        # required for tie-class Viterbi traceback parity (round 4).
+        import math
+
         q = np.arange(QUAL_SCORE_RANGE)
         km = qp.num_match_kmers
-        match_noq = np.log(qp.match_prob)
+        match_noq = np.empty((ALPHABET_SIZE, km))
         match = np.empty((ALPHABET_SIZE, km, QUAL_SCORE_RANGE))
         for i in range(ALPHABET_SIZE):
             for j in range(km):
-                match[i, j] = match_noq[i, j] + log_negative_binomial_array(
+                lsym = math.log(qp.match_prob[i, j])
+                match_noq[i, j] = lsym
+                match[i, j] = lsym + log_negative_binomial_array(
                     q, qp.match_q[i, j], qp.match_r[i, j]
                 )
-        ins_noq = np.log(qp.insert_prob)
+        ins_noq = np.empty(ALPHABET_SIZE)
         ins = np.empty((ALPHABET_SIZE, QUAL_SCORE_RANGE))
         for i in range(ALPHABET_SIZE):
-            ins[i] = ins_noq[i] + log_negative_binomial_array(
+            lsym = math.log(qp.insert_prob[i])
+            ins_noq[i] = lsym
+            ins[i] = lsym + log_negative_binomial_array(
                 q, qp.insert_q[i], qp.insert_r[i]
             )
+        ki = qp.num_indel_kmers
+        m2m = np.empty(ki)
+        m2i = np.empty(ki)
+        m2d = np.empty(ki)
+        m2e = np.empty(ki)
+        for j in range(ki):
+            bi = float(qp.begin_insert[j])
+            bd = float(qp.begin_delete[j])
+            m2m[j] = math.log(1 - bi) + math.log(1 - bd)
+            m2i[j] = math.log(bi)
+            m2d[j] = math.log(1 - bi) + math.log(bd)
+            m2e[j] = math.log(bi)
         return cls(
             match_kmer_len=qp.match_kmer_len,
             indel_kmer_len=qp.indel_kmer_len,
@@ -60,12 +84,12 @@ class ScoreTables:
             match_score_noq=match_noq,
             insert_score=ins,
             insert_score_noq=ins_noq,
-            m2m=np.log(1 - qp.begin_insert) + np.log(1 - qp.begin_delete),
-            m2i=np.log(qp.begin_insert),
-            m2d=np.log(1 - qp.begin_insert) + np.log(qp.begin_delete),
-            m2e=np.log(qp.begin_insert),
-            d2d=float(np.log(qp.extend_delete)),
-            d2m=float(np.log(1 - qp.extend_delete)),
-            i2i=float(np.log(qp.extend_insert)),
-            i2m=float(np.log(1 - qp.extend_insert)),
+            m2m=m2m,
+            m2i=m2i,
+            m2d=m2d,
+            m2e=m2e,
+            d2d=math.log(float(qp.extend_delete)),
+            d2m=math.log(1 - float(qp.extend_delete)),
+            i2i=math.log(float(qp.extend_insert)),
+            i2m=math.log(1 - float(qp.extend_insert)),
         )

@@ -12,10 +12,21 @@ asymptotic series (no GSL / scipy dependency).
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import math
 from typing import Tuple
 
 import numpy as np
+
+# CPython's math.lgamma is its own Lanczos implementation, NOT libm's —
+# off by ulps from the std::lgamma the reference binary calls.  Bitwise
+# score-table parity (round-4 tie-class fix) needs the exact libm bits,
+# so call glibc's lgamma directly.
+_libm = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
+_libm.lgamma.restype = ctypes.c_double
+_libm.lgamma.argtypes = [ctypes.c_double]
+_lgamma = _libm.lgamma
 
 # convergence parameters (negbinom.cpp:12-17)
 BRACKET_MAX_ITER = 100
@@ -76,36 +87,51 @@ def _trigamma(x: float) -> float:
 def log_negative_binomial(k: int, p_success: float, n_success: float) -> float:
     """log NB(k; p, n) with the GSL parameterisation:
     pdf(k) = Gamma(n+k) / (Gamma(k+1) Gamma(n)) * p^n * (1-p)^k
+
+    Mirrors the reference's exact op sequence (negbinom.cpp:30 calls
+    log(gsl_ran_negative_binomial_pdf(...)), i.e. the log-gamma exponent is
+    built left-to-right as ((lgamma(k+n) - lgamma(n)) - lgamma(k+1))
+    + n*log(p) + k*log1p(-p), then ROUND-TRIPPED through exp and log).
+    The round trip costs up to a few hundred ulps but the reference's
+    Viterbi tie-breaking depends on the exact bits, so we replicate it
+    (round-4 tie-class parity fix).
     """
-    return (
-        math.lgamma(n_success + k)
-        - math.lgamma(k + 1.0)
-        - math.lgamma(n_success)
-        + n_success * math.log(p_success)
-        + k * math.log1p(-p_success)
+    f = _lgamma(k + n_success)
+    a = _lgamma(n_success)
+    b = _lgamma(k + 1.0)
+    core = ((f - a) - b) + n_success * math.log(p_success) + k * math.log1p(
+        -p_success
     )
+    return math.log(math.exp(core))
 
 
 def log_negative_binomial_array(
     k: np.ndarray, p_success, n_success
 ) -> np.ndarray:
-    """Vectorised log NB over integer array k (broadcasting p, n)."""
-    from numpy import log, log1p
-
-    k = np.asarray(k, dtype=np.float64)
-    p = np.asarray(p_success, dtype=np.float64)
-    n = np.asarray(n_success, dtype=np.float64)
-    lg = np.vectorize(math.lgamma, otypes=[np.float64])
-    return lg(n + k) - lg(k + 1.0) - lg(n) + n * log(p) + k * log1p(-p)
+    """Vectorised log NB over integer array k (broadcasting p, n);
+    bitwise identical per element to log_negative_binomial."""
+    k = np.asarray(k)
+    p = np.broadcast_to(np.asarray(p_success, dtype=np.float64), k.shape)
+    n = np.broadcast_to(np.asarray(n_success, dtype=np.float64), k.shape)
+    out = np.empty(k.shape, dtype=np.float64)
+    flat = out.reshape(-1)
+    kf = k.reshape(-1)
+    pf = p.reshape(-1)
+    nf = n.reshape(-1)
+    for idx in range(flat.shape[0]):
+        flat[idx] = log_negative_binomial(float(kf[idx]), float(pf[idx]), float(nf[idx]))
+    return out
 
 
 def log_negative_binomial_freq(k_freq: np.ndarray, p_success: float, n_success: float) -> float:
-    """sum_k freq[k] * log NB(k; p, n)."""
-    ks = np.nonzero(k_freq)[0]
-    if len(ks) == 0:
-        return 0.0
-    lp = log_negative_binomial_array(ks, p_success, n_success)
-    return float(np.dot(k_freq[ks], lp))
+    """sum_k freq[k] * log NB(k; p, n), accumulated sequentially over ALL k
+    exactly as the reference loop does (negbinom.cpp:34-39) — including
+    zero-frequency terms, whose 0*logNB products reproduce the reference's
+    NaN semantics when logNB underflows to -inf."""
+    lp = 0.0
+    for k in range(len(k_freq)):
+        lp += float(k_freq[k]) * log_negative_binomial(k, p_success, n_success)
+    return lp
 
 
 def negative_binomial_mean(p_success: float, n_success: float) -> float:

@@ -49,6 +49,59 @@ def fmt(v: float) -> str:
     return f"{v:.6g}"
 
 
+def gason_string2double(s: str) -> float:
+    """Exact mirror of the reference JSON parser's number conversion
+    (gason.cpp:73-118 string2double): naive digit accumulation plus a
+    squared-base power loop, NOT correctly rounded.  Parsed parameter
+    values must be bit-identical to the reference's for ulp-level Viterbi
+    tie parity (round 4), so every params/null/counts JSON number goes
+    through this instead of Python's correctly-rounded float()."""
+    i, n = 0, len(s)
+    neg = n > 0 and s[0] == "-"
+    if neg:
+        i += 1
+    result = 0.0
+    while i < n and s[i].isdigit():
+        result = (result * 10) + (ord(s[i]) - 48)
+        i += 1
+    if i < n and s[i] == ".":
+        i += 1
+        fraction = 1.0
+        while i < n and s[i].isdigit():
+            fraction *= 0.1
+            result += (ord(s[i]) - 48) * fraction
+            i += 1
+    if i < n and s[i] in "eE":
+        i += 1
+        base = 10.0
+        if i < n and s[i] == "+":
+            i += 1
+        elif i < n and s[i] == "-":
+            i += 1
+            base = 0.1
+        exponent = 0
+        while i < n and s[i].isdigit():
+            exponent = (exponent * 10) + (ord(s[i]) - 48)
+            i += 1
+        power = 1.0
+        while exponent:
+            if exponent & 1:
+                power *= base
+            exponent >>= 1
+            base *= base
+        result *= power
+    return -result if neg else result
+
+
+def gason_loads(text: str):
+    """json.loads with every number converted via gason_string2double."""
+    return json.loads(
+        text,
+        parse_float=gason_string2double,
+        parse_int=lambda s: gason_string2double(s),
+    )
+
+
 def _kmer_string(kmer: int, k: int) -> str:
     return kmer_to_string(kmer, k) if k > 0 else ""
 
@@ -113,14 +166,29 @@ class QuaffNullParams:
         )
 
     def log_likelihood(self, seq) -> float:
-        """Null log-likelihood of one read (qmodel.cpp:1875-1890)."""
+        """Null log-likelihood of one read (qmodel.cpp:1875-1890).
+
+        Bitwise-mirrors the reference: log(1 - nullEmit) (NOT log1p), and a
+        single sequential accumulation interleaving the per-position symbol
+        and quality terms in the reference's loop order — np.cumsum is a
+        strict left-to-right accumulation, so the rounding sequence matches
+        the scalar C++ loop exactly (round-4 ulp-parity fix)."""
         tok = seq.tokens()
-        ll = len(seq.seq) * math.log(self.null_emit) + math.log1p(-self.null_emit)
-        ll += float(np.sum(np.log(self.sym_prob[tok])))
+        start = len(seq.seq) * math.log(self.null_emit) + math.log(
+            1.0 - self.null_emit
+        )
+        log_sym = np.array([math.log(p) for p in self.sym_prob])
+        sym_terms = log_sym[tok]
         if seq.has_qual():
             table = self.log_qual_prob_table()
-            ll += float(np.sum(table[tok, seq.qual_scores()]))
-        return ll
+            qual_terms = table[tok, seq.qual_scores()]
+            terms = np.empty(2 * len(tok) + 1)
+            terms[0] = start
+            terms[1::2] = sym_terms
+            terms[2::2] = qual_terms
+        else:
+            terms = np.concatenate(([start], sym_terms))
+        return float(np.cumsum(terms)[-1])
 
     # -- JSON -------------------------------------------------------------
 
@@ -137,7 +205,7 @@ class QuaffNullParams:
     @classmethod
     def from_json(cls, data) -> "QuaffNullParams":
         if isinstance(data, str):
-            data = json.loads(data)
+            data = gason_loads(data)
         out = cls()
         out.null_emit = float(data["nullEmit"])
         for i, c in enumerate(DNA_ALPHABET):
@@ -272,7 +340,7 @@ class QuaffParams:
     @classmethod
     def from_json(cls, data) -> "QuaffParams":
         if isinstance(data, str):
-            data = json.loads(data)
+            data = gason_loads(data)
         match_kmer_len = int(data.get("matchOrder", DEFAULT_MATCH_KMER_LEN))
         indel_kmer_len = int(data.get("gapOrder", DEFAULT_INDEL_KMER_LEN))
         out = cls.create(match_kmer_len, indel_kmer_len)
@@ -625,7 +693,7 @@ class QuaffParamCounts:
     @classmethod
     def from_json(cls, data) -> "QuaffParamCounts":
         if isinstance(data, str):
-            data = json.loads(data)
+            data = gason_loads(data)
         match_kmer_len = int(data.get("matchOrder", DEFAULT_MATCH_KMER_LEN))
         indel_kmer_len = int(data.get("gapOrder", DEFAULT_INDEL_KMER_LEN))
         out = cls.zero(match_kmer_len, indel_kmer_len)

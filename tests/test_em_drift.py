@@ -95,12 +95,18 @@ def test_em_trajectory_drift_f32_vs_f64():
     )
     qp32, ll32 = _run(refs, reads, params, null, prior, config, provider)
 
-    # EM may (legitimately) stop when the loglike flattens; the drift
-    # bound is asserted over the common trajectory prefix, which must be
-    # long enough to be meaningful
+    # EM may (legitimately) stop when the loglike flattens: with
+    # min_fractional_loglike_increment=0 the loop breaks on the first
+    # strict decrease, and at the flat plateau ulp-level noise decides
+    # WHICH plateau iteration ticks down first (the round-4 bitwise table
+    # parity fix moved it by 2).  The drift bound below is asserted over
+    # the common prefix; the stopping iteration itself is not meaningful,
+    # only that both paths reached the plateau and ended at the same LL.
     n = min(len(ll64), len(ll32))
     assert n >= 5, f"trajectories too short ({len(ll64)}, {len(ll32)})"
-    assert abs(len(ll64) - len(ll32)) <= 1, "paths converged differently"
+    assert abs(ll64[-1] - ll32[-1]) < 1e-4 * abs(ll64[-1]), (
+        f"paths ended at different loglikes ({ll64[-1]} vs {ll32[-1]})"
+    )
 
     # per-iteration log-likelihood drift: the f32 fills carry ~1e-6
     # relative error per pair; over the run the trajectories must not

@@ -1,0 +1,194 @@
+"""Randomized parity harness against the reference binary (round 4).
+
+Promotes the judges' fresh-workload methodology into the suite: a seeded
+generator (tools/oracle/gen_fuzz.py) produces workloads at two error
+profiles — low-error and TIE-RICH (repeat-seeded reference, ~10% mismatch
++ ~9% indel, where equal-scoring indel placements are common) — and every
+repo output is byte-compared against the reference binary's.
+
+The tie-rich profile is the committed counterexample class for the round-3
+tie-class traceback break: the chosen path through a repeat region depends
+on the exact f64 bits of the score tables (reference updateMax order,
+qmodel.cpp:1590-1594, resolves ties by strict > over M,I,D candidates).
+Byte parity here pins the round-4 fix stack: gason-exact JSON number
+parsing (params.gason_string2double), libm lgamma + the reference's
+exp/log round trip in negbinom.log_negative_binomial, and the
+SymQualScores op order in dp.scores.ScoreTables.
+
+Requires the oracle binary (tools/oracle/build_ref.sh): taken from
+$QUAFF_ORACLE or /tmp/quaffref/quaff, built on demand when a compiler and
+/root/reference are present, otherwise the module is skipped.
+"""
+
+import contextlib
+import fcntl
+import io
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools" / "oracle"))
+import gen_fuzz  # noqa: E402
+
+from quaff_tpu.cli import main  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    path = os.environ.get("QUAFF_ORACLE", "/tmp/quaffref/quaff")
+    if os.path.isfile(path) and os.access(path, os.X_OK):
+        return path
+    ref = pathlib.Path("/root/reference")
+    if not ref.is_dir() or shutil.which("g++") is None:
+        pytest.skip("reference oracle binary not available")
+    # build once across xdist workers (flock on a sentinel)
+    lock = open("/tmp/quaffref.lock", "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        if not os.path.isfile(path):
+            r = subprocess.run(
+                ["sh", str(REPO / "tools" / "oracle" / "build_ref.sh"),
+                 str(ref), path],
+                capture_output=True, timeout=600,
+            )
+            if r.returncode != 0:
+                pytest.skip(f"oracle build failed: {r.stderr.decode()[-500:]}")
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return path
+
+
+@pytest.fixture(scope="session")
+def tierich(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fuzz_tierich")
+    fa, fq = gen_fuzz.generate(
+        str(out), seed=20260820, profile="tierich", reflen=1500, nreads=20
+    )
+    return fa, fq
+
+
+@pytest.fixture(scope="session")
+def lowerr(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fuzz_low")
+    fa, fq = gen_fuzz.generate(
+        str(out), seed=7, profile="low", reflen=1500, nreads=12
+    )
+    return fa, fq
+
+
+@pytest.fixture(scope="session")
+def tierich8(tmp_path_factory):
+    """Smaller tie-rich set for the quadratic all-vs-all overlap test."""
+    out = tmp_path_factory.mktemp("fuzz_tierich8")
+    fa, fq = gen_fuzz.generate(
+        str(out), seed=20260821, profile="tierich", reflen=1200, nreads=8
+    )
+    return fa, fq
+
+
+def _oracle_run(oracle, argv):
+    r = subprocess.run([oracle] + argv, capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-1000:]
+    return r.stdout.decode()
+
+
+def _repo_run(argv):
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(argv)
+    assert rc == 0
+    return out.getvalue()
+
+
+ALIGN_FLAGS = ["-kmatchn", "10", "-nothreshold", "-printall"]
+
+
+def _assert_same(expected: str, got: str, tag: str):
+    if expected == got:
+        return
+    exp_lines, got_lines = expected.splitlines(), got.splitlines()
+    for n, (a, b) in enumerate(zip(exp_lines, got_lines)):
+        assert a == b, f"{tag}: first difference at line {n + 1}:\n<{a}\n>{b}"
+    assert len(exp_lines) == len(got_lines), f"{tag}: length differs"
+
+
+def test_align_tierich_byte_parity(oracle, tierich):
+    fa, fq = tierich
+    want = _oracle_run(oracle, ["align", fa, fq] + ALIGN_FLAGS)
+    got = _repo_run(["align", fa, fq] + ALIGN_FLAGS)
+    _assert_same(want, got, "tie-rich align")
+
+
+def test_align_tierich_matrix_path(oracle, tierich, monkeypatch):
+    """The XLA matrix-traceback path must make the same tie decisions as
+    the native checkpointed path (and the oracle)."""
+    import quaff_tpu.native as native
+
+    monkeypatch.setattr(native, "align_fill_native", lambda *a, **k: None)
+    monkeypatch.setattr(native, "align_path_available", lambda: False)
+    fa, fq = tierich
+    want = _oracle_run(oracle, ["align", fa, fq] + ALIGN_FLAGS)
+    got = _repo_run(["align", fa, fq] + ALIGN_FLAGS)
+    _assert_same(want, got, "tie-rich align (matrix path)")
+
+
+def test_align_lowerr_byte_parity(oracle, lowerr):
+    fa, fq = lowerr
+    want = _oracle_run(oracle, ["align", fa, fq] + ALIGN_FLAGS)
+    got = _repo_run(["align", fa, fq] + ALIGN_FLAGS)
+    _assert_same(want, got, "low-error align")
+
+
+def test_overlap_tierich_byte_parity(oracle, tierich8):
+    _, fq = tierich8
+    args = ["overlap", fq, "-kmatchn", "10", "-nothreshold"]
+    want = _oracle_run(oracle, args)
+    got = _repo_run(args)
+    _assert_same(want, got, "tie-rich overlap")
+
+
+def test_count_tierich_byte_parity(oracle, tierich):
+    fa, fq = tierich
+    args = ["count", fa, fq, "-kmatchn", "10"]
+    want = _oracle_run(oracle, args)
+    got = _repo_run(args)
+    _assert_same(want, got, "tie-rich count")
+
+
+def test_train_tierich_close(oracle, tierich):
+    """Train is tolerance-compared: the repo's DP recursions use exact
+    logsumexp where the reference uses its truncated lookup table
+    (logsumexp.cpp:34-51), so E-step counts differ at ~1e-5 and the
+    fitted parameters drift within the reference's own fit tolerances."""
+    import json
+
+    fa, fq = tierich
+    args = ["train", fa, fq, "-kmatchn", "10", "-maxiter", "2", "-force"]
+    want = json.loads(_oracle_run(oracle, args))
+    got = json.loads(_repo_run(args))
+
+    def walk(x, y, path=""):
+        if path.startswith("/refBase"):
+            # the reference's fitRefSeqs reads uninitialised totalLen (UB,
+            # qmodel.cpp:285) — its refBase output is garbage; we fix the
+            # bug, so refBase is excluded from parity (see CLAUDE.md)
+            return
+        if isinstance(x, dict):
+            assert set(x) == set(y), path
+            for k in x:
+                walk(x[k], y[k], f"{path}/{k}")
+        elif isinstance(x, list):
+            assert len(x) == len(y), path
+            for i, (u, v) in enumerate(zip(x, y)):
+                walk(u, v, f"{path}[{i}]")
+        elif isinstance(x, (int, float)) and not isinstance(x, bool):
+            d = abs(x - y) / max(abs(x), 1e-9)
+            assert d < 2e-3, f"{path}: {x} vs {y} (rel {d:.2e})"
+
+    walk(want, got)
