@@ -622,17 +622,37 @@ class QuaffOverlapAligner:
 
         from .dp.pallas_overlap import packed_overlap_descriptors
 
-        jobs = []
-        packed: dict = {}
-        for nx, ny, y_comp in pair_list:
-            env = self.config.make_envelope(seqs[nx], y_index(ny), VITERBI_CELL_SIZE)
-            job = (nx, ny, y_comp, env)
-            jobs.append(job)
+        # -threads N parallelises envelope building + strip packing across
+        # pairs (all-vs-all prep is quadratic in reads and was ~1 s of the
+        # N=32 wall single-threaded); KmerIndex builds are serialised
+        # up-front so the cache is safe to read concurrently
+        for ny in {ny for _, ny, _ in pair_list}:
+            y_index(ny)
+
+        def _pair_job(p):
+            nx, ny, y_comp = p
+            env = self.config.make_envelope(
+                seqs[nx], y_index(ny), VITERBI_CELL_SIZE
+            )
             # lane-packed strips + live-row window: the kernel pays member
             # lanes and live rows only, not the bounding band / full read
-            packed[(nx, ny)] = packed_overlap_descriptors(
+            desc = packed_overlap_descriptors(
                 [env], [len(seqs[nx].seq)], [len(seqs[ny].seq)]
             )
+            return (nx, ny, y_comp, env), desc
+
+        packed: dict = {}
+        if self.config.threads > 1 and len(pair_list) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.config.threads) as ex:
+                built = list(ex.map(_pair_job, pair_list))
+        else:
+            built = [_pair_job(p) for p in pair_list]
+        jobs = []
+        for job, desc in built:
+            jobs.append(job)
+            packed[(job[0], job[1])] = desc
         buckets: dict = {}
         # Greedy chunking per strand, longest live-row window first.  The
         # measured kernel cost is lp * (a + b*Bp): a fixed per-row-step
@@ -655,27 +675,51 @@ class QuaffOverlapAligner:
             wp1 = round_up(max(member1.shape[1], 128), 128)
             rp1 = round_up(max(rows1, 1), 512)
             by_tier.setdefault((y_comp, wp1), []).append((rp1, job))
-        for (y_comp, wp1), ents in by_tier.items():
+        # Width-tier merging (round 4): a strict per-width tier gives a
+        # pair with a unique 128-quantum width its own dispatch — the axis
+        # the cost model above prices ~1000x a padded lane.  Merge each
+        # strand's tiers ascending while a group's widest width stays
+        # within 2x its narrowest member (same bounded-blowup rule as
+        # rows), so near-uniform all-vs-all workloads collapse to ONE
+        # width per strand and heterogeneous ones pay at most 2x lanes.
+        by_group: dict = {}
+        for strand in sorted({yc for yc, _ in by_tier}):
+            widths = sorted(w for yc, w in by_tier if yc == strand)
+            group_lo = None
+            groups = []
+            for w in widths:
+                if group_lo is None or w > 2 * group_lo:
+                    group_lo = w
+                    groups.append([w])
+                else:
+                    groups[-1].append(w)
+            for ws in groups:
+                wp = ws[-1]
+                ents = []
+                for w in ws:
+                    ents.extend(by_tier[(strand, w)])
+                by_group[(strand, wp)] = ents
+        for (y_comp, wp1), ents in by_group.items():
+            # rows are sorted descending, and every chunk-boundary rule is
+            # monotone in rp (rp < lp/2, batch cap, VMEM cap), so chunks
+            # are CONTIGUOUS slices — one pass, no per-chunk rescans
             ents.sort(key=lambda e: -e[0])
-            rest = list(ents)
-            while rest:
-                lp = rest[0][0]
-                chunk = [rest.pop(0)]
-                kept = []
-                for e in rest:
-                    rp_j, _ = e
-                    if (
-                        len(chunk) >= max_batch
-                        or lp - rp_j > rp_j
-                        or pow2ceil(len(chunk) + 1) * wp1 > OV_VMEM_CELLS
-                    ):
-                        kept.append(e)
-                        continue
-                    chunk.append(e)
-                rest = kept
+            i = 0
+            n = len(ents)
+            while i < n:
+                lp = ents[i][0]
+                j = i + 1
+                while (
+                    j < n
+                    and j - i < max_batch
+                    and lp - ents[j][0] <= ents[j][0]
+                    and pow2ceil(j - i + 1) * wp1 <= OV_VMEM_CELLS
+                ):
+                    j += 1
                 buckets[(y_comp, wp1, lp)] = buckets.get(
                     (y_comp, wp1, lp), []
-                ) + [e[1] for e in chunk]
+                ) + [e[1] for e in ents[i:j]]
+                i = j
 
         # sequence bank: each distinct (sequence, strand) transferred ONCE;
         # chunks carry only row indices + envelope masks (all-vs-all would
