@@ -235,7 +235,13 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
     reads0 = _perturbed_reads(data, n_reads, 0)
     null = QuaffNullParams.fit(reads0)
     aligner = QuaffAligner(params, null, config)
+    # warm/compile pass: its wall is the time-to-first-result for align
+    # in a fresh process with a warm persistent compile cache (the axon
+    # remote compiler still recompiles kernels server-side per process,
+    # so this carries that variance — same caveat as EM's first iter)
+    t0 = time.perf_counter()
     aligner.align_all(io.StringIO(), refs, reads0, printer)  # warm/compile
+    dt_align_first = time.perf_counter() - t0
     times = []
     for salt in (1, 2, 3):
         reads = _perturbed_reads(data, n_reads, salt)
@@ -293,14 +299,16 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
             t0 = time.perf_counter()
             ov.align_all(out, seqs, n, printer)
             times.append(time.perf_counter() - t0)
-        return float(np.median(times[1:]))
+        # (warm median, cold first-call wall)
+        return float(np.median(times[1:])), times[0]
 
     ov_pairs = n_ov * (n_ov - 1) // 2
-    ov_pps = ov_pairs / time_overlap(n_ov)
+    ov_warm, dt_ov_first = time_overlap(n_ov)
+    ov_pps = ov_pairs / ov_warm
     # 16-read point: the production-representative all-vs-all scale —
     # the batched device scorer amortises its dispatch latency while the
     # single-threaded reference stays at ~14 pairs/s at any N
-    ov16_pps = 120 / time_overlap(16)
+    ov16_pps = 120 / time_overlap(16)[0]
 
     extra = {
         "align_reads_per_sec": round(reads_per_sec, 2),
@@ -315,6 +323,8 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
         ),
         "em_reads": n_reads,
         "em_first_iter_seconds": round(dt_em_first, 2),
+        "align_first_call_seconds": round(dt_align_first, 2),
+        "overlap_first_call_seconds": round(dt_ov_first, 2),
         "overlap_pairs_per_sec": round(ov_pps, 3),
         "overlap_pairs": ov_pairs,
         "overlap_pairs_per_sec_16": round(ov16_pps, 3),

@@ -425,12 +425,32 @@ class QuaffAligner:
         # parallelises this host-side prep over reads (k-mer index +
         # per-ref envelope are numpy-heavy and independent; order stays
         # read-major so downstream output is unchanged)
+        # long-band guard (kernel path only): a pair whose packed width
+        # exceeds the v2 scoring kernel's per-pair VMEM lane budget is
+        # re-banded with the memory-fitted walk (fit_envelope_lanes — the
+        # reference's diagenv.cpp:60-106 with the device cost model); on
+        # long noisy reads the fixed seed threshold admits spurious
+        # clusters scattered across the whole diagonal range
+        lane_cap = int(
+            os.environ.get("QUAFF_V2_VMEM_CELLS", str(2048 * 256))
+        ) // 8
+
         def _read_jobs(ny):
             y_index = KmerIndex(reads[ny], self.config.kmer_len)
-            return [
-                (ny, nx, self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE))
-                for nx, x in enumerate(refs)
-            ]
+            js = []
+            for nx, x in enumerate(refs):
+                env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
+                if self.config.sparse and self._use_fast_scores():
+                    from .envelope import fit_envelope_lanes, pack_strips
+
+                    if sum(s.band_width for s in pack_strips(env)) > lane_cap:
+                        env = fit_envelope_lanes(
+                            x, y_index, lane_cap,
+                            band_size=self.config.band_size,
+                            kmer_threshold=max(self.config.kmer_threshold, 0),
+                        )
+                js.append((ny, nx, env))
+            return js
 
         jobs = []  # (ny, nx, env)
         if self.config.threads > 1 and len(reads) > 1:

@@ -269,3 +269,75 @@ def make_envelope(
     if sparse:
         return sparse_envelope(x, y_index, band_size, kmer_threshold, cell_size, max_size)
     return full_envelope(len(x.seq), len(y_index.seq.seq))
+
+
+def fit_envelope_lanes(
+    x: FastSeq,
+    y_index: KmerIndex,
+    max_lanes: int,
+    band_size: int = DEFAULT_BAND_SIZE,
+    kmer_threshold: int = DEFAULT_KMER_THRESHOLD,
+    max_segs: int = 3,
+) -> Envelope:
+    """Memory-fitted banding for the lane-packed kernel layout: the
+    smallest threshold >= kmer_threshold whose PACKED width (strips merged
+    to max_segs, pack_strips) fits max_lanes.
+
+    This is the reference's own memory-budget walk (diagenv.cpp:60-106)
+    with the device cost model: on long noisy reads vs large references,
+    dozens of spurious threshold-level seed diagonals scatter across the
+    whole diagonal range — the reference's ragged storage pays them
+    per-diagonal, but a dense max_segs-packed layout pays the gap unions
+    (measured: a 25 kb read's threshold-20 envelope packs to 124k lanes
+    where the true cluster needs ~300).  The kernel paths call this when
+    a pair's packed width exceeds their VMEM/HBM stream budgets; the f64
+    parity paths never do.
+
+    Diagonal 0 is always included (diagenv.cpp:52-54).  Seed levels are
+    walked from the highest match count down, accepting a level only
+    while the packed width stays within budget; the walk always accepts
+    at least the top level so the true seed cluster survives even a tiny
+    budget."""
+    x_len, y_len = len(x.seq), len(y_index.seq.seq)
+    diags_arr, counts_arr = diagonal_kmer_counts(
+        x.tokens(), y_index, x_len, y_len
+    )
+    min_diag = 1 - y_len
+    max_diag = x_len - 1
+    half_band = band_size // 2
+
+    order = np.argsort(counts_arr)[::-1]
+    levels: list[np.ndarray] = []
+    if len(order):
+        sorted_counts = counts_arr[order]
+        sorted_diags = diags_arr[order]
+        boundaries = np.nonzero(np.diff(sorted_counts))[0] + 1
+        split_points = np.concatenate([[0], boundaries, [len(sorted_counts)]])
+        for a, b in zip(split_points[:-1], split_points[1:]):
+            if int(sorted_counts[a]) < kmer_threshold:
+                break
+            levels.append(sorted_diags[a:b])
+
+    def packed_width(member: set) -> int:
+        env = Envelope(
+            x_len=x_len,
+            y_len=y_len,
+            diagonals=np.array(sorted(member), dtype=np.int64),
+        )
+        return sum(s.band_width for s in pack_strips(env, max_segs))
+
+    member = {0}
+    for lvl, seed_diags in enumerate(levels):
+        more = set(member)
+        for seed in seed_diags:
+            d_min = max(min_diag, int(seed) - half_band)
+            d_max = min(max_diag, int(seed) + half_band)
+            more.update(range(d_min, d_max + 1))
+        if lvl > 0 and packed_width(more) > max_lanes:
+            break
+        member = more
+    return Envelope(
+        x_len=x_len,
+        y_len=y_len,
+        diagonals=np.array(sorted(member), dtype=np.int64),
+    )

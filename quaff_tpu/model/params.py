@@ -156,14 +156,23 @@ class QuaffNullParams:
         return out
 
     def log_qual_prob_table(self) -> np.ndarray:
-        """[4, QUAL_SCORE_RANGE] log NB tables."""
+        """[4, QUAL_SCORE_RANGE] log NB tables.  Cached per (q, r) state:
+        log_likelihood runs once per read on the align/overlap hot paths
+        and the scalar libm construction (ulp-parity, round 4) is ~2k
+        libm calls."""
+        key = (self.q.tobytes(), self.r.tobytes())
+        cached = getattr(self, "_lqpt_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         k = np.arange(QUAL_SCORE_RANGE)
-        return np.stack(
+        table = np.stack(
             [
                 log_negative_binomial_array(k, self.q[i], self.r[i])
                 for i in range(ALPHABET_SIZE)
             ]
         )
+        self._lqpt_cache = (key, table)
+        return table
 
     def log_likelihood(self, seq) -> float:
         """Null log-likelihood of one read (qmodel.cpp:1875-1890).

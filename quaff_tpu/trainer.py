@@ -324,10 +324,30 @@ class QuaffCounter:
             if not sort_order[ny]:
                 continue
             y_index = KmerIndex(y, self.config.kmer_len)
+            # long-band guard: the fused kernel streams 3 forward row
+            # planes of [lp, B>=8, wp] f32 through HBM; a pair whose
+            # packed width exceeds the per-pair budget re-banded with the
+            # memory-fitted walk (envelope.fit_envelope_lanes — the
+            # reference's diagenv.cpp:60-106 with the device cost model)
+            lp = round_up(max(len(y.seq), 1), 512)
+            lane_cap = min(
+                int(_ESTEP_HBM_BYTES // (12 * lp * 8)),
+                _estep_vmem_cells() // 8,
+            )
             for nx in sort_order[ny]:
                 env = self.config.make_envelope(
                     refs[nx], y_index, FWDBACK_CELL_SIZE
                 )
+                if self.config.sparse:
+                    wp = sum(s.band_width for s in pack_strips(env))
+                    if wp > lane_cap:
+                        from .envelope import fit_envelope_lanes
+
+                        env = fit_envelope_lanes(
+                            refs[nx], y_index, lane_cap,
+                            band_size=self.config.band_size,
+                            kmer_threshold=max(self.config.kmer_threshold, 0),
+                        )
                 jobs.append((ny, nx, env))
         # Chunking strategy.  The kernel's cost is dominated by grid rows
         # (one step per read row), so two dispatches at 2048 and 2560

@@ -2,10 +2,10 @@
 XLA engine elsewhere; `-mesh`-shardable) as an opt-in replacement for the
 f64 CPU parity artifact (reference workload: t/quaff.cpp:183-211).
 
-The documented tolerance (docs/manual.md §2): every count entry matches
-the f64 parity artifact within 2e-3 relative (same class as the
-`train -mesh` trajectory tolerance).  The structure (keys, array shapes)
-must be identical.
+The documented tolerance (docs/manual.md "count -fast"): every count
+entry matches the f64 parity artifact within 5e-3 + 5e-3·|count|
+(absolute + relative, as asserted below).  The structure (keys, array
+shapes) must be identical.
 """
 
 import contextlib

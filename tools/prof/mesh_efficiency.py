@@ -102,9 +102,23 @@ def time_estep(D):
     return float(np.min(ts)), payload
 
 
-def time_align(D):
+def time_align(D, identical=False, fetch=True):
+    """Weak-scaling align wall at D devices.
+
+    identical=True replicates ONE shard's reads to every device, so all
+    shards do the same work: the efficiency then isolates the sharding
+    machinery (dispatch + runtime scheduling + fetch) from LOAD
+    IMBALANCE — with random reads the mesh wall is the max over D
+    different shard walls while t(1) is a single shard's wall, so
+    max-vs-mean skew reads as false inefficiency.  fetch=False skips the
+    host gather (scores stay device-resident), isolating the device
+    phase."""
     mesh = Mesh(np.array(jax.devices()[:D]).reshape(D, 1), ("dp", "mp"))
-    reads = make_reads(D * READS_PER_DEV, 10 + D)
+    if identical:
+        shard_reads = make_reads(READS_PER_DEV, 10)
+        reads = shard_reads * D
+    else:
+        reads = make_reads(D * READS_PER_DEV, 10 + D)
     grid, _ = build_pair_grid(
         refs, reads, tables, config, FWDBACK_CELL_SIZE
     )
@@ -121,7 +135,10 @@ def time_align(D):
             mesh, tdev, stacked, mode="viterbi", local=True,
             dtype=jnp.float32,
         )
-        return gather_scores(s)
+        if fetch:
+            return gather_scores(s)
+        jax.block_until_ready(s)
+        return s
 
     run()  # compile
     ts = []
@@ -130,6 +147,41 @@ def time_align(D):
         run()
         ts.append(time.perf_counter() - t0)
     return float(np.min(ts))
+
+
+def contention_probe(D):
+    """The host-side-contention control: D INDEPENDENT single-device
+    processes each run the D=1 align workload concurrently (no mesh, no
+    collectives, each pinned to its own core).  If their wall degrades
+    like the mesh's, the mesh's weak-scaling loss is host-core
+    contention (a virtual-CPU-mesh artifact), not sharding overhead."""
+    import subprocess
+
+    child = (
+        "import os,sys,time,pathlib\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=1'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "import tools.prof.mesh_efficiency as me\n"
+        "t = me.time_align(1, identical=True)\n"
+        "print('CHILD_WALL', t)\n"
+    ) % str(pathlib.Path(__file__).resolve().parents[2])
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", child],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cwd=str(pathlib.Path(__file__).resolve().parents[2]),
+        )
+        for i in range(D)
+    ]
+    walls = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        for line in out.decode().splitlines():
+            if line.startswith("CHILD_WALL"):
+                walls.append(float(line.split()[1]))
+    return max(walls) if walls else float("nan")
 
 
 def main():
@@ -145,13 +197,26 @@ def main():
         eff = t1 / t
         print(f"E-step  D={D}: {t:.3f}s  weak-scaling eff={eff*100:.0f}%  "
               f"(psum payload {payload/1024:.0f} KiB)")
-    t1 = None
-    for D in ds:
-        t = time_align(D)
-        if D == 1:
-            t1 = t
-        eff = t1 / t
-        print(f"align   D={D}: {t:.3f}s  weak-scaling eff={eff*100:.0f}%")
+    for label, kw in (
+        ("align (random shards, fetch)   ", {}),
+        ("align (identical shards, fetch)", {"identical": True}),
+        ("align (identical, device-only) ", {"identical": True,
+                                             "fetch": False}),
+    ):
+        t1 = None
+        for D in ds:
+            t = time_align(D, **kw)
+            if D == 1:
+                t1 = t
+            eff = t1 / t
+            print(f"{label} D={D}: {t:.3f}s  "
+                  f"weak-scaling eff={eff*100:.0f}%")
+    if os.environ.get("QUAFF_MESH_EFF_CONTENTION"):
+        t1 = contention_probe(1)
+        for D in ds:
+            t = contention_probe(D)
+            print(f"contention control (D procs, no mesh) D={D}: "
+                  f"{t:.3f}s  eff={t1 / t * 100:.0f}%")
 
 
 if __name__ == "__main__":
