@@ -431,9 +431,17 @@ class QuaffAligner:
         # reference's diagenv.cpp:60-106 with the device cost model); on
         # long noisy reads the fixed seed threshold admits spurious
         # clusters scattered across the whole diagonal range
-        lane_cap = int(
-            os.environ.get("QUAFF_V2_VMEM_CELLS", str(2048 * 256))
-        ) // 8
+        # The production default (4096 lanes, ~20x the widest committed
+        # workload) bounds the PATHOLOGICAL case: at 50 kb reads the
+        # VMEM-derived cap alone (64k lanes) admits enough spurious
+        # noise lanes that scoring+winner fills ran 300 s/4 reads —
+        # the reference pays the same noise (219 s/pair at its measured
+        # fill rate), so the budget walk is strictly better for both
+        # speed and (unchanged) winning paths.
+        lane_cap = min(
+            int(os.environ.get("QUAFF_V2_VMEM_CELLS", str(2048 * 256))) // 8,
+            int(os.environ.get("QUAFF_ALIGN_LANE_CAP", "4096")),
+        )
 
         def _read_jobs(ny):
             y_index = KmerIndex(reads[ny], self.config.kmer_len)

@@ -13,6 +13,7 @@ qoverlap.cpp:231-267).
 from __future__ import annotations
 
 import math
+import os
 from typing import IO, List, Optional, Tuple
 
 import numpy as np
@@ -629,11 +630,28 @@ class QuaffOverlapAligner:
         for ny in {ny for _, ny, _ in pair_list}:
             y_index(ny)
 
+        # long-band guard: packed widths beyond the lane cap re-band with
+        # the memory-fitted walk (envelope.fit_envelope_lanes) — same
+        # policy as align/E-step (spurious seed clusters on long reads)
+        lane_cap = min(
+            _ov_vmem_cells() // 8,
+            int(os.environ.get("QUAFF_OVERLAP_LANE_CAP", "4096")),
+        )
+
         def _pair_job(p):
             nx, ny, y_comp = p
             env = self.config.make_envelope(
                 seqs[nx], y_index(ny), VITERBI_CELL_SIZE
             )
+            if self.config.sparse:
+                from .envelope import fit_envelope_lanes, pack_strips
+
+                if sum(s.band_width for s in pack_strips(env)) > lane_cap:
+                    env = fit_envelope_lanes(
+                        seqs[nx], y_index(ny), lane_cap,
+                        band_size=self.config.band_size,
+                        kmer_threshold=max(self.config.kmer_threshold, 0),
+                    )
             # lane-packed strips + live-row window: the kernel pays member
             # lanes and live rows only, not the bounding band / full read
             desc = packed_overlap_descriptors(

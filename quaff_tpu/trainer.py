@@ -12,6 +12,7 @@ exactly so EM trajectories match.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -333,6 +334,7 @@ class QuaffCounter:
             lane_cap = min(
                 int(_ESTEP_HBM_BYTES // (12 * lp * 8)),
                 _estep_vmem_cells() // 8,
+                int(os.environ.get("QUAFF_ESTEP_LANE_CAP", "4096")),
             )
             for nx in sort_order[ny]:
                 env = self.config.make_envelope(
