@@ -79,12 +79,12 @@ void overlap_fill_impl(
   for (int64_t j = 1; j <= n_rows; ++j) {
     const int64_t rp = STORE ? (j - 1) : ((j - 1) & 1);
     const int64_t rc = STORE ? j : (j & 1);
-    const double* mat_p = mat + rp * W;
-    const double* ins_p = ins + rp * W;
-    const double* del_p = del_ + rp * W;
-    double* mat_c = mat + rc * W;
-    double* ins_c = ins + rc * W;
-    double* del_c = del_ + rc * W;
+    const double* __restrict mat_p = mat + rp * W;
+    const double* __restrict ins_p = ins + rp * W;
+    const double* __restrict del_p = del_ + rp * W;
+    double* __restrict mat_c = mat + rc * W;
+    double* __restrict ins_c = ins + rc * W;
+    double* __restrict del_c = del_ + rc * W;
 
     const int64_t jt = j_off + j;
     if (jt > y_len) {
@@ -251,16 +251,18 @@ static void align_fill_impl(
   for (int64_t w = 0; w < W; ++w)
     mat[w] = ins[w] = del_[w] = NEG_INF;
 
+  std::vector<double> ex_buf(W);  // per-row emission scratch (Viterbi)
+  double* const ex_row = ex_buf.data();
   double end = NEG_INF;
   for (int64_t j = 1; j <= n_rows; ++j) {
     const int64_t rp = STORE ? (j - 1) : ((j - 1) & 1);
     const int64_t rc = STORE ? j : (j & 1);
-    const double* mat_p = mat + rp * W;
-    const double* ins_p = ins + rp * W;
-    const double* del_p = del_ + rp * W;
-    double* mat_c = mat + rc * W;
-    double* ins_c = ins + rc * W;
-    double* del_c = del_ + rc * W;
+    const double* __restrict mat_p = mat + rp * W;
+    const double* __restrict ins_p = ins + rp * W;
+    const double* __restrict del_p = del_ + rp * W;
+    double* __restrict mat_c = mat + rc * W;
+    double* __restrict ins_c = ins + rc * W;
+    double* __restrict del_c = del_ + rc * W;
 
     if (j > y_len) {
       for (int64_t w = 0; w < W; ++w)
@@ -295,6 +297,61 @@ static void align_fill_impl(
     // forward end row accumulates lse across lanes XLA-style
     // (max + log sum exp(x - max)): gather contributions first
     double row_end_max = NEG_INF, row_end_sum = 0.0;
+    if (!fwd && j > 1) {
+      // Viterbi fast path (round 4): split each row into a lane-parallel
+      // pass (mat + ins — every per-cell op sequence identical to the
+      // scalar loop below, so values are BITWISE equal; lanes are
+      // independent, so the compiler vectorises it) and the inherently
+      // sequential delete-chain / end pass.  Row j=1 keeps the scalar
+      // loop: its start clamp applies BEFORE the emission add.
+      for (int64_t w = 0; w < w_min; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      for (int64_t w = w_max; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      int64_t wv = (w_max == W) ? W - 1 : w_max;  // mp1/ip1 guard
+      if (wv < w_min) wv = w_min;
+      const int64_t xbase = d_lo + j - 1;
+      // emission per lane as a vectorisable 4-way select (an indexed
+      // load from the local mrow[] blocks the vectoriser)
+      const double mr0 = mrow[0], mr1 = mrow[1], mr2 = mrow[2],
+                   mr3 = mrow[3];
+#pragma GCC ivdep
+      for (int64_t w = w_min; w < wv; ++w) {
+        const int32_t t = x_tok[xbase + w];
+        ex_row[w] = t == 0 ? mr0 : (t == 1 ? mr1 : (t == 2 ? mr2 : mr3));
+      }
+#pragma GCC ivdep
+      for (int64_t w = w_min; w < wv; ++w) {
+        double m = max2(max2(mat_p[w] + m2m_j, del_p[w] + d2m),
+                        ins_p[w] + i2m);
+        m += ex_row[w];
+        double iv = ins_emit + max2(ins_p[w + 1] + i2i, mat_p[w + 1] + m2i_j);
+        mat_c[w] = member[w] ? m : NEG_INF;
+        ins_c[w] = member[w] ? iv : NEG_INF;
+      }
+      for (int64_t w = wv; w < w_max; ++w) {  // last lane (no w+1)
+        if (!member[w]) {
+          mat_c[w] = ins_c[w] = NEG_INF;
+          continue;
+        }
+        double m = max2(max2(mat_p[w] + m2m_j, del_p[w] + d2m),
+                        ins_p[w] + i2m);
+        m += mrow[x_tok[xbase + w]];
+        mat_c[w] = m;
+        ins_c[w] = ins_emit + max2(NEG_INF + i2i, NEG_INF + m2i_j);
+      }
+      for (int64_t w = 0; w < W; ++w) {
+        if (w < w_min || w >= w_max || !member[w]) {
+          del_c[w] = NEG_INF;
+          del_prev = NEG_INF;
+          continue;
+        }
+        double b = (w > 0 ? mat_c[w - 1] : NEG_INF) + m2d_j;
+        double dc = max2(del_prev + d2d, b);
+        del_c[w] = dc;
+        del_prev = dc;
+        if (j == y_len && (local || d_lo + j - 1 + w == x_len - 1))
+          end = max2(end, mat_c[w] + m2e_j);
+      }
+    } else {
     for (int64_t w = 0; w < W; ++w) {
       if (w < w_min || w >= w_max || !member[w]) {
         mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;
@@ -334,6 +391,7 @@ static void align_fill_impl(
           end = max2(end, re);
         }
       }
+    }
     }
     if (fwd && j == y_len && row_end_max != NEG_INF)
       end = lse2(end, row_end_max + std::log(row_end_sum));

@@ -195,9 +195,13 @@ int64_t qdp_align_viterbi_path(
   // cur row.  MUST stay expression-for-expression identical to
   // align_fill_impl's Viterbi branch (overlapdp.cpp) — qdp_align_score
   // and this routine must produce bitwise-equal cells.
-  auto fill_row = [&](int64_t j, const double* mat_p, const double* ins_p,
-                      const double* del_p, double* mat_c, double* ins_c,
-                      double* del_c, double* end) {
+  std::vector<double> ex_buf(W);  // per-row emission scratch
+  double* const ex_row = ex_buf.data();
+  auto fill_row = [&](int64_t j, const double* __restrict mat_p,
+                      const double* __restrict ins_p,
+                      const double* __restrict del_p,
+                      double* __restrict mat_c, double* __restrict ins_c,
+                      double* __restrict del_c, double* end) {
     const int32_t ik_prev = y_ik_pad[j - 1];
     const int32_t ik_cur = y_ik_pad[j];
     const double m2m_j = m2m[ik_prev];
@@ -223,6 +227,59 @@ int64_t qdp_align_viterbi_path(
     if (w_max > W) w_max = W;
 
     double del_prev = NEG_INF;
+    if (j > 1) {
+      // lane-parallel mat+ins pass then the sequential delete/end pass;
+      // per-cell op sequences identical to the scalar loop below, so
+      // values are BITWISE equal (round-4 vectorisation — mirrors
+      // align_fill_impl's Viterbi fast path in overlapdp.cpp)
+      for (int64_t w = 0; w < w_min; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      for (int64_t w = w_max; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      int64_t wv = (w_max == W) ? W - 1 : w_max;
+      if (wv < w_min) wv = w_min;
+      const int64_t xbase = d_lo + j - 1;
+      const double mr0 = mrow[0], mr1 = mrow[1], mr2 = mrow[2],
+                   mr3 = mrow[3];
+#pragma GCC ivdep
+      for (int64_t w = w_min; w < wv; ++w) {
+        const int32_t t = x_tok[xbase + w];
+        ex_row[w] = t == 0 ? mr0 : (t == 1 ? mr1 : (t == 2 ? mr2 : mr3));
+      }
+#pragma GCC ivdep
+      for (int64_t w = w_min; w < wv; ++w) {
+        double m = max2(max2(mat_p[w] + m2m_j, del_p[w] + d2m),
+                        ins_p[w] + i2m);
+        m += ex_row[w];
+        double iv =
+            ins_emit + max2(ins_p[w + 1] + i2i, mat_p[w + 1] + m2i_j);
+        mat_c[w] = member[w] ? m : NEG_INF;
+        ins_c[w] = member[w] ? iv : NEG_INF;
+      }
+      for (int64_t w = wv; w < w_max; ++w) {  // last lane (no w+1)
+        if (!member[w]) {
+          mat_c[w] = ins_c[w] = NEG_INF;
+          continue;
+        }
+        double m = max2(max2(mat_p[w] + m2m_j, del_p[w] + d2m),
+                        ins_p[w] + i2m);
+        m += mrow[x_tok[xbase + w]];
+        mat_c[w] = m;
+        ins_c[w] = ins_emit + max2(NEG_INF + i2i, NEG_INF + m2i_j);
+      }
+      for (int64_t w = 0; w < W; ++w) {
+        if (w < w_min || w >= w_max || !member[w]) {
+          del_c[w] = NEG_INF;
+          del_prev = NEG_INF;
+          continue;
+        }
+        double b = (w > 0 ? mat_c[w - 1] : NEG_INF) + m2d_j;
+        double dc = max2(del_prev + d2d, b);
+        del_c[w] = dc;
+        del_prev = dc;
+        if (end && j == y_len && (local || xbase + w == x_len - 1))
+          *end = max2(*end, mat_c[w] + m2e_j);
+      }
+      return;
+    }
     for (int64_t w = 0; w < W; ++w) {
       if (w < w_min || w >= w_max || !member[w]) {
         mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;

@@ -37,7 +37,11 @@ from quaff_tpu.dp.engine import PairBatch
 
 pv2.scores_v2_device = timed("B.dispatch", pv2.scores_v2_device)
 nat.align_fill_native = timed("C.fill(worker-sum)", nat.align_fill_native)
+nat_score = nat.align_score_native
+nat.align_score_native = timed("C.stripscore(worker-sum)", nat_score)
 amod.viterbi_traceback = timed("C.tb(worker-sum)", amod.viterbi_traceback)
+import quaff_tpu.dp.traceback as tbmod
+tbmod.viterbi_path_traceback = timed("C.path(worker-sum)", tbmod.viterbi_path_traceback)
 PairBatch.build_packed = classmethod(timed(
     "B.build_packed", PairBatch.build_packed.__func__))
 _ob = PairBatch.build
