@@ -304,8 +304,10 @@ static void align_fill_impl(
       // independent, so the compiler vectorises it) and the inherently
       // sequential delete-chain / end pass.  Row j=1 keeps the scalar
       // loop: its start clamp applies BEFORE the emission add.
-      for (int64_t w = 0; w < w_min; ++w) mat_c[w] = ins_c[w] = NEG_INF;
-      for (int64_t w = w_max; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      const int64_t wlo = w_min < W ? (w_min > 0 ? w_min : 0) : W;
+      const int64_t whi = w_max > 0 ? (w_max < W ? w_max : W) : 0;
+      for (int64_t w = 0; w < wlo; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      for (int64_t w = whi; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
       int64_t wv = (w_max == W) ? W - 1 : w_max;  // mp1/ip1 guard
       if (wv < w_min) wv = w_min;
       const int64_t xbase = d_lo + j - 1;

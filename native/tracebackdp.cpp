@@ -232,8 +232,10 @@ int64_t qdp_align_viterbi_path(
       // per-cell op sequences identical to the scalar loop below, so
       // values are BITWISE equal (round-4 vectorisation — mirrors
       // align_fill_impl's Viterbi fast path in overlapdp.cpp)
-      for (int64_t w = 0; w < w_min; ++w) mat_c[w] = ins_c[w] = NEG_INF;
-      for (int64_t w = w_max; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      const int64_t wlo = w_min < W ? (w_min > 0 ? w_min : 0) : W;
+      const int64_t whi = w_max > 0 ? (w_max < W ? w_max : W) : 0;
+      for (int64_t w = 0; w < wlo; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      for (int64_t w = whi; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
       int64_t wv = (w_max == W) ? W - 1 : w_max;
       if (wv < w_min) wv = w_min;
       const int64_t xbase = d_lo + j - 1;

@@ -643,6 +643,7 @@ class QuaffOverlapAligner:
             env = self.config.make_envelope(
                 seqs[nx], y_index(ny), VITERBI_CELL_SIZE
             )
+            wide = False
             if self.config.sparse:
                 from .envelope import fit_envelope_lanes, pack_strips
 
@@ -652,14 +653,22 @@ class QuaffOverlapAligner:
                         band_size=self.config.band_size,
                         kmer_threshold=max(self.config.kmer_threshold, 0),
                     )
+                    # still too wide (the top seed cluster itself exceeds
+                    # the budget): skip kernel scoring; the pair goes
+                    # straight to the host exact pass, which handles any
+                    # width
+                    wide = sum(
+                        s.band_width for s in pack_strips(env)
+                    ) > lane_cap
             # lane-packed strips + live-row window: the kernel pays member
             # lanes and live rows only, not the bounding band / full read
             desc = packed_overlap_descriptors(
                 [env], [len(seqs[nx].seq)], [len(seqs[ny].seq)]
             )
-            return (nx, ny, y_comp, env), desc
+            return (nx, ny, y_comp, env), desc, wide
 
         packed: dict = {}
+        wide_pairs = set()
         if self.config.threads > 1 and len(pair_list) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -668,9 +677,11 @@ class QuaffOverlapAligner:
         else:
             built = [_pair_job(p) for p in pair_list]
         jobs = []
-        for job, desc in built:
+        for job, desc, wide in built:
             jobs.append(job)
             packed[(job[0], job[1])] = desc
+            if wide:
+                wide_pairs.add((job[0], job[1]))
         buckets: dict = {}
         # Greedy chunking per strand, longest live-row window first.  The
         # measured kernel cost is lp * (a + b*Bp): a fixed per-row-step
@@ -689,6 +700,8 @@ class QuaffOverlapAligner:
         by_tier: dict = {}
         for job in jobs:
             nx, ny, y_comp, env = job
+            if (nx, ny) in wide_pairs:
+                continue  # no kernel scoring; exact pass handles it
             member1, _, _, _, _, rows1 = packed[(nx, ny)]
             wp1 = round_up(max(member1.shape[1], 128), 128)
             rp1 = round_up(max(rows1, 1), 512)
@@ -920,6 +933,11 @@ class QuaffOverlapAligner:
         cands = []
         for job in jobs:
             nx, ny, y_comp, env = job
+            if (nx, ny) in wide_pairs:
+                # unscored (band beyond the kernel budgets): always take
+                # the exact pass, in pair order
+                cands.append(job)
+                continue
             sc = scored[(nx, ny)]
             if not math.isfinite(sc):
                 continue

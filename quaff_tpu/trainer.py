@@ -165,12 +165,16 @@ class QuaffCounter:
         return y_counts, y_loglike, new_order
 
     def count_read(
-        self, refs: List[FastSeq], y: FastSeq, sort_order: List[int]
+        self, refs: List[FastSeq], y: FastSeq, sort_order: List[int],
+        force_engine: bool = False,
     ) -> Tuple[QuaffParamCounts, float, List[int]]:
         """One read's posterior-weighted counts against all refs
         (QuaffCountingTask::run, qmodel.cpp:2238-2271).
 
         Returns (counts, log-likelihood, updated ref sort order).
+        force_engine routes around the kernel fast path (used for reads
+        whose band exceeds the kernel budgets even after the memory-
+        fitted refit — the engine is exact on any width).
         """
         mk, ik = self.params.match_kmer_len, self.params.indel_kmer_len
         y_counts = QuaffParamCounts.zero(mk, ik)
@@ -182,7 +186,11 @@ class QuaffCounter:
 
         from .logger import logger
 
-        if self._use_kernel(y) and not logger.logging_tag("postmatrix"):
+        if (
+            not force_engine
+            and self._use_kernel(y)
+            and not logger.logging_tag("postmatrix")
+        ):
             # the fused kernel never materialises posterior matrices; the
             # postmatrix dump forces the exact engine path
             return self._count_read_kernel(refs, y, sort_order, y_null_ll)
@@ -321,6 +329,7 @@ class QuaffCounter:
             return ((v + m - 1) // m) * m
 
         jobs = []  # (ny, nx, env)
+        oversize = []  # reads the kernel cannot take even after refit
         for ny, y in enumerate(reads):
             if not sort_order[ny]:
                 continue
@@ -336,6 +345,7 @@ class QuaffCounter:
                 _estep_vmem_cells() // 8,
                 int(os.environ.get("QUAFF_ESTEP_LANE_CAP", "4096")),
             )
+            read_jobs = []
             for nx in sort_order[ny]:
                 env = self.config.make_envelope(
                     refs[nx], y_index, FWDBACK_CELL_SIZE
@@ -350,7 +360,19 @@ class QuaffCounter:
                             band_size=self.config.band_size,
                             kmer_threshold=max(self.config.kmer_threshold, 0),
                         )
-                jobs.append((ny, nx, env))
+                        wp = sum(s.band_width for s in pack_strips(env))
+                    if wp > lane_cap:
+                        # even the top seed level exceeds the budget (the
+                        # true cluster itself is wider than the device
+                        # can stream): this read takes the per-read
+                        # engine path below — correct on any width
+                        read_jobs = None
+                        break
+                read_jobs.append((ny, nx, env))
+            if read_jobs is None:
+                oversize.append(ny)
+            else:
+                jobs.extend(read_jobs)
         # Chunking strategy.  The kernel's cost is dominated by grid rows
         # (one step per read row), so two dispatches at 2048 and 2560
         # rows cost ~4600 row-steps where one merged 2560-row dispatch
@@ -461,10 +483,24 @@ class QuaffCounter:
                     f"{n_done}/{len(jobs)} pair fills",
                 )
 
+        # oversize reads (band too wide even for the fitted envelope):
+        # per-read engine path, exact on any width
+        oversize_results = {}
+        for ny in oversize:
+            oversize_results[ny] = self.count_read(
+                refs, reads[ny], sort_order[ny], force_engine=True
+            )
+
         # per-read statistics in host f64 (mirrors _count_read_kernel)
         loglike = 0.0
         new_orders: List[List[int]] = []
         for ny in range(len(reads)):
+            if ny in oversize_results:
+                y_counts, y_ll, order = oversize_results[ny]
+                total.add_weighted(y_counts, 1.0)
+                loglike += y_ll
+                new_orders.append(order)
+                continue
             y_loglike = null_lls[ny]
             xy = np.full(len(refs), -math.inf)
             for nx in sort_order[ny]:

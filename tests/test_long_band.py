@@ -162,3 +162,100 @@ def test_trainer_long_band_guard_engages(monkeypatch):
     a = float(np.sum(counts_k.match))
     b = float(np.sum(counts_e.match))
     assert abs(a - b) < 5e-3 * abs(b) + 5e-3
+
+
+def test_trainer_oversize_read_falls_back_to_engine(monkeypatch):
+    """A read whose band exceeds the lane cap even after the memory-
+    fitted refit (cap smaller than the top seed cluster) must route
+    through the per-read engine path and produce the engine's exact
+    result."""
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.trainer import QuaffCounter
+
+    rng = np.random.default_rng(14)
+    src = "".join(BASES[i] for i in rng.integers(0, 4, size=220))
+    ref_seq = (
+        "".join(BASES[i] for i in rng.integers(0, 4, size=120))
+        + src
+        + "".join(BASES[i] for i in rng.integers(0, 4, size=120))
+    )
+    qual = "".join(chr(33 + int(q)) for q in rng.integers(10, 40, size=len(src)))
+    ref = FastSeq(name="ref", seq=ref_seq)
+    reads = [
+        FastSeq(name="r0", seq=src, qual=qual),
+        FastSeq(name="r1", seq=src, qual=qual),
+    ]
+    params = default_params()
+    null = QuaffNullParams.fit(reads)
+    config = DPConfig(kmer_threshold=10)
+
+    # cap below any real band width: every read is oversize
+    monkeypatch.setenv("QUAFF_ESTEP_LANE_CAP", "8")
+    comp = QuaffCounter(params, null, config)
+    monkeypatch.setattr(comp, "_use_kernel", lambda y: True)
+    # the kernel itself must never be dispatched
+    import quaff_tpu.dp.pallas_counts as pc
+
+    def boom(*a, **k):
+        raise AssertionError("kernel dispatched for oversize read")
+
+    monkeypatch.setattr(pc, "estep_fused_multi", boom)
+    counts_k, ll_k, orders_k = comp.get_counts([ref], reads, [[0], [0]])
+
+    comp64 = QuaffCounter(params, null, config, prefer_kernel=False)
+    counts_e, ll_e, orders_e = comp64.get_counts([ref], reads, [[0], [0]])
+    assert ll_k == ll_e
+    assert orders_k == orders_e
+    np.testing.assert_array_equal(counts_k.match, counts_e.match)
+
+
+def test_overlap_wide_pairs_exact_pass(monkeypatch):
+    """Overlap pairs whose band exceeds the lane cap even after refit
+    skip kernel scoring and take the host exact pass, in pair order —
+    output identical to the sequential CPU path."""
+    import io
+
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.formats.alignment import AlignmentPrinter
+    from quaff_tpu.io.fastseq import add_revcomps
+    from quaff_tpu.overlap import QuaffOverlapAligner
+
+    rng = np.random.default_rng(15)
+    base = "".join(BASES[i] for i in rng.integers(0, 4, size=400))
+    reads = []
+    for i in range(3):
+        seq = list(base[i * 40 : i * 40 + 280])
+        for _ in range(10):
+            p = int(rng.integers(0, len(seq)))
+            seq[p] = BASES[int(rng.integers(0, 4))]
+        qual = "".join(
+            chr(33 + int(q)) for q in rng.integers(10, 40, size=len(seq))
+        )
+        reads.append(FastSeq(name=f"r{i}", seq="".join(seq), qual=qual))
+    params = default_params()
+    null = QuaffNullParams.fit(reads)
+    config = DPConfig(kmer_threshold=10, threads=1)
+    printer = AlignmentPrinter()
+    printer.log_odds_threshold = float("-inf")
+    seqs = add_revcomps(reads)
+
+    # sequential CPU reference output
+    ov = QuaffOverlapAligner(params, null, config)
+    out_seq = io.StringIO()
+    ov.align_all(out_seq, seqs, len(reads), printer)
+
+    # batched path with every pair forced wide: no kernel dispatches
+    monkeypatch.setenv("QUAFF_OVERLAP_LANE_CAP", "2")
+    import quaff_tpu.dp.pallas_overlap as po
+
+    def boom(*a, **k):
+        raise AssertionError("kernel dispatched for wide pair")
+
+    monkeypatch.setattr(po, "overlap_scores_kernel", boom)
+    ov2 = QuaffOverlapAligner(params, null, config)
+    out_b = io.StringIO()
+    pair_list = list(ov2.enumerate_pairs(seqs, len(reads)))
+    printer.write_header(out_b, seqs, group_by_query=False)
+    ov2._align_all_batched(out_b, seqs, pair_list, printer)
+
+    assert out_b.getvalue() == out_seq.getvalue()
