@@ -90,6 +90,54 @@ static inline double lse2(double a, double b) {
   return m + std::log1p(std::exp(-d));
 }
 
+// Row-wise lse2: out[w] = lse2(a[w], b[w]) for w in [0, n), BITWISE
+// identical to the scalar function.  The common path (both finite,
+// d < D_MAX) is written branch-free so the compiler vectorises it
+// (table gathers + Horner); exceptional lanes (-inf operands, d beyond
+// the table, NaN) are flagged during the vector pass — the speculative
+// per-lane ops stay in-bounds via a clamped gather index — and recomputed
+// with the scalar lse2 afterwards.  a/b/out must not alias.
+static inline void lse2_row(const double* __restrict a,
+                            const double* __restrict b,
+                            double* __restrict out, long long n) {
+  const double inv_h = softplus_table.inv_h;
+  const double* __restrict cf = &softplus_table.coef[0][0];
+  const int NMAX = SoftplusTable::N - 1;
+  long long n_exc = 0;
+#pragma omp simd reduction(+ : n_exc)
+  for (long long w = 0; w < n; ++w) {
+    const double av = a[w], bv = b[w];
+    const double m = av > bv ? av : bv;
+    const double d = av > bv ? av - bv : bv - av;
+    // exceptional lanes take 0 here so the (int) conversion below stays
+    // defined; their out value is recomputed scalar anyway
+    const double dsafe = d < SoftplusTable::D_MAX ? d : 0.0;
+    const double u = dsafe * inv_h;
+    const int k = (int)u;
+    const int kc = k > NMAX ? NMAX : (k < 0 ? 0 : k);
+    const double t = u - (double)k;
+    const long long c6 = (long long)kc * 6;
+    const double sp =
+        cf[c6] +
+        t * (cf[c6 + 1] +
+             t * (cf[c6 + 2] +
+                  t * (cf[c6 + 3] + t * (cf[c6 + 4] + t * cf[c6 + 5]))));
+    // bitwise | (not ||): short-circuiting introduces control flow that
+    // blocks vectorisation
+    const int exc = (int)!(d < SoftplusTable::D_MAX) |
+                    (int)(av == NEG_INF) | (int)(bv == NEG_INF);
+    out[w] = exc ? m : m + sp;
+    n_exc += exc;
+  }
+  if (n_exc)
+    for (long long w = 0; w < n; ++w) {
+      const double av = a[w], bv = b[w];
+      const double d = av > bv ? av - bv : bv - av;
+      if (!(d < SoftplusTable::D_MAX) || av == NEG_INF || bv == NEG_INF)
+        out[w] = lse2(av, bv);
+    }
+}
+
 }  // namespace quaff_lse
 
 #endif  // QUAFF_NATIVE_LSE2_H_

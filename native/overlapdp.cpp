@@ -76,6 +76,15 @@ void overlap_fill_impl(
   const int xq_only = x_has_qual && !y_has_qual;
   const int yq_only = !x_has_qual && y_has_qual;
 
+  // scratch rows for the vectorised passes (round 4): emission, pre-emit
+  // match max, and the lse2 operand/result rows of the insert state
+  std::vector<double> vrow(5 * W);
+  double* const ex_row2 = vrow.data();
+  double* const mm_row = ex_row2 + W;
+  double* const A_row = mm_row + W;
+  double* const B_row = A_row + W;
+  double* const L_row = B_row + W;
+
   for (int64_t j = 1; j <= n_rows; ++j) {
     const int64_t rp = STORE ? (j - 1) : ((j - 1) & 1);
     const int64_t rc = STORE ? j : (j & 1);
@@ -110,6 +119,111 @@ void overlap_fill_impl(
     if (w_max > W) w_max = W;
 
     double del_prev = NEG_INF;  // in-row carry
+    if (jt > 1) {
+      // Vectorised row (round 4): emission gather, pre-emit match max,
+      // and the insert state's lse2 (quaff_lse::lse2_row) run as
+      // lane-parallel passes with per-cell op sequences IDENTICAL to
+      // the scalar loop below (bitwise-equal cells); the delete chain +
+      // end pass stays sequential.  Row jt==1 keeps the scalar loop
+      // (whole-row start clamp).
+      const int64_t wlo = w_min < W ? (w_min > 0 ? w_min : 0) : W;
+      const int64_t whi = w_max > 0 ? (w_max < W ? w_max : W) : 0;
+      for (int64_t w = 0; w < wlo; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      for (int64_t w = whi; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      const int64_t xbase = d_lo + jt - 1;
+      if (qq) {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          ex_row2[w] =
+              eq_row[((int64_t)x_mk[xbase + w] * Km * Q + x_q[xbase + w]) *
+                     Q];
+      } else if (xq_only) {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          ex_row2[w] =
+              ex_row[((int64_t)x_mk[xbase + w] * Km + 0) * Q +
+                     x_q[xbase + w]];
+      } else if (yq_only) {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          ex_row2[w] = ey_row[(int64_t)x_mk[xbase + w] * Km * Q];
+      } else {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          ex_row2[w] = en_row[(int64_t)x_mk[xbase + w] * Km];
+      }
+      if (Ki == 1) {
+        const double m2m0 = m2m[0];
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          mm_row[w] = max2(max2(mat_p[w] + m2m0, del_p[w] + d2m),
+                           ins_p[w] + i2m);
+      } else {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          mm_row[w] = max2(
+              max2(mat_p[w] +
+                       m2m[(int64_t)x_ik_pad[xbase + w] * Ki + yik_jm1],
+                   del_p[w] + d2m),
+              ins_p[w] + i2m);
+      }
+      // idx == 0 start clamp applies to at most one lane, BEFORE emit
+      const int64_t w0 = -xbase;
+      if (w0 >= wlo && w0 < whi) mm_row[w0] = max2(mm_row[w0], 0.0);
+#pragma GCC ivdep
+      for (int64_t w = wlo; w < whi; ++w)
+        mat_c[w] = member[w] ? mm_row[w] + ex_row2[w] : NEG_INF;
+      // insert state: lse2(ins[w+1]+i2i, del[w+1]+d2i) vs mat[w+1]+m2i
+      const int64_t wv1 = whi < W ? whi : W - 1;
+#pragma GCC ivdep
+      for (int64_t w = wlo; w < wv1; ++w) {
+        A_row[w] = ins_p[w + 1] + i2i;
+        B_row[w] = del_p[w + 1] + d2i;
+      }
+      for (int64_t w = wv1; w < whi; ++w) {  // last lane (no w+1)
+        A_row[w] = NEG_INF + i2i;
+        B_row[w] = NEG_INF + d2i;
+      }
+      if (whi > wlo) quaff_lse::lse2_row(A_row + wlo, B_row + wlo,
+                                         L_row + wlo, whi - wlo);
+      if (Ki == 1) {
+        const double m2i0 = m2i[0];
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < wv1; ++w) {
+          const double ic = max2(L_row[w], mat_p[w + 1] + m2i0);
+          ins_c[w] = member[w] ? ic : NEG_INF;
+        }
+        for (int64_t w = wv1; w < whi; ++w) {
+          const double ic = max2(L_row[w], NEG_INF + m2i0);
+          ins_c[w] = member[w] ? ic : NEG_INF;
+        }
+      } else {
+        for (int64_t w = wlo; w < whi; ++w) {
+          const double mp1 = (w + 1 < W) ? mat_p[w + 1] : NEG_INF;
+          const double ic = max2(
+              L_row[w],
+              mp1 + m2i[(int64_t)x_ik_pad[xbase + w + 1] * Ki + yik_jm1]);
+          ins_c[w] = member[w] ? ic : NEG_INF;
+        }
+      }
+      // delete chain + end (sequential)
+      for (int64_t w = 0; w < W; ++w) {
+        if (w < w_min || w >= w_max || !member[w]) {
+          del_c[w] = NEG_INF;
+          del_prev = NEG_INF;
+          continue;
+        }
+        const int64_t idx = xbase + w;
+        double k = (w > 0 ? ins_c[w - 1] : NEG_INF) + d2i;
+        double b = (w > 0 ? mat_c[w - 1] : NEG_INF) +
+                   m2d[(int64_t)x_ik_pad[idx] * Ki + yik_j];
+        double dc = max2(lse2(del_prev + d2d, k), b);
+        del_c[w] = dc;
+        del_prev = dc;
+        if (jt == y_len || idx == x_len - 1) end = max2(end, mat_c[w]);
+      }
+      continue;
+    }
     for (int64_t w = 0; w < W; ++w) {
       if (w < w_min || w >= w_max || !member[w]) {
         mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;

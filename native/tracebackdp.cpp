@@ -505,9 +505,17 @@ int64_t qdp_overlap_viterbi_path(
   // one local row r (true row jt = j_off + r) of the banded recursion —
   // MUST stay expression-for-expression identical to overlap_fill_impl
   // (overlapdp.cpp), with y arrays indexed at the true row.
-  auto fill_row = [&](int64_t r, const double* mat_p, const double* ins_p,
-                      const double* del_p, double* mat_c, double* ins_c,
-                      double* del_c, double* end) {
+  std::vector<double> vbuf(5 * W);  // vector-pass scratch rows
+  double* const vex = vbuf.data();
+  double* const vmm = vex + W;
+  double* const vA = vmm + W;
+  double* const vB = vA + W;
+  double* const vL = vB + W;
+  auto fill_row = [&](int64_t r, const double* __restrict mat_p,
+                      const double* __restrict ins_p,
+                      const double* __restrict del_p,
+                      double* __restrict mat_c, double* __restrict ins_c,
+                      double* __restrict del_c, double* end) {
     const int64_t jt = j_off + r;
     if (jt > y_len) {
       for (int64_t w = 0; w < W; ++w)
@@ -532,6 +540,108 @@ int64_t qdp_overlap_viterbi_path(
     if (w_max > W) w_max = W;
 
     double del_prev = NEG_INF;
+    if (jt > 1) {
+      // vectorised row (round 4): mirrors overlap_fill_impl's fast path
+      // (overlapdp.cpp) — emission gather, pre-emit match max and the
+      // insert state's lse2_row as lane-parallel passes with per-cell
+      // op sequences identical to the scalar loop (bitwise equal);
+      // delete chain + end stay sequential
+      const int64_t wlo = w_min < W ? (w_min > 0 ? w_min : 0) : W;
+      const int64_t whi = w_max > 0 ? (w_max < W ? w_max : W) : 0;
+      for (int64_t w = 0; w < wlo; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      for (int64_t w = whi; w < W; ++w) mat_c[w] = ins_c[w] = NEG_INF;
+      const int64_t xbase = d_lo + jt - 1;
+      if (qq) {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          vex[w] =
+              eq_row[((int64_t)x_mk[xbase + w] * Km * Q + x_q[xbase + w]) *
+                     Q];
+      } else if (xq_only) {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          vex[w] =
+              ex_row[((int64_t)x_mk[xbase + w] * Km + 0) * Q +
+                     x_q[xbase + w]];
+      } else if (yq_only) {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          vex[w] = ey_row[(int64_t)x_mk[xbase + w] * Km * Q];
+      } else {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          vex[w] = en_row[(int64_t)x_mk[xbase + w] * Km];
+      }
+      if (Ki == 1) {
+        const double m2m0 = m2m[0];
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          vmm[w] = max2(max2(mat_p[w] + m2m0, del_p[w] + d2m),
+                        ins_p[w] + i2m);
+      } else {
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < whi; ++w)
+          vmm[w] = max2(
+              max2(mat_p[w] +
+                       m2m[(int64_t)x_ik_pad[xbase + w] * Ki + yik_jm1],
+                   del_p[w] + d2m),
+              ins_p[w] + i2m);
+      }
+      const int64_t w0 = -xbase;  // idx == 0 start clamp (one lane)
+      if (w0 >= wlo && w0 < whi) vmm[w0] = max2(vmm[w0], 0.0);
+#pragma GCC ivdep
+      for (int64_t w = wlo; w < whi; ++w)
+        mat_c[w] = member[w] ? vmm[w] + vex[w] : NEG_INF;
+      const int64_t wv1 = whi < W ? whi : W - 1;
+#pragma GCC ivdep
+      for (int64_t w = wlo; w < wv1; ++w) {
+        vA[w] = ins_p[w + 1] + i2i;
+        vB[w] = del_p[w + 1] + d2i;
+      }
+      for (int64_t w = wv1; w < whi; ++w) {
+        vA[w] = NEG_INF + i2i;
+        vB[w] = NEG_INF + d2i;
+      }
+      if (whi > wlo)
+        quaff_lse::lse2_row(vA + wlo, vB + wlo, vL + wlo, whi - wlo);
+      if (Ki == 1) {
+        const double m2i0 = m2i[0];
+#pragma GCC ivdep
+        for (int64_t w = wlo; w < wv1; ++w) {
+          const double ic = max2(vL[w], mat_p[w + 1] + m2i0);
+          ins_c[w] = member[w] ? ic : NEG_INF;
+        }
+        for (int64_t w = wv1; w < whi; ++w) {
+          const double ic = max2(vL[w], NEG_INF + m2i0);
+          ins_c[w] = member[w] ? ic : NEG_INF;
+        }
+      } else {
+        for (int64_t w = wlo; w < whi; ++w) {
+          const double mp1 = (w + 1 < W) ? mat_p[w + 1] : NEG_INF;
+          const double ic = max2(
+              vL[w],
+              mp1 + m2i[(int64_t)x_ik_pad[xbase + w + 1] * Ki + yik_jm1]);
+          ins_c[w] = member[w] ? ic : NEG_INF;
+        }
+      }
+      for (int64_t w = 0; w < W; ++w) {
+        if (w < w_min || w >= w_max || !member[w]) {
+          del_c[w] = NEG_INF;
+          del_prev = NEG_INF;
+          continue;
+        }
+        const int64_t idx = xbase + w;
+        double k = (w > 0 ? ins_c[w - 1] : NEG_INF) + d2i;
+        double b = (w > 0 ? mat_c[w - 1] : NEG_INF) +
+                   m2d[(int64_t)x_ik_pad[idx] * Ki + yik_j];
+        double dc = max2(lse2(del_prev + d2d, k), b);
+        del_c[w] = dc;
+        del_prev = dc;
+        if (end && (jt == y_len || idx == x_len - 1))
+          *end = max2(*end, mat_c[w]);
+      }
+      return;
+    }
     for (int64_t w = 0; w < W; ++w) {
       if (w < w_min || w >= w_max || !member[w]) {
         mat_c[w] = ins_c[w] = del_c[w] = NEG_INF;

@@ -393,13 +393,34 @@ class QuaffOverlapAligner:
         self.params = params
         self.null_model = null_model
         self.config = config
-        base = ScoreTables.from_params(params)
-        self.tables_fwd = OverlapScoreTables.from_params(params, False, base)
-        self.tables_rev: Optional[OverlapScoreTables] = None
-        self._tdev_fwd = overlap_device_tables(self.tables_fwd)
-        self._tdev_rev = None
-        self._base = base
-        self._tdev_cpu64: dict = {}
+        # Table build + device upload cached ON the params object: the
+        # pair-emission tables are the overlap mode's dominant fixed cost
+        # (16*16*94*94 lse host build + ~36 MB through the ~10 MB/s
+        # device tunnel), and callers that construct a fresh aligner per
+        # batch (with identical params) would pay them every time.  The
+        # reference rebuilds them per TASK (qoverlap.cpp:77-79, a known
+        # inefficiency SURVEY.md flags to hoist); we hoist per params.
+        # Params objects are treated as immutable (the trainer's M-step
+        # returns a new QuaffParams).
+        cache = params.__dict__.get("_overlap_table_cache")
+        if cache is None:
+            base = ScoreTables.from_params(params)
+            cache = params.__dict__["_overlap_table_cache"] = {
+                "base": base,
+                "fwd": OverlapScoreTables.from_params(params, False, base),
+                "fwd_dev": None,
+                "rev": None,
+                "rev_dev": None,
+                "cpu64": {},
+            }
+            cache["fwd_dev"] = overlap_device_tables(cache["fwd"])
+        self._tcache = cache
+        self.tables_fwd = cache["fwd"]
+        self.tables_rev: Optional[OverlapScoreTables] = cache["rev"]
+        self._tdev_fwd = cache["fwd_dev"]
+        self._tdev_rev = cache["rev_dev"]
+        self._base = cache["base"]
+        self._tdev_cpu64: dict = cache["cpu64"]
         # -mesh: device mesh for sharded pair scoring (set by the CLI;
         # the exact pass + traceback stay host-side either way)
         self.mesh = None
@@ -412,6 +433,8 @@ class QuaffOverlapAligner:
                 self.params, True, self._base
             )
             self._tdev_rev = overlap_device_tables(self.tables_rev)
+            self._tcache["rev"] = self.tables_rev
+            self._tcache["rev_dev"] = self._tdev_rev
         return self.tables_rev, self._tdev_rev
 
     def _null_ll(self, seq: FastSeq, comp: bool = False) -> float:
@@ -880,6 +903,7 @@ class QuaffOverlapAligner:
                                       max_batch, OV_VMEM_CELLS, scored)
             buckets = {}
         pending = []  # (chunk, score_dev, seg_dev): fetch AFTER all dispatches
+        n_js_total = sum(len(js) for js in buckets.values())
         for (y_comp, wp, lp), js in sorted(buckets.items()):
             tables, _ = self._tables(y_comp)
             # bucket merging above coalesces same-shape chunks, so the
@@ -890,6 +914,16 @@ class QuaffOverlapAligner:
             bcap = 8
             while bcap * 2 <= max_batch and bcap * 2 * wp <= OV_VMEM_CELLS:
                 bcap *= 2
+            # pipeline split (round 4): the exact pass overlaps the
+            # device work per drained chunk, so one giant dispatch
+            # serialises host behind device — aim for ~4 dispatches
+            # across the pass (each still pow2-padded, so the compile
+            # shape count does not grow)
+            target = int(os.environ.get("QUAFF_OV_PIPELINE_CHUNKS", "4"))
+            if target > 1 and len(js) >= 2 * 8:
+                want = pow2ceil(max((n_js_total + target - 1) // target, 8))
+                if want < bcap:
+                    bcap = want
             for i in range(0, len(js), bcap):
                 chunk = js[i : i + bcap]
                 # pad B to a power-of-two quantum (repeat the last pair;
@@ -907,6 +941,43 @@ class QuaffOverlapAligner:
                 # JAX dispatch is async; a fetch here would serialize every
                 # chunk on the device link RTT.  Defer to one drain below.
                 pending.append((chunk, n_segs, packed_dev))
+        # Incremental drain + PIPELINED exact pass (round 4): as each
+        # kernel chunk's scores land, its above-threshold candidates' f64
+        # fills start on a worker immediately, so the host exact pass
+        # overlaps the remaining device dispatches/fetches instead of
+        # waiting for the full drain.  slack covers the kernel's
+        # exact-lse vs truncated-table difference.  One outer worker:
+        # _exact_pass parallelises internally over config.threads.
+        from concurrent.futures import ThreadPoolExecutor
+
+        slack = 1.0
+        exact_futs = []
+        exact_ex = None
+        if self.mesh is None and pending:
+            exact_ex = ThreadPoolExecutor(1)
+            wide_jobs = [j for j in jobs if (j[0], j[1]) in wide_pairs]
+            if wide_jobs:
+                # no kernel scores needed: start these fills first
+                exact_futs.append(
+                    exact_ex.submit(self._exact_pass, seqs, wide_jobs)
+                )
+
+        def chunk_cands(chunk):
+            cc = []
+            seen = set()
+            for nx, ny, yc, env in chunk:
+                if (nx, ny) in seen:
+                    continue  # batch-pad repeats
+                seen.add((nx, ny))
+                sc = scored[(nx, ny)]
+                if not math.isfinite(sc):
+                    continue
+                adj = sc - null_ll(nx) - null_ll(ny, yc)
+                if adj < printer.log_odds_threshold - slack:
+                    continue
+                cc.append((nx, ny, yc, env))
+            return cc
+
         for chunk, n_segs, packed_dev in pending:
             fetched = np.asarray(packed_dev, dtype=np.float64)
             B = len(chunk)
@@ -915,6 +986,18 @@ class QuaffOverlapAligner:
             for b, (nx, ny, yc, env) in enumerate(chunk):
                 scored[(nx, ny)] = float(s[b])
                 seg_scored[(nx, ny)] = segs[b]
+            if exact_ex is not None:
+                cc = chunk_cands(chunk)
+                if cc:
+                    snap = {
+                        (nx, ny): seg_scored[(nx, ny)]
+                        for nx, ny, _, _ in cc
+                    }
+                    exact_futs.append(
+                        exact_ex.submit(
+                            self._exact_pass, seqs, cc, seg_scores=snap
+                        )
+                    )
 
         # On a multi-host mesh run only host 0 writes output; the other
         # hosts stop after the (collective) scoring phase — the exact
@@ -925,11 +1008,7 @@ class QuaffOverlapAligner:
             if not is_primary():
                 return
 
-        # exact pass for candidates above threshold (with slack for the
-        # kernel's exact-lse vs truncated-table difference), batched per
-        # padded shape bucket so the f64 parity fill amortises its
-        # row-scan and its per-shape compile across candidates
-        slack = 1.0
+        slackless = printer.log_odds_threshold - slack
         cands = []
         for job in jobs:
             nx, ny, y_comp, env = job
@@ -942,10 +1021,16 @@ class QuaffOverlapAligner:
             if not math.isfinite(sc):
                 continue
             adj = sc - null_ll(nx) - null_ll(ny, y_comp)
-            if adj < printer.log_odds_threshold - slack:
+            if adj < slackless:
                 continue
             cands.append(job)
-        results = self._exact_pass(seqs, cands, seg_scores=seg_scored)
+        if exact_ex is not None:
+            results = {}
+            for f in exact_futs:
+                results.update(f.result())
+            exact_ex.shutdown()
+        else:
+            results = self._exact_pass(seqs, cands, seg_scores=seg_scored)
         for nx, ny, y_comp, env in cands:
             a = results[(nx, ny)]
             if a is not None:
@@ -1009,7 +1094,7 @@ class QuaffOverlapAligner:
 
     def _exact_pass(self, seqs, cands, max_segs: int = None,
                     max_elems: int = 20_000_000, seg_scores: dict = None,
-                    seg_slack: float = 1.0) -> dict:
+                    seg_slack: float = 0.25) -> dict:
         """Batched f64 parity fills for the candidate pairs, one batch row
         per envelope STRIP rather than per bounding band: the always-
         included diagonal 0 (diagenv.cpp:53) routinely leaves the seed

@@ -37,6 +37,9 @@ config = DPConfig()
 aligner = QuaffOverlapAligner(params, null, config)
 seqs = add_revcomps(reads)
 printer = AlignmentPrinter()
+import os as _os
+if _os.environ.get("QUAFF_PROF_NOTHRESHOLD"):
+    printer.log_odds_threshold = float("-inf")
 
 # instrument: time the exact pass and the kernel pass
 orig_exact = QuaffOverlapAligner._exact_pass
