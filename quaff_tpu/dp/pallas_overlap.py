@@ -403,7 +403,15 @@ def _ov_prepare_device(tabs: dict, batch: dict, width: int, b_pad: int,
             y_ik = batch["y_indel_kmer_pad"].astype(jnp.int32)[:, 1:]
     x_len = batch["x_len"].astype(jnp.int32)
     y_len = batch["y_len"].astype(jnp.int32)
-    member = batch["member"]
+    if "member_packed" in batch:
+        # bit-packed lane mask (np.packbits axis=1 bitorder="little"):
+        # the [B, W] bool mask is the dominant per-chunk host->device
+        # transfer on the tunnelled runtime; unpack device-side
+        mp = batch["member_packed"]
+        bits = (mp[:, :, None] >> jnp.arange(8, dtype=mp.dtype)) & 1
+        member = bits.reshape(mp.shape[0], mp.shape[1] * 8) > 0
+    else:
+        member = batch["member"]
 
     B, W0 = member.shape
     R = int(n_rows) if n_rows is not None else y_mk.shape[1]
@@ -691,8 +699,11 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
     maxima): callers dispatching many chunks through a tunnelled device
     drain them all after the last enqueue rather than paying one RTT
     per chunk."""
-    member = np.asarray(batch["member"])
-    B, W0 = member.shape
+    if "member_packed" in batch:
+        B, W8 = batch["member_packed"].shape
+        W0 = W8 * 8
+    else:
+        B, W0 = np.asarray(batch["member"]).shape
     Ly = (
         int(n_rows) if n_rows is not None
         else int(np.asarray(batch["y_match_kmer"]).shape[1])

@@ -692,7 +692,16 @@ class QuaffOverlapAligner:
 
         packed: dict = {}
         wide_pairs = set()
-        if self.config.threads > 1 and len(pair_list) > 1:
+        # thread the prep only when per-pair work is substantial (long
+        # reads): at all-vs-all bench sizes the native k-mer join runs
+        # 0.24 ms/pair and pool dispatch overhead makes it SLOWER
+        # (measured 0.086 s serial vs 0.137 s pooled at 360 pairs)
+        total_bases = sum(len(s.seq) for s in seqs)
+        if (
+            self.config.threads > 1
+            and len(pair_list) > 1
+            and total_bases / max(len(seqs), 1) > 16384
+        ):
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.config.threads) as ex:
@@ -883,7 +892,11 @@ class QuaffOverlapAligner:
                 "y_len": np.asarray(
                     [len(seqs[ny].seq) for _, ny, _, _ in chunk], np.int32
                 ),
-                "member": member,
+                # bit-packed: [B, wp] bool was the dominant per-chunk
+                # device upload (~B*wp bytes through the ~10 MB/s tunnel)
+                "member_packed": np.packbits(
+                    member, axis=1, bitorder="little"
+                ),
                 "seg_d_lo": seg_d_lo,
                 "seg_start": seg_start,
                 "seg_width": seg_width,
@@ -978,6 +991,13 @@ class QuaffOverlapAligner:
                 cc.append((nx, ny, yc, env))
             return cc
 
+        # start every chunk's device->host transfer before draining: the
+        # tunnelled runtime pays a full RTT per blocking fetch otherwise
+        for _, _, packed_dev in pending:
+            try:
+                packed_dev.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                break
         for chunk, n_segs, packed_dev in pending:
             fetched = np.asarray(packed_dev, dtype=np.float64)
             B = len(chunk)

@@ -482,7 +482,11 @@ def sharded_overlap_kernel(
         _round_up,
     )
 
-    D, B, W0 = batch["member"].shape
+    if "member_packed" in batch:
+        D, B, W8 = batch["member_packed"].shape
+        W0 = W8 * 8
+    else:
+        D, B, W0 = batch["member"].shape
     Ly = int(n_rows) if n_rows is not None else int(batch["y_match_kmer"].shape[2])
     W = _round_up(max(int(W0), 128), 128)
     Bp = _round_up(int(B), 8)
