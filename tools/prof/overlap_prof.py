@@ -85,7 +85,8 @@ for it in range(2):
     aligner.align_all(out, seqs, N, printer)
     t1 = time.perf_counter()
     print(
-        f"iter{it}: N={N} pairs={N*(N-1)} wall={t1-t0:.2f}s "
+        f"iter{it}: N={N} tasks={N*(N-1)} upairs={N*(N-1)//2} wall={t1-t0:.2f}s "
+        f"upairs/s={N*(N-1)//2/(t1-t0):.1f} "
         f"kernel={k_time[0]:.2f}s/{k_time[1]} exact_pairs={pair_time[0]:.2f}s/{pair_time[1]} "
         f"(traceback={tb_time[0]:.2f}s) "
         f"other={t1-t0-k_time[0]-pair_time[0]:.2f}s out_lines={out.getvalue().count(chr(10))}",
