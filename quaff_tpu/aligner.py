@@ -442,21 +442,22 @@ class QuaffAligner:
             int(os.environ.get("QUAFF_V2_VMEM_CELLS", str(2048 * 256))) // 8,
             int(os.environ.get("QUAFF_ALIGN_LANE_CAP", "4096")),
         )
+        guard = self.config.sparse and self._use_fast_scores()
+        from .envelope import fit_envelope_lanes, pack_strips
 
         def _read_jobs(ny):
             y_index = KmerIndex(reads[ny], self.config.kmer_len)
             js = []
             for nx, x in enumerate(refs):
                 env = self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE)
-                if self.config.sparse and self._use_fast_scores():
-                    from .envelope import fit_envelope_lanes, pack_strips
-
-                    if sum(s.band_width for s in pack_strips(env)) > lane_cap:
-                        env = fit_envelope_lanes(
-                            x, y_index, lane_cap,
-                            band_size=self.config.band_size,
-                            kmer_threshold=max(self.config.kmer_threshold, 0),
-                        )
+                if guard and (
+                    sum(s.band_width for s in pack_strips(env)) > lane_cap
+                ):
+                    env = fit_envelope_lanes(
+                        x, y_index, lane_cap,
+                        band_size=self.config.band_size,
+                        kmer_threshold=max(self.config.kmer_threshold, 0),
+                    )
                 js.append((ny, nx, env))
             return js
 
@@ -817,11 +818,38 @@ class QuaffAligner:
                 if wide:
                     # pathological envelope (a merged seed cluster tens of
                     # thousands of diagonals wide): the kernel's resident
-                    # [B, W] buffers would overflow scoped VMEM, so score
-                    # this (necessarily single-pair) chunk with the host
-                    # engine instead (bounding-band layout — the engine
-                    # does not read lane-packed strip descriptors; the
-                    # packed batch is never built or transferred)
+                    # [B, W] buffers would overflow scoped VMEM.  On a
+                    # device mesh the band's LANES shard across the
+                    # devices instead (parallel/spfill — SURVEY §5.7's
+                    # sequence-parallel extension: per-row halo ppermute
+                    # + distributed prefix scan for the delete state,
+                    # exact scores); single-device runs score with the
+                    # host engine.
+                    if self.mesh is not None:
+                        from jax.sharding import Mesh as _Mesh
+
+                        from .parallel.spfill import sp_fill_scores
+
+                        devs = self.mesh.devices.reshape(-1)
+                        S = len(devs)
+                        wb = max(e.band_width for _, _, e in pairs)
+                        wsp = ((wb + S - 1) // S) * S
+                        sp_batch = PairBatch.build(
+                            pairs, self.tables, width=wsp, max_y_len=lp
+                        )
+                        sp_mesh = _Mesh(np.array(devs), ("sp",))
+                        s = np.asarray(
+                            sp_fill_scores(
+                                sp_mesh, self._tdev,
+                                device_batch(sp_batch),
+                                mode="viterbi", local=self.config.local,
+                                dtype=self.config.resolve_dtype(),
+                            ),
+                            dtype=np.float64,
+                        )[: len(chunk)]
+                        s = np.where(np.isfinite(s), s, -np.inf)
+                        record_chunk(chunk, s, None)
+                        continue
                     with x64_scope(), jax.default_device(cpu):
                         wide_tab = device_tables(self.tables)
                         wdev = {

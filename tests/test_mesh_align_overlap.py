@@ -131,3 +131,40 @@ def test_mesh_overlap_with_threshold():
     rc, mesh = _run(base + ["-mesh"])
     assert rc == 0
     assert mesh == seq
+
+
+def test_mesh_align_wide_band_sp_fill(monkeypatch):
+    """A pair too wide for the kernel's VMEM on a -mesh run scores via
+    the band-sharded sp fill (parallel/spfill, SURVEY §5.7) — wired in
+    round 4; output must stay byte-identical to the sequential path."""
+    import quaff_tpu.aligner as amod
+    import quaff_tpu.parallel.spfill as spmod
+
+    base = [
+        "align", str(DATA / "synth12-genome.fasta"),
+        str(DATA / "synth12.fastq"), "-kmatchn", "10", "-nothreshold",
+    ]
+    rc, seq = _run(base)
+    assert rc == 0
+
+    # every envelope counts as "wide": the kernel path is forbidden and
+    # all scoring must go through sp_fill_scores
+    monkeypatch.setattr(amod, "WIDE_ENVELOPE_FALLBACK_LANES", 1)
+    calls = []
+    orig = spmod.sp_fill_scores
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spmod, "sp_fill_scores", spy)
+    # CPU backend: kernels interpret; force the fast path so the batched
+    # scorer (and its wide branch) runs at all
+    monkeypatch.setattr(
+        amod.QuaffAligner, "_use_fast_scores", lambda self: True
+    )
+    monkeypatch.setenv("QUAFF_V2_INTERPRET", "1")
+    rc, mesh = _run(base + ["-mesh"])
+    assert rc == 0
+    assert calls, "sp fill never engaged for wide pairs"
+    assert mesh == seq
