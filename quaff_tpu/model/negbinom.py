@@ -28,6 +28,44 @@ _libm.lgamma.restype = ctypes.c_double
 _libm.lgamma.argtypes = [ctypes.c_double]
 _lgamma = _libm.lgamma
 
+# the native library carries C versions of the profile-likelihood
+# evaluations (native/negbinomnat.cpp) — BITWISE identical to the Python
+# loops below (same libm calls, same op order; pinned by test_negbinom),
+# ~100x faster.  Resolved lazily to avoid import cycles; Python is the
+# fallback when the library is not built.
+_NB_NATIVE = None
+_NB_TRIED = False
+
+
+def _nb_native():
+    global _NB_NATIVE, _NB_TRIED
+    if _NB_TRIED:
+        return _NB_NATIVE
+    _NB_TRIED = True
+    try:
+        from .. import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None and hasattr(lib, "qdp_lognb_freq"):
+            f64 = ctypes.c_double
+            f64p = ctypes.POINTER(ctypes.c_double)
+            i64 = ctypes.c_int64
+            lib.qdp_lognb_freq.restype = f64
+            lib.qdp_lognb_freq.argtypes = [f64p, i64, f64, f64]
+            lib.qdp_nb_deriv1.restype = f64
+            lib.qdp_nb_deriv1.argtypes = [f64p, i64, f64]
+            lib.qdp_nb_deriv2.restype = f64
+            lib.qdp_nb_deriv2.argtypes = [f64p, i64, f64]
+            _NB_NATIVE = lib
+    except Exception:
+        _NB_NATIVE = None
+    return _NB_NATIVE
+
+
+def _as_f64_ptr(arr: np.ndarray):
+    a = np.ascontiguousarray(arr, dtype=np.float64)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
 # convergence parameters (negbinom.cpp:12-17)
 BRACKET_MAX_ITER = 100
 BRACKET_ABS_ERR = 1e-3
@@ -128,6 +166,12 @@ def log_negative_binomial_freq(k_freq: np.ndarray, p_success: float, n_success: 
     exactly as the reference loop does (negbinom.cpp:34-39) — including
     zero-frequency terms, whose 0*logNB products reproduce the reference's
     NaN semantics when logNB underflows to -inf."""
+    lib = _nb_native()
+    if lib is not None:
+        a, ptr = _as_f64_ptr(k_freq)
+        return float(
+            lib.qdp_lognb_freq(ptr, len(a), float(p_success), float(n_success))
+        )
     lp = 0.0
     for k in range(len(k_freq)):
         lp += float(k_freq[k]) * log_negative_binomial(k, p_success, n_success)
@@ -169,6 +213,10 @@ def _profile_loglike(n: float, k_freq: np.ndarray) -> float:
 
 
 def _deriv1(n: float, k_freq: np.ndarray) -> float:
+    lib = _nb_native()
+    if lib is not None:
+        a, ptr = _as_f64_ptr(k_freq)
+        return float(lib.qdp_nb_deriv1(ptr, len(a), float(n)))
     freq_sum = 0.0
     k_sum = 0.0
     k_digamma_sum = 0.0
@@ -185,6 +233,10 @@ def _deriv1(n: float, k_freq: np.ndarray) -> float:
 
 
 def _deriv2(n: float, k_freq: np.ndarray) -> float:
+    lib = _nb_native()
+    if lib is not None:
+        a, ptr = _as_f64_ptr(k_freq)
+        return float(lib.qdp_nb_deriv2(ptr, len(a), float(n)))
     freq_sum = 0.0
     k_trigamma_sum = 0.0
     for k in np.nonzero(k_freq)[0]:

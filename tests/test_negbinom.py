@@ -58,3 +58,36 @@ def test_underdispersed_runaway_kept():
     assert 0 < p < 1
     # mean of fit should be close to empirical mean 10.5
     assert abs(negative_binomial_mean(p, r) - 10.5) < 0.5
+
+
+def test_native_matches_python_bitwise():
+    """The C fit evaluations (native/negbinomnat.cpp) must be BITWISE
+    equal to the Python loops — same libm, same op order."""
+    import numpy as np
+
+    from quaff_tpu.model import negbinom as nb
+
+    lib = nb._nb_native()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        freq = rng.gamma(0.5, 10.0, size=94)
+        freq[rng.random(94) < 0.3] = 0.0
+        p = float(rng.uniform(0.01, 0.99))
+        r = float(rng.uniform(0.1, 80.0))
+        # force the Python paths by masking the native handle
+        saved = nb._NB_NATIVE
+        nb._NB_NATIVE = None
+        py_lp = nb.log_negative_binomial_freq(freq, p, r)
+        py_d1 = nb._deriv1(r, freq)
+        py_d2 = nb._deriv2(r, freq)
+        nb._NB_NATIVE = saved
+        na_lp = nb.log_negative_binomial_freq(freq, p, r)
+        na_d1 = nb._deriv1(r, freq)
+        na_d2 = nb._deriv2(r, freq)
+        assert py_lp == na_lp, (trial, py_lp, na_lp)
+        assert py_d1 == na_d1, (trial, py_d1, na_d1)
+        assert py_d2 == na_d2, (trial, py_d2, na_d2)
