@@ -118,3 +118,21 @@ double qdp_nb_deriv2(const double* freq, int64_t n_bins, double n) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// out[k] = log NB(k; p, r) for k = 0..n_bins-1 — the SymQualScores
+// column (qmodel.cpp:87-93); each entry bitwise equal to qdp_lognb(k)
+void qdp_lognb_row(double* out, int64_t n_bins, double p, double r) {
+  const double a = std::lgamma(r);
+  const double lp_p = std::log(p);
+  const double l1p = std::log1p(-p);
+  for (int64_t k = 0; k < n_bins; ++k) {
+    const double f = std::lgamma((double)k + r);
+    const double b = std::lgamma((double)k + 1.0);
+    const double core = ((f - a) - b) + r * lp_p + (double)k * l1p;
+    out[k] = std::log(std::exp(core));
+  }
+}
+
+}  // extern "C"

@@ -56,6 +56,9 @@ def _nb_native():
             lib.qdp_nb_deriv1.argtypes = [f64p, i64, f64]
             lib.qdp_nb_deriv2.restype = f64
             lib.qdp_nb_deriv2.argtypes = [f64p, i64, f64]
+            if hasattr(lib, "qdp_lognb_row"):
+                lib.qdp_lognb_row.restype = None
+                lib.qdp_lognb_row.argtypes = [f64p, i64, f64, f64]
             _NB_NATIVE = lib
     except Exception:
         _NB_NATIVE = None
@@ -149,6 +152,22 @@ def log_negative_binomial_array(
     """Vectorised log NB over integer array k (broadcasting p, n);
     bitwise identical per element to log_negative_binomial."""
     k = np.asarray(k)
+    # fast path for the score-table shape — contiguous k = 0..n-1 with
+    # scalar (p, n): one native row call (qdp_lognb_row) instead of ~94
+    # ctypes round trips; matters at order 3 (96k entries per params)
+    if (
+        np.isscalar(p_success) or np.ndim(p_success) == 0
+    ) and k.ndim == 1 and len(k) > 0 and k[0] == 0 and np.array_equal(
+        k, np.arange(len(k))
+    ):
+        lib = _nb_native()
+        if lib is not None and hasattr(lib, "qdp_lognb_row"):
+            out = np.empty(len(k), dtype=np.float64)
+            lib.qdp_lognb_row(
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(k), float(p_success), float(n_success),
+            )
+            return out
     p = np.broadcast_to(np.asarray(p_success, dtype=np.float64), k.shape)
     n = np.broadcast_to(np.asarray(n_success, dtype=np.float64), k.shape)
     out = np.empty(k.shape, dtype=np.float64)

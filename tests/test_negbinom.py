@@ -91,3 +91,19 @@ def test_native_matches_python_bitwise():
         assert py_lp == na_lp, (trial, py_lp, na_lp)
         assert py_d1 == na_d1, (trial, py_d1, na_d1)
         assert py_d2 == na_d2, (trial, py_d2, na_d2)
+
+
+def test_native_row_matches_scalar_bitwise():
+    import numpy as np
+
+    from quaff_tpu.model import negbinom as nb
+
+    if nb._nb_native() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    k = np.arange(94)
+    for p, r in ((0.3, 7.7), (0.05, 0.4), (0.97, 55.0)):
+        row = nb.log_negative_binomial_array(k, p, r)
+        for kk in (0, 1, 17, 93):
+            assert row[kk] == nb.log_negative_binomial(kk, p, r)
