@@ -629,6 +629,22 @@ class QuaffOverlapAligner:
         threshold."""
         from .dp.pallas_overlap import overlap_scores_kernel
 
+        # QUAFF_OV_TIMELINE=1: stderr phase stamps (prep / bank / submit /
+        # fetch / exact / write) for critical-path profiling — cProfile
+        # distorts the async dispatch pipeline, wall stamps don't
+        import sys as _sys
+        import time as _time
+
+        _tl = os.environ.get("QUAFF_OV_TIMELINE") == "1"
+        _t0 = _time.perf_counter()
+
+        def _stamp(tag):
+            if _tl:
+                print(
+                    f"[ovtl] {_time.perf_counter() - _t0:7.3f} {tag}",
+                    file=_sys.stderr, flush=True,
+                )
+
         def round_up(v, m):
             return ((v + m - 1) // m) * m
 
@@ -708,6 +724,7 @@ class QuaffOverlapAligner:
                 built = list(ex.map(_pair_job, pair_list))
         else:
             built = [_pair_job(p) for p in pair_list]
+        _stamp(f"prep done ({len(built)} pairs)")
         jobs = []
         for job, desc, wide in built:
             jobs.append(job)
@@ -729,10 +746,32 @@ class QuaffOverlapAligner:
         # independently.
         OV_VMEM_CELLS = _ov_vmem_cells()
 
+        # -nothreshold early-exact split (round 4): with the report
+        # threshold at -inf the kernel's score FILTER is dead — its only
+        # remaining value is the per-strip maxima that winnow the exact
+        # pass's strip-picking fills.  A single-strip pair needs no
+        # winnowing, so at -inf it skips kernel scoring entirely and its
+        # f64 fill+traceback starts IMMEDIATELY, running under the
+        # kernel dispatch+fetch latency of the multi-strip minority
+        # (226/360 pairs are single-strip on the bench workload; the
+        # exact pass, not the device, is the measured critical path).
+        single_set: set = set()
+        if (
+            self.mesh is None
+            and printer.log_odds_threshold == NEG_INF
+            and os.environ.get("QUAFF_OV_EARLY_EXACT", "1") != "0"
+        ):
+            for job in jobs:
+                nx, ny = job[0], job[1]
+                if (nx, ny) in wide_pairs:
+                    continue
+                if int(np.count_nonzero(packed[(nx, ny)][3][0])) <= 1:
+                    single_set.add((nx, ny))
+
         by_tier: dict = {}
         for job in jobs:
             nx, ny, y_comp, env = job
-            if (nx, ny) in wide_pairs:
+            if (nx, ny) in wide_pairs or (nx, ny) in single_set:
                 continue  # no kernel scoring; exact pass handles it
             member1, _, _, _, _, rows1 = packed[(nx, ny)]
             wp1 = round_up(max(member1.shape[1], 128), 128)
@@ -851,6 +890,7 @@ class QuaffOverlapAligner:
             "bank_len": jnp.asarray(b_len),
             "bank_mf": _narrow_int(b_mf, 4),
         }
+        _stamp(f"bank built (NB={NB}, Lmax={Lmax})")
 
         ins_cache: dict = {}
 
@@ -915,9 +955,85 @@ class QuaffOverlapAligner:
             self._mesh_overlap_scores(buckets, bank, chunk_host_arrays,
                                       max_batch, OV_VMEM_CELLS, scored)
             buckets = {}
+        # Exact-pass pool, created BEFORE the kernel dispatches: wide
+        # pairs and (at -inf threshold) single-strip pairs need no
+        # kernel scores, so their f64 fills start now and run under the
+        # dispatch/fetch latency.  With the native path available the
+        # pool is one-thread-per-core and tasks are ~12-pair slices:
+        # native-fill-bound items (wide strips, GIL released) and
+        # Python-bound items (tiny diagonal-0 strips, string building)
+        # interleave across the workers, hiding the GIL work under the
+        # fills instead of serialising the two classes back to back.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .native import overlap_path_available
+
+        slack = 1.0
+        exact_futs = []
+        exact_ex = None
+        use_shared_pool = overlap_path_available()
+        shared_xc: dict = {}
+        shared_yc: dict = {}
+
+        def _exact_timed(tag, *a, **kw):
+            _stamp(f"exact_start {tag}")
+            r = self._exact_pass(*a, **kw)
+            _stamp(f"exact_end {tag}")
+            return r
+
+        def _submit_path_jobs(tag, cands_, seg_scores=None, chunk=12):
+            jobs_ = self._strip_jobs(seqs, cands_, seg_scores=seg_scores)
+            # heaviest first: the pool drains FIFO, so an expensive pair
+            # queued last becomes the wall-clock pole of the whole pass
+            jobs_.sort(
+                key=lambda it: -sum(r * s.band_width for s, _, r in it[1])
+            )
+            w = self._path_worker(seqs, shared_xc, shared_yc, jobs_)
+
+            def run(slice_):
+                _stamp(f"exact_start {tag}+{len(slice_)}")
+                r = dict(w(item) for item in slice_)
+                _stamp(f"exact_end {tag}+{len(slice_)}")
+                return r
+
+            for i in range(0, len(jobs_), chunk):
+                exact_futs.append(exact_ex.submit(run, jobs_[i : i + chunk]))
+
+        if self.mesh is None and (buckets or wide_pairs or single_set):
+            exact_ex = ThreadPoolExecutor(
+                (os.cpu_count() or 1) if use_shared_pool else 1
+            )
+            wide_jobs = [j for j in jobs if (j[0], j[1]) in wide_pairs]
+            single_jobs = [j for j in jobs if (j[0], j[1]) in single_set]
+            if use_shared_pool:
+                if wide_jobs:
+                    _submit_path_jobs("wide", wide_jobs)
+                if single_jobs:
+                    _submit_path_jobs("single", single_jobs)
+            else:
+                if wide_jobs:
+                    # no kernel scores needed: start these fills first
+                    exact_futs.append(
+                        exact_ex.submit(_exact_timed, "wide", seqs, wide_jobs)
+                    )
+                # chunked so the incremental writer below can drain early
+                # futures while later ones still fill
+                for i in range(0, len(single_jobs), 96):
+                    sj = single_jobs[i : i + 96]
+                    exact_futs.append(
+                        exact_ex.submit(
+                            _exact_timed, f"single{i}+{len(sj)}", seqs, sj
+                        )
+                    )
+
         pending = []  # (chunk, score_dev, seg_dev): fetch AFTER all dispatches
         n_js_total = sum(len(js) for js in buckets.values())
-        for (y_comp, wp, lp), js in sorted(buckets.items()):
+        # widest (per-pair most expensive in the exact pass) tier first:
+        # its scores then land first and its f64 fills — the longest
+        # pole of the pipelined exact pass — start earliest
+        for (y_comp, wp, lp), js in sorted(
+            buckets.items(), key=lambda kv: (-kv[0][1] * kv[0][2], kv[0])
+        ):
             tables, _ = self._tables(y_comp)
             # bucket merging above coalesces same-shape chunks, so the
             # dispatch slice must re-apply the VMEM cap: the padded batch
@@ -953,27 +1069,14 @@ class QuaffOverlapAligner:
                 )
                 # JAX dispatch is async; a fetch here would serialize every
                 # chunk on the device link RTT.  Defer to one drain below.
+                _stamp(f"submit B{bq}xW{wp}xL{lp} comp={y_comp}")
                 pending.append((chunk, n_segs, packed_dev))
         # Incremental drain + PIPELINED exact pass (round 4): as each
         # kernel chunk's scores land, its above-threshold candidates' f64
-        # fills start on a worker immediately, so the host exact pass
+        # fills start on the worker immediately, so the host exact pass
         # overlaps the remaining device dispatches/fetches instead of
         # waiting for the full drain.  slack covers the kernel's
-        # exact-lse vs truncated-table difference.  One outer worker:
-        # _exact_pass parallelises internally over config.threads.
-        from concurrent.futures import ThreadPoolExecutor
-
-        slack = 1.0
-        exact_futs = []
-        exact_ex = None
-        if self.mesh is None and pending:
-            exact_ex = ThreadPoolExecutor(1)
-            wide_jobs = [j for j in jobs if (j[0], j[1]) in wide_pairs]
-            if wide_jobs:
-                # no kernel scores needed: start these fills first
-                exact_futs.append(
-                    exact_ex.submit(self._exact_pass, seqs, wide_jobs)
-                )
+        # exact-lse vs truncated-table difference.
 
         def chunk_cands(chunk):
             cc = []
@@ -1000,6 +1103,7 @@ class QuaffOverlapAligner:
                 break
         for chunk, n_segs, packed_dev in pending:
             fetched = np.asarray(packed_dev, dtype=np.float64)
+            _stamp(f"fetch B{len(chunk)}")
             B = len(chunk)
             s = fetched[:B]
             segs = fetched[B:].reshape(B, n_segs)
@@ -1013,11 +1117,16 @@ class QuaffOverlapAligner:
                         (nx, ny): seg_scored[(nx, ny)]
                         for nx, ny, _, _ in cc
                     }
-                    exact_futs.append(
-                        exact_ex.submit(
-                            self._exact_pass, seqs, cc, seg_scores=snap
+                    if use_shared_pool:
+                        _submit_path_jobs(f"n{len(cc)}", cc,
+                                          seg_scores=snap)
+                    else:
+                        exact_futs.append(
+                            exact_ex.submit(
+                                _exact_timed, f"n{len(cc)}", seqs, cc,
+                                seg_scores=snap,
+                            )
                         )
-                    )
 
         # On a multi-host mesh run only host 0 writes output; the other
         # hosts stop after the (collective) scoring phase — the exact
@@ -1032,9 +1141,10 @@ class QuaffOverlapAligner:
         cands = []
         for job in jobs:
             nx, ny, y_comp, env = job
-            if (nx, ny) in wide_pairs:
-                # unscored (band beyond the kernel budgets): always take
-                # the exact pass, in pair order
+            if (nx, ny) in wide_pairs or (nx, ny) in single_set:
+                # unscored (band beyond the kernel budgets, or a
+                # single-strip pair at -inf threshold): always take the
+                # exact pass, in pair order
                 cands.append(job)
                 continue
             sc = scored[(nx, ny)]
@@ -1044,17 +1154,35 @@ class QuaffOverlapAligner:
             if adj < slackless:
                 continue
             cands.append(job)
+        _stamp("gather")
         if exact_ex is not None:
+            # incremental write: futures complete in submission order on
+            # the single worker; after each one lands, flush every
+            # leading candidate whose alignment is now known so the
+            # (serial, GIL-bound) formatting overlaps the remaining
+            # native fills instead of running as a pure tail
             results = {}
+            cursor = 0
             for f in exact_futs:
                 results.update(f.result())
+                while cursor < len(cands):
+                    key = (cands[cursor][0], cands[cursor][1])
+                    if key not in results:
+                        break
+                    a = results[key]
+                    if a is not None:
+                        printer.write_alignment(out, a)
+                    cursor += 1
             exact_ex.shutdown()
         else:
             results = self._exact_pass(seqs, cands, seg_scores=seg_scored)
-        for nx, ny, y_comp, env in cands:
+            cursor = 0
+        _stamp("exact gathered")
+        for nx, ny, y_comp, env in cands[cursor:]:
             a = results[(nx, ny)]
             if a is not None:
                 printer.write_alignment(out, a)
+        _stamp("write done")
 
     def _mesh_overlap_scores(self, buckets, bank, chunk_host_arrays,
                              max_batch, OV_VMEM_CELLS, scored) -> None:
@@ -1112,37 +1240,133 @@ class QuaffOverlapAligner:
                     for (nx, ny, yc, env), sc in zip(chunk, srow):
                         scored[(nx, ny)] = float(sc)
 
-    def _exact_pass(self, seqs, cands, max_segs: int = None,
-                    max_elems: int = 20_000_000, seg_scores: dict = None,
-                    seg_slack: float = 0.25) -> dict:
-        """Batched f64 parity fills for the candidate pairs, one batch row
-        per envelope STRIP rather than per bounding band: the always-
-        included diagonal 0 (diagenv.cpp:53) routinely leaves the seed
-        cluster thousands of diagonals away, so the bounding band is
-        mostly gap lanes the reference's ragged storage never touches.
-        Strips are independent DP subproblems (envelope.strips), so the
-        pair score is the max of its strip scores and the traceback runs
-        inside the winning strip.  Candidates are bucketed by padded
-        shape and chunked whole (all strips of a pair in one fill) so a
-        chunk's matrices can be dropped as soon as its pairs finish.
+    def _path_worker(self, seqs, x_cache, y_cache, jobs):
+        """Per-item exact-path work callable over SHARED lazy caches.
 
-        When the kernel's per-strip end maxima are available (seg_scores,
-        pack_strips order — see overlap_scores_kernel return_segments),
-        only strips within seg_slack nats of the pair's best strip are
-        filled: the non-winning strips (typically the always-included
-        diagonal-0 strip, diagenv.cpp:53) never supply the traceback, so
-        their f64 matrices are pure waste."""
-        from .envelope import pack_strips
+        Strand score tables are prebuilt here (their lazy build is not
+        thread-safe); the per-(seq, strand) array caches fill lazily and
+        tolerate concurrent duplicate computes (values are deterministic
+        — a racing write just overwrites with an equal value), so one
+        (x_cache, y_cache) pair can back work items spread across many
+        pool tasks."""
+        from .dp.traceback import _cols_to_str
+        from .native import (
+            _overlap_tabs,
+            overlap_strip_score_native,
+            overlap_viterbi_path_cols,
+        )
+
+        for (nx, ny, yc, env), _ in jobs:
+            _overlap_tabs(self._tables(yc)[0])
+            self._null_ll(seqs[nx])
+            self._null_ll(seqs[ny], yc)
+
+        def get_x(nx, yc):
+            v = x_cache.get((nx, yc))
+            if v is None:
+                tables = self._tables(yc)[0]
+                x = seqs[nx]
+                x_tok = x.tokens()
+                x_q = x.qual_scores() if x.has_qual() else None
+                v = (
+                    x.kmers(tables.match_kmer_len),
+                    np.concatenate([[0], x.kmers(tables.indel_kmer_len)]),
+                    x_q,
+                    _insert_score_sum(tables, x_tok, x_q),
+                )
+                x_cache[(nx, yc)] = v
+            return v
+
+        def get_y(ny, yc):
+            v = y_cache.get((ny, yc))
+            if v is None:
+                tables = self._tables(yc)[0]
+                y_tok, y_mk, y_ik_raw, y_q = _y_strand_arrays(
+                    seqs[ny], tables
+                )
+                v = (
+                    y_mk,
+                    np.concatenate([[0], y_ik_raw]),
+                    y_q,
+                    _insert_score_sum(tables, y_tok, y_q),
+                )
+                y_cache[(ny, yc)] = v
+            return v
+
+        def work(item):
+            (nx, ny, yc, env), strips = item
+            tables = self._tables(yc)[0]
+            x, y = seqs[nx], seqs[ny]
+            x_mk, x_ik_pad, x_q, x_ins = get_x(nx, yc)
+            y_mk, y_ik_pad, y_q, y_ins = get_y(ny, yc)
+            x_len, y_len = len(x.seq), len(y.seq)
+            best = 0
+            if len(strips) > 1:
+                best_sc = None
+                for k, (s, off, rows) in enumerate(strips):
+                    end = overlap_strip_score_native(
+                        x_mk, x_ik_pad, x_q, x_len, x_q is not None,
+                        y_mk, y_ik_pad, y_q, y_len, y_q is not None,
+                        off, rows, s.band_lo, s.band_width,
+                        s.member_mask(), tables,
+                    )
+                    # same summed-score comparison (and first-wins tie
+                    # order) as the matrix path's res["score"] argmax
+                    sc = (end + x_ins) + y_ins
+                    if best_sc is None or sc > best_sc:
+                        best_sc, best = sc, k
+            s, off, rows = strips[best]
+            cols, end = overlap_viterbi_path_cols(
+                x_mk, x_ik_pad, x_q, x_len, x_q is not None,
+                y_mk, y_ik_pad, y_q, y_len, y_q is not None,
+                off, rows, s.band_lo, s.band_width, s.member_mask(),
+                tables,
+            )
+            score = (end + x_ins) + y_ins
+            if cols is None or not math.isfinite(score):
+                return (nx, ny), None
+            col_x, col_y, x_start, x_end, y_start, y_end = cols
+            row_x = FastSeq(
+                name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
+            )
+            row_y = FastSeq(
+                name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
+            )
+            row_x.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
+            row_y.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
+            if x_q is not None:
+                row_x.qual = _cols_to_str(col_x, x.qual, "~")
+            if y_q is not None:
+                row_y.qual = _cols_to_str(col_y, y.qual, "~")
+            row_x.source = SeqIntervalCoords(
+                x.name, x_start, x_end, False
+            ).compose(x.source)
+            row_y.source = SeqIntervalCoords(
+                y.name, y_start, y_end, False
+            ).compose(y.source)
+            a = Alignment(gapped_seq=[row_x, row_y], score=score)
+            a.score -= self._null_ll(x) + self._null_ll(y, yc)
+            return (nx, ny), a
+
+        return work
+
+    def _strip_jobs(self, seqs, cands, max_segs=None, seg_scores=None,
+                    seg_slack: float = 0.25) -> list:
+        """Strip selection for the exact pass: each candidate becomes
+        (job, [(strip, row_off, rows), ...]) with only the strips that
+        can supply the winning traceback.  When the kernel's per-strip
+        end maxima are available (seg_scores, pack_strips order — see
+        overlap_scores_kernel return_segments), only strips within
+        seg_slack nats of the pair's best strip are kept: the
+        non-winning strips (typically the always-included diagonal-0
+        strip, diagenv.cpp:53) never supply the traceback, so their f64
+        fills are pure waste."""
         from .dp.pallas_overlap import MAX_SEGS
+        from .envelope import pack_strips
 
         if max_segs is None:
             # must match the kernel's packing for seg_scores to line up
             max_segs = MAX_SEGS
-
-        def round_up(v, m):
-            return ((v + m - 1) // m) * m
-
-        results: dict = {}
         jobs: list = []
         for job in cands:
             nx, ny, y_comp, env = job
@@ -1169,6 +1393,34 @@ class QuaffOverlapAligner:
                 rows = max(min(y_len, x_len - d1) - j0 + 1, 1)
                 strips.append((s, j0 - 1, rows))
             jobs.append((job, strips))
+        return jobs
+
+    def _exact_pass(self, seqs, cands, max_segs: int = None,
+                    max_elems: int = 20_000_000, seg_scores: dict = None,
+                    seg_slack: float = 0.25) -> dict:
+        """Batched f64 parity fills for the candidate pairs, one batch row
+        per envelope STRIP rather than per bounding band: the always-
+        included diagonal 0 (diagenv.cpp:53) routinely leaves the seed
+        cluster thousands of diagonals away, so the bounding band is
+        mostly gap lanes the reference's ragged storage never touches.
+        Strips are independent DP subproblems (envelope.strips), so the
+        pair score is the max of its strip scores and the traceback runs
+        inside the winning strip.  Candidates are bucketed by padded
+        shape and chunked whole (all strips of a pair in one fill) so a
+        chunk's matrices can be dropped as soon as its pairs finish.
+
+        When the kernel's per-strip end maxima are available (seg_scores,
+        pack_strips order — see overlap_scores_kernel return_segments),
+        only strips within seg_slack nats of the pair's best strip are
+        filled: the non-winning strips (typically the always-included
+        diagonal-0 strip, diagenv.cpp:53) never supply the traceback, so
+        their f64 matrices are pure waste."""
+        def round_up(v, m):
+            return ((v + m - 1) // m) * m
+
+        results: dict = {}
+        jobs = self._strip_jobs(seqs, cands, max_segs, seg_scores,
+                                seg_slack)
 
         from .native import overlap_path_available
 
@@ -1281,95 +1533,7 @@ class QuaffOverlapAligner:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        from .dp.traceback import _cols_to_str
-        from .native import (
-            _overlap_tabs,
-            overlap_strip_score_native,
-            overlap_viterbi_path_cols,
-        )
-
-        # per-(seq, strand) arrays built up-front so the threaded native
-        # calls never touch lazy per-instance state
-        x_cache: dict = {}
-        y_cache: dict = {}
-        for (nx, ny, yc, env), _ in jobs:
-            tables, _td = self._tables(yc)
-            _overlap_tabs(tables)
-            if (nx, yc) not in x_cache:
-                x = seqs[nx]
-                x_tok = x.tokens()
-                x_q = x.qual_scores() if x.has_qual() else None
-                x_cache[(nx, yc)] = (
-                    x.kmers(tables.match_kmer_len),
-                    np.concatenate([[0], x.kmers(tables.indel_kmer_len)]),
-                    x_q,
-                    _insert_score_sum(tables, x_tok, x_q),
-                )
-            if (ny, yc) not in y_cache:
-                y_tok, y_mk, y_ik_raw, y_q = _y_strand_arrays(
-                    seqs[ny], tables
-                )
-                y_cache[(ny, yc)] = (
-                    y_mk,
-                    np.concatenate([[0], y_ik_raw]),
-                    y_q,
-                    _insert_score_sum(tables, y_tok, y_q),
-                )
-
-        def work(item):
-            (nx, ny, yc, env), strips = item
-            tables = self._tables(yc)[0]
-            x, y = seqs[nx], seqs[ny]
-            x_mk, x_ik_pad, x_q, x_ins = x_cache[(nx, yc)]
-            y_mk, y_ik_pad, y_q, y_ins = y_cache[(ny, yc)]
-            x_len, y_len = len(x.seq), len(y.seq)
-            best = 0
-            if len(strips) > 1:
-                best_sc = None
-                for k, (s, off, rows) in enumerate(strips):
-                    end = overlap_strip_score_native(
-                        x_mk, x_ik_pad, x_q, x_len, x_q is not None,
-                        y_mk, y_ik_pad, y_q, y_len, y_q is not None,
-                        off, rows, s.band_lo, s.band_width,
-                        s.member_mask(), tables,
-                    )
-                    # same summed-score comparison (and first-wins tie
-                    # order) as the matrix path's res["score"] argmax
-                    sc = (end + x_ins) + y_ins
-                    if best_sc is None or sc > best_sc:
-                        best_sc, best = sc, k
-            s, off, rows = strips[best]
-            cols, end = overlap_viterbi_path_cols(
-                x_mk, x_ik_pad, x_q, x_len, x_q is not None,
-                y_mk, y_ik_pad, y_q, y_len, y_q is not None,
-                off, rows, s.band_lo, s.band_width, s.member_mask(),
-                tables,
-            )
-            score = (end + x_ins) + y_ins
-            if cols is None or not math.isfinite(score):
-                return (nx, ny), None
-            col_x, col_y, x_start, x_end, y_start, y_end = cols
-            row_x = FastSeq(
-                name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
-            )
-            row_y = FastSeq(
-                name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
-            )
-            row_x.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
-            row_y.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
-            if x_q is not None:
-                row_x.qual = _cols_to_str(col_x, x.qual, "~")
-            if y_q is not None:
-                row_y.qual = _cols_to_str(col_y, y.qual, "~")
-            row_x.source = SeqIntervalCoords(
-                x.name, x_start, x_end, False
-            ).compose(x.source)
-            row_y.source = SeqIntervalCoords(
-                y.name, y_start, y_end, False
-            ).compose(y.source)
-            a = Alignment(gapped_seq=[row_x, row_y], score=score)
-            a.score -= self._null_ll(x) + self._null_ll(y, yc)
-            return (nx, ny), a
+        work = self._path_worker(seqs, {}, {}, jobs)
 
         results: dict = {}
         if len(jobs) > 1:
