@@ -1000,6 +1000,12 @@ class QuaffOverlapAligner:
                 exact_futs.append(exact_ex.submit(run, jobs_[i : i + chunk]))
 
         if self.mesh is None and (buckets or wide_pairs or single_set):
+            # prebuild every strand's tables on the main thread BEFORE the
+            # pool exists: workers call _tables() inside fill jobs, and the
+            # lazy rev-strand build is not thread-safe (a racing reader can
+            # observe tables_rev set while _tdev_rev is still None)
+            for yc in {j[2] for j in jobs}:
+                self._tables(yc)
             exact_ex = ThreadPoolExecutor(
                 (os.cpu_count() or 1) if use_shared_pool else 1
             )
@@ -1156,11 +1162,15 @@ class QuaffOverlapAligner:
             cands.append(job)
         _stamp("gather")
         if exact_ex is not None:
-            # incremental write: futures complete in submission order on
-            # the single worker; after each one lands, flush every
-            # leading candidate whose alignment is now known so the
-            # (serial, GIL-bound) formatting overlaps the remaining
-            # native fills instead of running as a pure tail
+            # incremental write: the pool is multi-worker with
+            # heaviest-first task sorting, so futures do NOT complete in
+            # submission order — but f.result() below WAITS in submission
+            # order, which is all the ordered flush relies on.  After
+            # each future lands, flush every leading candidate whose
+            # alignment is now known so the (serial, GIL-bound)
+            # formatting overlaps the remaining native fills instead of
+            # running as a pure tail.  (Do not refactor to as_completed:
+            # ordered flushing would break.)
             results = {}
             cursor = 0
             for f in exact_futs:
