@@ -40,6 +40,80 @@ REF_MEASURED = {
 REFERENCE_CELLS_PER_SEC = REF_MEASURED["fill_cells_per_sec"]
 
 
+def _ref_same_session(ov_reads_by_n):
+    """Re-time the reference binary inside THIS bench session.
+
+    Host conditions (CPU steal, thermal state) move whole-session
+    timings by +-40% (BASELINE.md "Round-4 measurement caveats"), so
+    dividing today's repo wall by a round-2/3 reference constant is a
+    cross-session artifact.  This re-runs the oracle binary on the
+    exact same workloads, same host, same minutes, and returns measured
+    walls; bench reports vs_ref_same_session_* from these alongside the
+    stale-constant ratios.  Protocol = tools/oracle/measure_baseline.py
+    (best-of-N wall; CPU steal only ever ADDS time).
+
+    ov_reads_by_n: {n: [FastSeq]} — the identical read sets the repo
+    overlap pass timed, written to FASTQ for the oracle.
+
+    Returns None (and bench omits the same-session family) if the
+    oracle binary is absent and cannot be built in 300 s.
+    """
+    import subprocess
+    import tempfile
+
+    repo = pathlib.Path(__file__).parent
+    quaff = pathlib.Path("/tmp/quaffref/quaff")
+    if not quaff.exists():
+        try:
+            subprocess.run(
+                ["bash", str(repo / "tools" / "oracle" / "build_ref.sh")],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=300, check=True,
+            )
+        except Exception:
+            return None
+    if not quaff.exists():
+        return None
+
+    c8f30 = str(repo / "tests" / "data" / "c8f30.fastq.gz")
+    scratch = tempfile.mkdtemp(prefix="quaffref-bench-")
+
+    def best(cmd, n):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            subprocess.run(
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                cwd=scratch,
+            )
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_align = best([str(quaff), "align", c8f30, c8f30, "-kmatchn", "14",
+                    "-fwdstrand", "-nothreshold"], n=7)
+    tr1 = best([str(quaff), "train", c8f30, c8f30, "-kmatchn", "14",
+                "-fwdstrand", "-force", "-maxiter", "1"], n=3)
+    tr3 = best([str(quaff), "train", c8f30, c8f30, "-kmatchn", "14",
+                "-fwdstrand", "-force", "-maxiter", "3"], n=3)
+    out = {
+        "c8f30_align_wall_s": round(t_align, 4),
+        "em_iter_wall_s": round((tr3 - tr1) / 2, 4),
+    }
+    for n, reads in sorted(ov_reads_by_n.items()):
+        p = pathlib.Path(scratch) / f"ov{n}.fastq"
+        with open(p, "w") as fh:
+            for r in reads:
+                r.write_fastq(fh)
+        # the single-threaded reference is N-independent in pairs/s
+        # (measured 13-14 at N=8 and N=16, BASELINE.md), so cap the
+        # repeat count as N grows to bound bench wall
+        t = best([str(quaff), "overlap", str(p), "-kmatchn", "14",
+                  "-nothreshold"], n=3 if n <= 8 else 2)
+        out[f"overlap{n}_wall_s"] = round(t, 4)
+        out[f"overlap{n}_pairs_per_sec"] = round(n * (n - 1) // 2 / t, 3)
+    return out
+
+
 def main():
     from quaff_tpu.cli import _accelerator_alive
 
@@ -309,6 +383,10 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
     # the batched device scorer amortises its dispatch latency while the
     # single-threaded reference stays at ~14 pairs/s at any N
     ov16_pps = 120 / time_overlap(16)[0]
+    # 64-read point (2016 unordered pairs): the large-N regime where
+    # batching is this framework's reason to exist — kernel dispatch,
+    # table upload, and compile shapes amortise over 16.8x more pairs
+    ov64_pps = 2016 / time_overlap(64)[0]
 
     extra = {
         "align_reads_per_sec": round(reads_per_sec, 2),
@@ -328,6 +406,7 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
         "overlap_pairs_per_sec": round(ov_pps, 3),
         "overlap_pairs": ov_pairs,
         "overlap_pairs_per_sec_16": round(ov16_pps, 3),
+        "overlap_pairs_per_sec_64": round(ov64_pps, 3),
         "ref_measured": REF_MEASURED,
     }
     if REF_MEASURED.get("overlap_pairs_per_sec"):
@@ -338,6 +417,40 @@ def _end_to_end_metrics(n_reads: int = 128, n_ov: int = 8):
         extra["vs_ref_overlap_16"] = round(
             ov16_pps / REF_MEASURED["overlap16_pairs_per_sec"], 2
         )
+
+    # ---- same-session reference family (the HEADLINE ratios) ----
+    # Everything above divides by round-2/3 constants; host conditions
+    # swing +-40% between sessions, so those are floor-quality evidence.
+    # Re-time the oracle binary now, same host, same minutes, identical
+    # workloads, and report vs_ref_same_session_* as the robust family.
+    try:
+        ref_now = _ref_same_session({
+            n_ov: _overlap_reads(n_ov, 0), 16: _overlap_reads(16, 0),
+        })
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        ref_now = None
+    if ref_now is not None:
+        extra["ref_same_session"] = ref_now
+        extra["vs_ref_same_session_align"] = round(
+            reads_per_sec * ref_now["c8f30_align_wall_s"], 2
+        )
+        extra["vs_ref_same_session_em_iter"] = round(
+            ref_now["em_iter_wall_s"] * n_reads / dt_em, 2
+        )
+        extra["vs_ref_same_session_overlap"] = round(
+            ov_pps / ref_now[f"overlap{n_ov}_pairs_per_sec"], 2
+        )
+        ref16 = ref_now["overlap16_pairs_per_sec"]
+        extra["vs_ref_same_session_overlap_16"] = round(ov16_pps / ref16, 2)
+        # the reference's pairs/s is N-independent (single-threaded
+        # scheduler, measured equal at N=8/16); its same-session 16-read
+        # rate is the denominator at 64 (a 2x2016/14 s oracle run would
+        # double bench wall for the same number)
+        extra["vs_ref_same_session_overlap_64"] = round(ov64_pps / ref16, 2)
     return extra
 
 

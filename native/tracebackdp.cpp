@@ -18,11 +18,27 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <vector>
 
 #include "lse2.h"
+
+namespace {
+// Grow-only per-thread scratch for the path fills.  A fresh
+// std::vector per call costs a ~4 MB malloc (mmap + munmap past the
+// 128 KB threshold, serialized on the kernel's mmap lock across fill
+// threads) plus zero-init and first-touch page faults EVERY call —
+// measured as the all-vs-all exact pass pinning at ~2x of 4 cores.
+// Arenas amortize all of that to the first (largest) call per thread.
+inline double* tls_scratch(int slot, int64_t n) {
+  thread_local std::vector<double> bufs[4];
+  auto& b = bufs[slot];
+  if ((int64_t)b.size() < n) b.resize(n);
+  return b.data();
+}
+}  // namespace
 
 namespace {
 
@@ -505,8 +521,8 @@ int64_t qdp_overlap_viterbi_path(
   // one local row r (true row jt = j_off + r) of the banded recursion —
   // MUST stay expression-for-expression identical to overlap_fill_impl
   // (overlapdp.cpp), with y arrays indexed at the true row.
-  std::vector<double> vbuf(5 * W);  // vector-pass scratch rows
-  double* const vex = vbuf.data();
+  double* const vbuf = tls_scratch(0, 5 * W);  // vector-pass scratch rows
+  double* const vex = vbuf;
   double* const vmm = vex + W;
   double* const vA = vmm + W;
   double* const vB = vA + W;
@@ -694,24 +710,33 @@ int64_t qdp_overlap_viterbi_path(
   // resident, and the walk then needs ZERO window refills (saves one
   // full fill pass).  Large strips keep the checkpointed scheme.  Cell
   // values are bitwise identical either way (same fill_row, same order).
-  const bool full_store = 3 * (n_rows + 1) * W * 8 <= (4 << 20);
+  // QUAFF_OV_FULLSTORE_CAP (bytes) tunes the stored-matrix ceiling:
+  // full-store trades ~1.28x less compute for 3*(rows+1)*W*8 bytes of
+  // store traffic per fill — with several fill threads sharing one
+  // DRAM interface the checkpointed scheme (2 scratch rows + 66 KB of
+  // checkpoints, near-zero store traffic) can win despite the refills.
+  static const int64_t kFullStoreCap = [] {
+    const char* s = std::getenv("QUAFF_OV_FULLSTORE_CAP");
+    return s ? (int64_t)std::atoll(s) : (int64_t)(4 << 20);
+  }();
+  const bool full_store = 3 * (n_rows + 1) * W * 8 <= kFullStoreCap;
   const int64_t Keff = full_store ? n_rows : K;
 
   // forward pass: checkpoints at local rows 0, K, 2K... (full_store:
   // the "window" buffer below doubles as the whole matrix)
   const int64_t n_ckpt = full_store ? 1 : n_rows / K + 1;
-  std::vector<double> ck(full_store ? 0 : 3 * n_ckpt * W);
-  double* ck_mat = ck.data();
+  // (full_store: ck is unused but ck_ins/ck_del pointer offsets below
+  // must stay in-bounds, so still reserve 3*W)
+  double* ck_mat = tls_scratch(1, 3 * n_ckpt * W);
   double* ck_ins = ck_mat + n_ckpt * W;
   double* ck_del = ck_ins + n_ckpt * W;
-  std::vector<double> win(3 * (Keff + 1) * W);
-  double* w_mat = win.data();
+  double* w_mat = tls_scratch(2, 3 * (Keff + 1) * W);
   double* w_ins = w_mat + (Keff + 1) * W;
   double* w_del = w_ins + (Keff + 1) * W;
-  std::vector<double> scratch(full_store ? 0 : 6 * W);
-  double* s_mat = full_store ? w_mat : scratch.data();
-  double* s_ins = full_store ? w_ins : scratch.data() + 2 * W;
-  double* s_del = full_store ? w_del : scratch.data() + 4 * W;
+  double* scratch = tls_scratch(3, full_store ? 1 : 6 * W);
+  double* s_mat = full_store ? w_mat : scratch;
+  double* s_ins = full_store ? w_ins : scratch + 2 * W;
+  double* s_del = full_store ? w_del : scratch + 4 * W;
   for (int64_t w = 0; w < W; ++w)
     s_mat[w] = s_ins[w] = s_del[w] = NEG_INF;
   if (!full_store) {
@@ -911,6 +936,46 @@ int64_t qdp_overlap_viterbi_path(
   bounds[2] = j + 1;
   bounds[3] = y_end;
   return cap - pos;
+}
+
+// Batched driver for qdp_overlap_viterbi_path: one FFI crossing per
+// task SLICE instead of per task.  The per-call ctypes marshalling
+// (~30 argument conversions) plus the GIL reacquisition convoy after
+// every native return measurably halved 4-thread exact-pass scaling
+// (T=4 ran 2.3x serial, while 4 GIL-free processes ran 3.9x); with the
+// loop in C the workers hold the GIL only to assemble the pointer
+// tables below.  Parallel per-task arrays:
+//   xyptr  [n][7]: x_mk, x_ik_pad, x_q, y_mk, y_ik_pad, y_q, member
+//   geom   [n][6]: x_len, y_len, j_off, n_rows, d_lo, W
+//   hasq   [n][2]: x_has_qual, y_has_qual
+//   tabptr [n][8]: pair_qq, pair_xq, pair_yq, pair_nn, m2m, m2i, m2d,
+//                  trans6
+//   tabdim [n][3]: Km, Q, Ki
+//   colptr [n][2]: col_x, col_y output buffers (cap = x_len + y_len)
+//   end_out[n], bounds[n][4], ret[n] (the per-task return value)
+void qdp_overlap_viterbi_path_batch(
+    int64_t n_tasks, const uint64_t* xyptr, const int64_t* geom,
+    const int32_t* hasq, const uint64_t* tabptr, const int64_t* tabdim,
+    const uint64_t* colptr, double* end_out, int64_t* bounds,
+    int64_t* ret) {
+  for (int64_t t = 0; t < n_tasks; ++t) {
+    const uint64_t* xp = xyptr + t * 7;
+    const int64_t* g = geom + t * 6;
+    const uint64_t* tp = tabptr + t * 8;
+    const int64_t* td = tabdim + t * 3;
+    ret[t] = qdp_overlap_viterbi_path(
+        (const int32_t*)xp[0], (const int32_t*)xp[1],
+        (const int32_t*)xp[2], g[0], hasq[t * 2],
+        (const int32_t*)xp[3], (const int32_t*)xp[4],
+        (const int32_t*)xp[5], g[1], hasq[t * 2 + 1],
+        g[2], g[3], g[4], g[5], (const uint8_t*)xp[6],
+        (const double*)tp[0], (const double*)tp[1],
+        (const double*)tp[2], (const double*)tp[3], td[0], td[1],
+        (const double*)tp[4], (const double*)tp[5],
+        (const double*)tp[6], td[2], (const double*)tp[7],
+        end_out + t, (int32_t*)colptr[t * 2],
+        (int32_t*)colptr[t * 2 + 1], bounds + t * 4);
+  }
 }
 
 // Read-vs-read overlap traceback with ins/del-run squashing.  Tables as

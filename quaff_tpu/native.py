@@ -215,6 +215,22 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
             f64p,  # end out
             i32p, i32p, i64p,  # col_x, col_y, bounds
         ]
+    if hasattr(lib, "qdp_overlap_viterbi_path_batch"):
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.qdp_overlap_viterbi_path_batch.restype = None
+        lib.qdp_overlap_viterbi_path_batch.argtypes = [
+            ctypes.c_int64,  # n_tasks
+            u64p,  # xyptr [n,7]
+            i64p,  # geom [n,6]
+            ctypes.POINTER(ctypes.c_int32),  # hasq [n,2]
+            u64p,  # tabptr [n,8]
+            i64p,  # tabdim [n,3]
+            u64p,  # colptr [n,2]
+            ctypes.POINTER(ctypes.c_double),  # end_out [n]
+            i64p,  # bounds [n,4]
+            i64p,  # ret [n]
+        ]
     if hasattr(lib, "qdp_align_viterbi_path"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -673,6 +689,124 @@ def overlap_viterbi_path_cols(
         ),
         float(end[0]),
     )
+
+
+def overlap_viterbi_path_cols_batch(tasks):
+    """Batched overlap_viterbi_path_cols: ONE native call for a slice
+    of tasks (qdp_overlap_viterbi_path_batch).  Each task is the same
+    argument tuple the per-call wrapper takes:
+
+        (x_mk, x_ik_pad, x_q|None, x_len, x_has_qual,
+         y_mk, y_ik_pad, y_q|None, y_len, y_has_qual,
+         j_off, n_rows, d_lo, W, member, tables)
+
+    and the return is [(cols|None, end), ...] with per-element values
+    identical to overlap_viterbi_path_cols.  The point is the exact
+    pass's thread scaling: per-task ctypes marshalling (~30 argument
+    conversions) and the GIL reacquisition after every native return
+    capped 4 pool threads at ~2.3x serial; batching keeps workers in
+    GIL-free native code for a whole slice (measured 3.9x in a
+    GIL-free process control).  Falls back to per-call when the
+    library lacks the symbol.  Raises on a broken traceback."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qdp_overlap_viterbi_path_batch"):
+        return [overlap_viterbi_path_cols(*t) for t in tasks]
+    n = len(tasks)
+    if n == 0:
+        return []
+    xyptr = np.empty((n, 7), np.uint64)
+    geom = np.empty((n, 6), np.int64)
+    hasq = np.empty((n, 2), np.int32)
+    tabptr = np.empty((n, 8), np.uint64)
+    tabdim = np.empty((n, 3), np.int64)
+    colptr = np.empty((n, 2), np.uint64)
+    end = np.zeros(n, np.float64)
+    bounds = np.zeros((n, 4), np.int64)
+    ret = np.zeros(n, np.int64)
+
+    keep = []  # contiguous copies must outlive the native call
+    tabs_cache: dict = {}
+    caps = np.asarray(
+        [int(t[3]) + int(t[8]) for t in tasks], np.int64
+    )
+    offs = np.concatenate([[0], np.cumsum(caps)])
+    arena_x = np.empty(int(offs[-1]), np.int32)
+    arena_y = np.empty(int(offs[-1]), np.int32)
+    max_len = int(max(max(int(t[3]), int(t[8])) for t in tasks))
+    zeros_q = np.zeros(max(max_len, 1), np.int32)  # shared no-qual row
+
+    def contig(a, dt):
+        c = np.ascontiguousarray(a, dt)
+        if c is not a:
+            keep.append(c)
+        return c
+
+    for i, t in enumerate(tasks):
+        (x_mk, x_ik_pad, x_q, x_len, x_hq,
+         y_mk, y_ik_pad, y_q, y_len, y_hq,
+         j_off, n_rows, d_lo, W, member, tables) = t
+        tkey = id(tables)
+        tabs = tabs_cache.get(tkey)
+        if tabs is None:
+            tabs = tabs_cache[tkey] = _overlap_tabs(tables)
+        xyptr[i, 0] = contig(x_mk, np.int32).ctypes.data
+        xyptr[i, 1] = contig(x_ik_pad, np.int32).ctypes.data
+        xyptr[i, 2] = (
+            contig(x_q, np.int32) if x_q is not None else zeros_q
+        ).ctypes.data
+        xyptr[i, 3] = contig(y_mk, np.int32).ctypes.data
+        xyptr[i, 4] = contig(y_ik_pad, np.int32).ctypes.data
+        xyptr[i, 5] = (
+            contig(y_q, np.int32) if y_q is not None else zeros_q
+        ).ctypes.data
+        xyptr[i, 6] = contig(member, np.uint8).ctypes.data
+        geom[i] = (int(x_len), int(y_len), int(j_off), int(n_rows),
+                   int(d_lo), int(W))
+        hasq[i] = (int(bool(x_hq)), int(bool(y_hq)))
+        for k, name in enumerate(
+            ("pair_qq", "pair_xq", "pair_yq", "pair_nn",
+             "m2m", "m2i", "m2d", "trans")
+        ):
+            tabptr[i, k] = tabs[name].ctypes.data
+        tabdim[i] = (tabs["pair_qq"].shape[0], tabs["pair_qq"].shape[2],
+                     tabs["m2m"].shape[0])
+        colptr[i, 0] = arena_x.ctypes.data + int(offs[i]) * 4
+        colptr[i, 1] = arena_y.ctypes.data + int(offs[i]) * 4
+
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.qdp_overlap_viterbi_path_batch(
+        n,
+        xyptr.ctypes.data_as(u64p),
+        geom.ctypes.data_as(i64p),
+        hasq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tabptr.ctypes.data_as(u64p),
+        tabdim.ctypes.data_as(i64p),
+        colptr.ctypes.data_as(u64p),
+        end.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        bounds.ctypes.data_as(i64p),
+        ret.ctypes.data_as(i64p),
+    )
+
+    out = []
+    for i in range(n):
+        ni = int(ret[i])
+        if ni == -2:
+            out.append((None, float(end[i])))
+            continue
+        if ni < 0:
+            raise RuntimeError("Traceback error: no finite source")
+        o, cap = int(offs[i]), int(caps[i])
+        out.append((
+            (
+                arena_x[o + cap - ni : o + cap],
+                arena_y[o + cap - ni : o + cap],
+                int(bounds[i, 0]), int(bounds[i, 1]),
+                int(bounds[i, 2]), int(bounds[i, 3]),
+            ),
+            float(end[i]),
+        ))
+    return out
 
 
 def align_fill_native(batch, tables, mode: str = "viterbi",

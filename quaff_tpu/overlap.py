@@ -708,22 +708,117 @@ class QuaffOverlapAligner:
 
         packed: dict = {}
         wide_pairs = set()
+        single_set: set = set()
         # thread the prep only when per-pair work is substantial (long
-        # reads): at all-vs-all bench sizes the native k-mer join runs
-        # 0.24 ms/pair and pool dispatch overhead makes it SLOWER
-        # (measured 0.086 s serial vs 0.137 s pooled at 360 pairs)
+        # reads): the envelope build is mostly GIL-bound Python around
+        # the native k-mer join, so pooling it is SLOWER at all-vs-all
+        # sizes — measured 0.086 s serial vs 0.137 s pooled at 360
+        # pairs, and 1.27 s serial vs 3.67 s pooled at 6048 pairs
+        # (round 5; don't retry the pair-count gate)
         total_bases = sum(len(s.seq) for s in seqs)
-        if (
+        threaded_prep = (
             self.config.threads > 1
             and len(pair_list) > 1
             and total_bases / max(len(seqs), 1) > 16384
-        ):
-            from concurrent.futures import ThreadPoolExecutor
+        )
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .native import overlap_path_available
+
+        slack = 1.0
+        exact_futs = []
+        exact_ex = None
+        use_shared_pool = overlap_path_available()
+        shared_xc: dict = {}
+        shared_yc: dict = {}
+
+        def _exact_timed(tag, *a, **kw):
+            _stamp(f"exact_start {tag}")
+            r = self._exact_pass(*a, **kw)
+            _stamp(f"exact_end {tag}")
+            return r
+
+        def _submit_path_jobs(tag, cands_, seg_scores=None, chunk=12):
+            jobs_ = self._strip_jobs(seqs, cands_, seg_scores=seg_scores)
+            # heaviest first: the pool drains FIFO, so an expensive pair
+            # queued last becomes the wall-clock pole of the whole pass
+            jobs_.sort(
+                key=lambda it: -sum(r * s.band_width for s, _, r in it[1])
+            )
+            # render=False: workers return raw traceback payloads and the
+            # incremental writer below renders them on the main thread —
+            # keeping the workers' duty cycle almost purely native
+            # (GIL-free) so 4 fills genuinely run on 4 cores
+            w = self._path_worker(
+                seqs, shared_xc, shared_yc, jobs_, render=False
+            )
+
+            def run(slice_):
+                _stamp(f"exact_start {tag}+{len(slice_)}")
+                r = w.slice(slice_)
+                _stamp(f"exact_end {tag}+{len(slice_)}")
+                return r
+
+            for i in range(0, len(jobs_), chunk):
+                exact_futs.append(exact_ex.submit(run, jobs_[i : i + chunk]))
+
+        # Streaming early-exact (QUAFF_OV_STREAM_PREP=1, default OFF):
+        # classify each pair AS PREP BUILDS IT and submit single-strip /
+        # wide fills immediately, hoping to overlap the ~1.2 s GIL-bound
+        # serial envelope loop with the pool's GIL-free fills.  Measured
+        # a WASH at N=64 (interleaved A/B: 236 vs 247 pairs/s medians,
+        # within host noise) — the prep loop holds the GIL continuously,
+        # so worker pick/emit glue starves and slices launch late.
+        # Kept as an experiment knob; don't flip the default without an
+        # interleaved same-session A/B.
+        streamed = (
+            self.mesh is None
+            and use_shared_pool
+            and not threaded_prep
+            and printer.log_odds_threshold == NEG_INF
+            and os.environ.get("QUAFF_OV_EARLY_EXACT", "1") != "0"
+            and os.environ.get("QUAFF_OV_STREAM_PREP", "0") == "1"
+            and len(pair_list) > 1
+        )
+        stream_buf: list = []
+
+        def _stream_flush(final=False):
+            # ~2-slice batches; hold a remainder so slices stay full
+            # (the batched native call amortises per-slice overhead)
+            while stream_buf and (final or len(stream_buf) >= 24):
+                take = stream_buf[:24]
+                del stream_buf[:24]
+                _submit_path_jobs("stream", take)
+
+        if streamed:
+            # prebuild every strand's tables BEFORE the pool exists: the
+            # lazy rev-strand build is not thread-safe (a racing reader
+            # can observe tables_rev set while _tdev_rev is still None)
+            for yc in {False} | {p[2] for p in pair_list}:
+                self._tables(yc)
+            exact_ex = ThreadPoolExecutor(os.cpu_count() or 1)
+
+        if threaded_prep:
             with ThreadPoolExecutor(self.config.threads) as ex:
                 built = list(ex.map(_pair_job, pair_list))
         else:
-            built = [_pair_job(p) for p in pair_list]
+            built = []
+            for p in pair_list:
+                r = _pair_job(p)
+                built.append(r)
+                if streamed:
+                    job, desc, wide = r
+                    nxny = (job[0], job[1])
+                    if wide:
+                        wide_pairs.add(nxny)
+                        stream_buf.append(job)
+                    elif int(np.count_nonzero(desc[3][0])) <= 1:
+                        single_set.add(nxny)
+                        stream_buf.append(job)
+                    _stream_flush()
+        if streamed:
+            _stream_flush(final=True)
         _stamp(f"prep done ({len(built)} pairs)")
         jobs = []
         for job, desc, wide in built:
@@ -755,9 +850,9 @@ class QuaffOverlapAligner:
         # kernel dispatch+fetch latency of the multi-strip minority
         # (226/360 pairs are single-strip on the bench workload; the
         # exact pass, not the device, is the measured critical path).
-        single_set: set = set()
         if (
-            self.mesh is None
+            not streamed
+            and self.mesh is None
             and printer.log_odds_threshold == NEG_INF
             and os.environ.get("QUAFF_OV_EARLY_EXACT", "1") != "0"
         ):
@@ -964,42 +1059,13 @@ class QuaffOverlapAligner:
         # Python-bound items (tiny diagonal-0 strips, string building)
         # interleave across the workers, hiding the GIL work under the
         # fills instead of serialising the two classes back to back.
-        from concurrent.futures import ThreadPoolExecutor
-
-        from .native import overlap_path_available
-
-        slack = 1.0
-        exact_futs = []
-        exact_ex = None
-        use_shared_pool = overlap_path_available()
-        shared_xc: dict = {}
-        shared_yc: dict = {}
-
-        def _exact_timed(tag, *a, **kw):
-            _stamp(f"exact_start {tag}")
-            r = self._exact_pass(*a, **kw)
-            _stamp(f"exact_end {tag}")
-            return r
-
-        def _submit_path_jobs(tag, cands_, seg_scores=None, chunk=12):
-            jobs_ = self._strip_jobs(seqs, cands_, seg_scores=seg_scores)
-            # heaviest first: the pool drains FIFO, so an expensive pair
-            # queued last becomes the wall-clock pole of the whole pass
-            jobs_.sort(
-                key=lambda it: -sum(r * s.band_width for s, _, r in it[1])
-            )
-            w = self._path_worker(seqs, shared_xc, shared_yc, jobs_)
-
-            def run(slice_):
-                _stamp(f"exact_start {tag}+{len(slice_)}")
-                r = dict(w(item) for item in slice_)
-                _stamp(f"exact_end {tag}+{len(slice_)}")
-                return r
-
-            for i in range(0, len(jobs_), chunk):
-                exact_futs.append(exact_ex.submit(run, jobs_[i : i + chunk]))
-
-        if self.mesh is None and (buckets or wide_pairs or single_set):
+        # (When `streamed`, the pool already exists and the wide/single
+        # jobs were submitted DURING prep.)
+        if (
+            not streamed
+            and self.mesh is None
+            and (buckets or wide_pairs or single_set)
+        ):
             # prebuild every strand's tables on the main thread BEFORE the
             # pool exists: workers call _tables() inside fill jobs, and the
             # lazy rev-strand build is not thread-safe (a racing reader can
@@ -1181,6 +1247,8 @@ class QuaffOverlapAligner:
                         break
                     a = results[key]
                     if a is not None:
+                        if isinstance(a, tuple):  # deferred render
+                            a = self._render_path(seqs, a)
                         printer.write_alignment(out, a)
                     cursor += 1
             exact_ex.shutdown()
@@ -1191,6 +1259,8 @@ class QuaffOverlapAligner:
         for nx, ny, y_comp, env in cands[cursor:]:
             a = results[(nx, ny)]
             if a is not None:
+                if isinstance(a, tuple):  # deferred render
+                    a = self._render_path(seqs, a)
                 printer.write_alignment(out, a)
         _stamp("write done")
 
@@ -1250,7 +1320,7 @@ class QuaffOverlapAligner:
                     for (nx, ny, yc, env), sc in zip(chunk, srow):
                         scored[(nx, ny)] = float(sc)
 
-    def _path_worker(self, seqs, x_cache, y_cache, jobs):
+    def _path_worker(self, seqs, x_cache, y_cache, jobs, render=True):
         """Per-item exact-path work callable over SHARED lazy caches.
 
         Strand score tables are prebuilt here (their lazy build is not
@@ -1258,12 +1328,23 @@ class QuaffOverlapAligner:
         tolerate concurrent duplicate computes (values are deterministic
         — a racing write just overwrites with an equal value), so one
         (x_cache, y_cache) pair can back work items spread across many
-        pool tasks."""
+        pool tasks.
+
+        render=False returns raw traceback payloads instead of Alignment
+        objects (finish with _render_path).  Pool workers use this: the
+        string building is GIL-bound, and with 4 workers cycling
+        [native fill, GIL-free] -> [render, GIL] the GIL demand sits
+        near 100% duty and the fills stall waiting to reacquire it
+        (measured 2.1x per-call wall inflation, ~2.1/4 core utilisation
+        at N=64).  Rendering on the main-thread writer loop instead
+        overlaps it with the fills without contending for workers'
+        GIL slots."""
         from .dp.traceback import _cols_to_str
         from .native import (
             _overlap_tabs,
             overlap_strip_score_native,
             overlap_viterbi_path_cols,
+            overlap_viterbi_path_cols_batch,
         )
 
         for (nx, ny, yc, env), _ in jobs:
@@ -1303,13 +1384,14 @@ class QuaffOverlapAligner:
                 y_cache[(ny, yc)] = v
             return v
 
-        def work(item):
+        def pick(item):
+            """Winner strip + the per-call argument tuple for one item."""
             (nx, ny, yc, env), strips = item
             tables = self._tables(yc)[0]
-            x, y = seqs[nx], seqs[ny]
             x_mk, x_ik_pad, x_q, x_ins = get_x(nx, yc)
             y_mk, y_ik_pad, y_q, y_ins = get_y(ny, yc)
-            x_len, y_len = len(x.seq), len(y.seq)
+            x_len = len(seqs[nx].seq)
+            y_len = len(seqs[ny].seq)
             best = 0
             if len(strips) > 1:
                 best_sc = None
@@ -1326,39 +1408,74 @@ class QuaffOverlapAligner:
                     if best_sc is None or sc > best_sc:
                         best_sc, best = sc, k
             s, off, rows = strips[best]
-            cols, end = overlap_viterbi_path_cols(
+            return (nx, ny, yc, x_ins, y_ins, (
                 x_mk, x_ik_pad, x_q, x_len, x_q is not None,
                 y_mk, y_ik_pad, y_q, y_len, y_q is not None,
                 off, rows, s.band_lo, s.band_width, s.member_mask(),
                 tables,
-            )
+            ))
+
+        def emit(nx, ny, yc, x_ins, y_ins, cols, end):
             score = (end + x_ins) + y_ins
             if cols is None or not math.isfinite(score):
                 return (nx, ny), None
-            col_x, col_y, x_start, x_end, y_start, y_end = cols
-            row_x = FastSeq(
-                name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
+            if not render:
+                return (nx, ny), (nx, ny, yc, cols, score)
+            return (nx, ny), self._render_path(
+                seqs, (nx, ny, yc, cols, score)
             )
-            row_y = FastSeq(
-                name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
-            )
-            row_x.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
-            row_y.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
-            if x_q is not None:
-                row_x.qual = _cols_to_str(col_x, x.qual, "~")
-            if y_q is not None:
-                row_y.qual = _cols_to_str(col_y, y.qual, "~")
-            row_x.source = SeqIntervalCoords(
-                x.name, x_start, x_end, False
-            ).compose(x.source)
-            row_y.source = SeqIntervalCoords(
-                y.name, y_start, y_end, False
-            ).compose(y.source)
-            a = Alignment(gapped_seq=[row_x, row_y], score=score)
-            a.score -= self._null_ll(x) + self._null_ll(y, yc)
-            return (nx, ny), a
 
+        def work(item):
+            nx, ny, yc, x_ins, y_ins, args = pick(item)
+            cols, end = overlap_viterbi_path_cols(*args)
+            return emit(nx, ny, yc, x_ins, y_ins, cols, end)
+
+        def work_slice(items):
+            """All items of a slice through ONE batched native call —
+            the worker stays in GIL-free C for the whole slice's fills
+            instead of reacquiring the GIL 30-argument-marshalling
+            per task (the measured 4-thread scaling limiter)."""
+            picks = [pick(item) for item in items]
+            res = overlap_viterbi_path_cols_batch([p[5] for p in picks])
+            return dict(
+                emit(nx, ny, yc, xi, yi, cols, end)
+                for (nx, ny, yc, xi, yi, _), (cols, end)
+                in zip(picks, res)
+            )
+
+        work.slice = work_slice
         return work
+
+    def _render_path(self, seqs, payload):
+        """Alignment object from a _path_worker(render=False) payload —
+        the GIL-bound half of the exact pass, run on the main-thread
+        writer loop so it overlaps the pool's native fills."""
+        from .dp.traceback import _cols_to_str
+
+        nx, ny, yc, cols, score = payload
+        x, y = seqs[nx], seqs[ny]
+        col_x, col_y, x_start, x_end, y_start, y_end = cols
+        row_x = FastSeq(
+            name="read_x", comment=f"substr({x.name},{x_start}..{x_end})"
+        )
+        row_y = FastSeq(
+            name="read_y", comment=f"substr({y.name},{y_start}..{y_end})"
+        )
+        row_x.seq = _cols_to_str(col_x, x.seq, GAP_CHAR)
+        row_y.seq = _cols_to_str(col_y, y.seq, GAP_CHAR)
+        if x.has_qual():
+            row_x.qual = _cols_to_str(col_x, x.qual, "~")
+        if y.has_qual():
+            row_y.qual = _cols_to_str(col_y, y.qual, "~")
+        row_x.source = SeqIntervalCoords(
+            x.name, x_start, x_end, False
+        ).compose(x.source)
+        row_y.source = SeqIntervalCoords(
+            y.name, y_start, y_end, False
+        ).compose(y.source)
+        a = Alignment(gapped_seq=[row_x, row_y], score=score)
+        a.score -= self._null_ll(x) + self._null_ll(y, yc)
+        return a
 
     def _strip_jobs(self, seqs, cands, max_segs=None, seg_scores=None,
                     seg_slack: float = 0.25) -> list:
