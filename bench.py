@@ -139,9 +139,67 @@ def main():
         return _main_cpu_fallback()
 
 
+def _first_result_metrics():
+    """One-shot time-to-first-result through the production pipelines,
+    measured BEFORE this process touches the accelerator: the
+    small-workload native gates (QUAFF_NATIVE_SMALL_CELLS) answer these
+    host-side without even initialising the backend — the reference's
+    only usage model is the one-shot binary (t/quaff.cpp:104-326,
+    0.099 s measured), and the process's first device dispatch costs
+    seconds on the axon tunnel.  MUST run before any jax backend
+    init / kernel dispatch in this process (the gates key off
+    KERNEL_WARM and skip themselves once a kernel has run)."""
+    import io
+
+    from quaff_tpu.aligner import DPConfig, QuaffAligner
+    from quaff_tpu.formats.alignment import AlignmentPrinter
+    from quaff_tpu.io.fastseq import add_revcomps, read_fast_seqs
+    from quaff_tpu.model.params import QuaffNullParams, default_params
+    from quaff_tpu.overlap import QuaffOverlapAligner
+
+    data = pathlib.Path(__file__).parent / "tests" / "data"
+    ref = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
+    ref.qual = ""
+    read = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
+    params = default_params()
+    printer = AlignmentPrinter()
+    printer.log_odds_threshold = float("-inf")
+    config = DPConfig(kmer_threshold=14, threads=4)
+    null = QuaffNullParams.fit([read])
+    t0 = time.perf_counter()
+    aligner = QuaffAligner(params, null, config)
+    out = io.StringIO()
+    aligner.align_all(out, [ref], [read], printer)
+    dt_align = time.perf_counter() - t0
+    assert "Score" in out.getvalue()
+
+    ov_reads = _overlap_reads(8, 0)
+    ov_null = QuaffNullParams.fit(ov_reads)
+    t0 = time.perf_counter()
+    ov = QuaffOverlapAligner(params, ov_null, config)
+    out = io.StringIO()
+    ov.align_all(out, add_revcomps(ov_reads), 8, printer)
+    dt_ov = time.perf_counter() - t0
+    return {
+        "align_first_result_seconds": round(dt_align, 3),
+        "overlap_first_result_seconds": round(dt_ov, 3),
+    }
+
+
 def _main_accelerator():
     import jax
     import jax.numpy as jnp
+
+    # one-shot TTFR first: these must precede the process's first
+    # backend init / kernel dispatch (see _first_result_metrics)
+    first_result = None
+    try:
+        first_result = _first_result_metrics()
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
 
     from quaff_tpu.dp.engine import PairBatch, device_batch, device_tables
     from quaff_tpu.dp.pallas_v2 import V2Tables, scores_v2_device
@@ -227,6 +285,8 @@ def _main_accelerator():
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+    if first_result:
+        result.setdefault("extra", {}).update(first_result)
     print(json.dumps(result))
 
 

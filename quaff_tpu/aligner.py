@@ -151,10 +151,20 @@ class QuaffAligner:
         self.config = config
         self.print_all = print_all
         self.tables = ScoreTables.from_params(params)
-        self._tdev = device_tables(self.tables)
+        self._tdev_cache = None
         # -mesh: device mesh for sharded batch scoring (set by the CLI;
         # winner tracebacks stay host-side either way)
         self.mesh = None
+
+    @property
+    def _tdev(self):
+        """Engine device tables, built on first use: building them at
+        construction initialised the backend (an ~8 s axon tunnel
+        handshake) and uploaded tables a native small-workload run
+        never touches (time-to-first-result)."""
+        if self._tdev_cache is None:
+            self._tdev_cache = device_tables(self.tables)
+        return self._tdev_cache
 
     def _use_fast_scores(self) -> bool:
         """On TPU backends, rank candidate refs with the Pallas kernel and
@@ -184,24 +194,61 @@ class QuaffAligner:
         envs = [
             self.config.make_envelope(x, y_index, VITERBI_CELL_SIZE) for x in refs
         ]
-        fast = self._use_fast_scores()
-        if fast:
-            from .dp.pallas_v2 import batch_max_prop, scores_v2_device
+        # Time-to-first-result: a small workload's whole score pass is
+        # cheaper on the host natively (f64, bitwise engine parity) than
+        # even INITIALISING the device backend — the axon tunnel
+        # handshake costs ~8 s and the remote compiler then recompiles
+        # Pallas kernels server-side per process, so a one-shot `quaff
+        # align` paid 10+ s for ~0.1 s of fill.  Decide the under-budget
+        # route (QUAFF_NATIVE_SMALL_CELLS member cells, 0 disables)
+        # BEFORE calling _use_fast_scores (whose jax.default_backend()
+        # triggers the backend init); the winner traceback below is
+        # host-native either way.  The picks can only get MORE
+        # reference-faithful: f64 ranking instead of the f32 kernel's.
+        from .dp import pallas_v2 as _pv2
 
-            # lane-packed strips: multi-cluster envelopes cost their
-            # member lanes, not their bounding band
-            kbatch = PairBatch.build_packed(
+        scores = None
+        fast = True
+        budget = int(
+            os.environ.get("QUAFF_NATIVE_SMALL_CELLS", "40000000")
+        )
+        if (
+            budget
+            and not _pv2.KERNEL_WARM  # warm kernel beats native
+            and (jax.config.jax_platforms or "") != "cpu"  # no init
+            and sum(e.num_cells for e in envs) * 2 <= budget
+        ):
+            from .native import align_score_native
+
+            batch = PairBatch.build(
                 [(x, y, e) for x, e in zip(refs, envs)], self.tables
             )
-            scores = np.asarray(
-                scores_v2_device(
-                    self.tables, self._v2_tables(y.has_qual()),
-                    device_batch(kbatch),
-                    mode="viterbi", local=self.config.local,
-                    max_prop=batch_max_prop(kbatch),
-                ),
-                dtype=np.float64,
+            s = align_score_native(
+                batch, self.tables, mode="viterbi",
+                local=self.config.local,
             )
+            if s is not None:
+                scores = np.asarray(s, dtype=np.float64)
+        if scores is None:
+            fast = self._use_fast_scores()
+        if fast:
+            if scores is None:
+                from .dp.pallas_v2 import batch_max_prop, scores_v2_device
+
+                # lane-packed strips: multi-cluster envelopes cost their
+                # member lanes, not their bounding band
+                kbatch = PairBatch.build_packed(
+                    [(x, y, e) for x, e in zip(refs, envs)], self.tables
+                )
+                scores = np.asarray(
+                    scores_v2_device(
+                        self.tables, self._v2_tables(y.has_qual()),
+                        device_batch(kbatch),
+                        mode="viterbi", local=self.config.local,
+                        max_prop=batch_max_prop(kbatch),
+                    ),
+                    dtype=np.float64,
+                )
         else:
             batch = PairBatch.build(
                 [(x, y, e) for x, e in zip(refs, envs)], self.tables
@@ -402,7 +449,28 @@ class QuaffAligner:
         plog = ProgressLogger(level=2)
         plog.init_progress("Alignment")
         printer.write_header(out, refs, group_by_query=True)
-        if len(reads) <= 1:
+        # small workloads skip the batched pipeline: align_read's
+        # native under-budget gate then answers one-shot invocations
+        # without ever paying the process's first device dispatch
+        # (time-to-first-result; the per-read cell budget still falls
+        # back to the kernel for long reads)
+        from .dp import pallas_v2 as _pv2
+
+        import jax
+
+        small_pairs = int(os.environ.get("QUAFF_NATIVE_SMALL_PAIRS", "32"))
+        # backend probe WITHOUT jax.default_backend(): that call
+        # initialises the backend (an ~8 s axon tunnel handshake), which
+        # is exactly what the small-workload route exists to avoid.
+        # Explicitly CPU-pinned runs (tests, QUAFF_TPU_PLATFORM=cpu)
+        # keep the batched engine path.
+        cpu_pinned = (jax.config.jax_platforms or "") == "cpu"
+        if len(reads) <= 1 or (
+            self.mesh is None
+            and not cpu_pinned
+            and not _pv2.KERNEL_WARM  # warm kernel: pipeline wins
+            and len(reads) * max(len(refs), 1) <= small_pairs
+        ):
             for y in reads:
                 for a in self.align_read(refs, y):
                     printer.write_alignment(out, a)

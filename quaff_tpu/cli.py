@@ -326,37 +326,75 @@ def _parse_unknown(args: deque, implicit: List[str], unlimited: bool) -> bool:
     return True
 
 
-def _accelerator_alive(default_timeout: float = 120.0) -> bool:
-    """Probe device enumeration in a subprocess with a hard timeout.
+def _probe_platform(default_timeout: float = 120.0):
+    """Probe device enumeration in a subprocess with a hard timeout and
+    return the default platform string ("tpu", "cpu", ...), None when
+    the probe timed out (dead accelerator link), or "" when it could
+    not run at all (OSError — an unprobeable environment behaves as
+    before).
 
     A dead accelerator link makes jax.devices() block forever in a
     SIGTERM-immune C call; a subprocess can be killed.  The probe runs
     unconditionally (it cannot tell whether an accelerator plugin is
     configured without initialising one — the thing that hangs) and
-    costs one subprocess jax import; returns True when it cannot run at
-    all (OSError) so an unprobeable environment behaves as before.
-    Timeout via QUAFF_TPU_PROBE_TIMEOUT seconds (0 disables the probe,
-    skipping straight to the normal backend selection)."""
+    costs one subprocess jax import (~10 s on the axon tunnel) —
+    so a SUCCESSFUL result is cached on disk for
+    QUAFF_TPU_PROBE_TTL seconds (default 600; 0 disables the cache):
+    one-shot CLI invocations are exactly the case where that wall
+    dominates the whole run (time-to-first-result), and accelerator
+    liveness does not flip between back-to-back commands.  Timeout via
+    QUAFF_TPU_PROBE_TIMEOUT seconds (0 disables the probe, skipping
+    straight to the normal backend selection)."""
+    import json
     import os
     import subprocess
     import sys
+    import tempfile
+    import time
 
     timeout_s = float(
         os.environ.get("QUAFF_TPU_PROBE_TIMEOUT", str(default_timeout))
     )
     if timeout_s <= 0:
-        return True
+        return ""
+    ttl = float(os.environ.get("QUAFF_TPU_PROBE_TTL", "600"))
+    cache_path = os.path.join(
+        tempfile.gettempdir(), f"quaff_tpu_probe_{os.getuid()}.json"
+    )
+    if ttl > 0:
+        try:
+            with open(cache_path) as fh:
+                c = json.load(fh)
+            if time.time() - c["time"] <= ttl and c.get("platform"):
+                return c["platform"]
+        except (OSError, ValueError, KeyError):
+            pass
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
             timeout=timeout_s,
             capture_output=True,
         )
-        return r.returncode == 0
+        if r.returncode != 0:
+            return None
+        platform = r.stdout.decode().strip().split()[-1]
     except subprocess.TimeoutExpired:
-        return False
+        return None
     except OSError:
-        return True
+        return ""
+    if ttl > 0 and platform:
+        try:
+            with open(cache_path, "w") as fh:
+                json.dump({"platform": platform, "time": time.time()}, fh)
+        except OSError:
+            pass
+    return platform
+
+
+def _accelerator_alive(default_timeout: float = 120.0) -> bool:
+    """True when device enumeration works (see _probe_platform)."""
+    return _probe_platform(default_timeout) is not None
 
 
 def _peek_distributed_args(argv: List[str]) -> dict:
@@ -405,18 +443,24 @@ def _setup_jax_precision(dist_args: Optional[dict] = None):
         jax.config.update("jax_platforms", platform)
     elif jax.config.jax_platforms:
         pass  # already pinned in-process (e.g. the test conftest)
-    elif not _accelerator_alive():
-        # a dead accelerator link makes the first device query block
-        # forever (SIGTERM-immune C call); probe in a killable
-        # subprocess and fall back to the CPU backend with a warning
-        import sys
+    else:
+        probed = _probe_platform()
+        if probed is None:
+            # a dead accelerator link makes the first device query block
+            # forever (SIGTERM-immune C call); probe in a killable
+            # subprocess and fall back to the CPU backend with a warning
+            import sys
 
-        print(
-            "quaff-tpu: accelerator unreachable, falling back to the CPU"
-            " backend (set QUAFF_TPU_PLATFORM to override)",
-            file=sys.stderr,
-        )
-        jax.config.update("jax_platforms", "cpu")
+            print(
+                "quaff-tpu: accelerator unreachable, falling back to the"
+                " CPU backend (set QUAFF_TPU_PLATFORM to override)",
+                file=sys.stderr,
+            )
+            jax.config.update("jax_platforms", "cpu")
+        elif probed == "cpu":
+            # CPU-only host: pin the platform so the x64 decision below
+            # needs no in-process backend initialisation
+            jax.config.update("jax_platforms", "cpu")
     if dist_args:
         # join the multi-host cluster before the first backend query
         from .parallel.distributed import init_distributed
@@ -432,7 +476,11 @@ def _setup_jax_precision(dist_args: Optional[dict] = None):
     want = os.environ.get("QUAFF_TPU_X64")
     if want is not None:
         jax.config.update("jax_enable_x64", want not in ("0", "false"))
-    elif jax.default_backend() == "cpu":
+    elif (jax.config.jax_platforms or "").split(",")[0] == "cpu":
+        # decided from the pinned/probed platform rather than
+        # jax.default_backend(): that call initialises the backend — an
+        # ~8 s axon tunnel handshake a small native-path workload never
+        # needs (time-to-first-result)
         jax.config.update("jax_enable_x64", True)
     # on accelerator backends x64 stays off globally (the Pallas kernels
     # require 32-bit mode); parity computations use precision.x64_scope

@@ -54,6 +54,10 @@ C_INSY = 4  # y-side insert emission
 C_NEW = 5  # + seg*5 + w: incoming column for x-side window w of segment
 #            seg (w = 0..3: msX[r], w = 4: insert window)
 MAX_SEGS = 3  # lane-packed strips per pair (more get merged)
+
+# True once this process has dispatched an overlap score kernel (see
+# pallas_v2.KERNEL_WARM — same time-to-first-result gate).
+KERNEL_WARM = False
 NUM_CH = 24
 
 # gap-order->0 layout: two extra y channels (gap-open at the current row,
@@ -699,6 +703,10 @@ def overlap_scores_kernel(tables, batch, interpret: bool = False,
     maxima): callers dispatching many chunks through a tunnelled device
     drain them all after the last enqueue rather than paying one RTT
     per chunk."""
+    # the process's first dispatch pays the axon server-side kernel
+    # recompile (seconds); the small-workload native gate keys off this
+    global KERNEL_WARM
+    KERNEL_WARM = True
     if "member_packed" in batch:
         B, W8 = batch["member_packed"].shape
         W0 = W8 * 8

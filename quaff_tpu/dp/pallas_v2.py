@@ -58,6 +58,13 @@ NUM_KEYS = 12
 # +25% cells/s over the 16 MiB-bound B=512).
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
+# True once this process has dispatched a v2 score kernel: the first
+# dispatch pays the axon remote compiler's server-side recompile
+# (seconds even on a local cache hit), so small-workload gates route
+# natively only while this is False (time-to-first-result) and use the
+# already-warm kernel afterwards.
+KERNEL_WARM = False
+
 # lane-padded quality block: emission tables store each ref symbol's
 # [Km, Q] slab in its own 128-lane block so per-symbol slices are
 # lane-aligned (Q = 94 quality levels, padded with zeros to 128)
@@ -893,6 +900,10 @@ def scores_v2_device(tables, v2tab: "V2Tables", batch: dict,
     packed [B + B*S] device array is returned instead, so callers
     dispatching many chunks through a tunnelled device drain them all
     after the last enqueue rather than paying one RTT per chunk."""
+    # the process's first dispatch pays the axon server-side kernel
+    # recompile (seconds); the small-workload native gates key off this
+    global KERNEL_WARM
+    KERNEL_WARM = True
     dev = _scores_v2_jit(
         v2tab.emis, v2tab.insv, v2tab.ik, batch,
         jnp.asarray(v2tab.trans, jnp.float32),

@@ -57,6 +57,17 @@ def _ov_vmem_cells() -> int:
     import os
 
     return int(os.environ.get("QUAFF_OV_VMEM_CELLS", str(512 * 1024)))
+
+
+def _pallas_overlap_warm() -> bool:
+    """Has this process already paid the overlap kernel's first
+    dispatch?  (See pallas_overlap.KERNEL_WARM / the small-workload
+    time-to-first-result gate in align_all.)"""
+    from .dp import pallas_overlap
+
+    return pallas_overlap.KERNEL_WARM
+
+
 MATCH, INSERT, DELETE, START = 0, 1, 2, 3
 
 
@@ -413,12 +424,9 @@ class QuaffOverlapAligner:
                 "rev_dev": None,
                 "cpu64": {},
             }
-            cache["fwd_dev"] = overlap_device_tables(cache["fwd"])
         self._tcache = cache
         self.tables_fwd = cache["fwd"]
         self.tables_rev: Optional[OverlapScoreTables] = cache["rev"]
-        self._tdev_fwd = cache["fwd_dev"]
-        self._tdev_rev = cache["rev_dev"]
         self._base = cache["base"]
         self._tdev_cpu64: dict = cache["cpu64"]
         # -mesh: device mesh for sharded pair scoring (set by the CLI;
@@ -426,16 +434,29 @@ class QuaffOverlapAligner:
         self.mesh = None
 
     def _tables(self, y_complemented: bool):
+        """(host tables, engine device tables|None) for a strand.  The
+        device tables build lazily via _tdev: only the XLA matrix
+        fallback consumes them, and building them eagerly cost a ~36 MB
+        tunnel upload (plus the whole backend init) at CONSTRUCTION —
+        pure waste for the native small-workload path
+        (time-to-first-result)."""
         if not y_complemented:
-            return self.tables_fwd, self._tdev_fwd
+            return self.tables_fwd, self._tcache["fwd_dev"]
         if self.tables_rev is None:
             self.tables_rev = OverlapScoreTables.from_params(
                 self.params, True, self._base
             )
-            self._tdev_rev = overlap_device_tables(self.tables_rev)
             self._tcache["rev"] = self.tables_rev
-            self._tcache["rev_dev"] = self._tdev_rev
-        return self.tables_rev, self._tdev_rev
+        return self.tables_rev, self._tcache["rev_dev"]
+
+    def _tdev(self, y_complemented: bool):
+        """Engine device tables for a strand, built on first use."""
+        key = "rev_dev" if y_complemented else "fwd_dev"
+        if self._tcache[key] is None:
+            self._tcache[key] = overlap_device_tables(
+                self._tables(y_complemented)[0]
+            )
+        return self._tcache[key]
 
     def _null_ll(self, seq: FastSeq, comp: bool = False) -> float:
         """Null log-likelihood of a read (of its revcomp when comp),
@@ -490,6 +511,8 @@ class QuaffOverlapAligner:
                     dtype=self.config.resolve_dtype(),
                 )
                 return {k: np.asarray(v) for k, v in res.items()}
+        if tdev is None:  # lazily-built engine device tables (_tdev)
+            tdev = self._tdev(tables.y_complemented)
         res = overlap_fill(
             tdev, bdev, return_matrices=True, dtype=self.config.resolve_dtype()
         )
@@ -862,6 +885,45 @@ class QuaffOverlapAligner:
                     continue
                 if int(np.count_nonzero(packed[(nx, ny)][3][0])) <= 1:
                     single_set.add((nx, ny))
+
+        # Time-to-first-result small-workload gate: while this process
+        # has not yet paid the overlap kernel's first dispatch (axon
+        # recompiles Pallas kernels server-side per process — seconds,
+        # vs ~0.3 s of native fills for an 8-read all-vs-all), an
+        # under-budget workload skips kernel scoring entirely: every
+        # pair goes to the exact pass, which scores strips natively
+        # (f64) and the printer applies the report threshold to the
+        # exact scores.  Output identical; a warm kernel disables the
+        # gate so repeated batches keep the device path.
+        # (backend probed via jax.config rather than
+        # jax.default_backend(): the latter initialises the backend — an
+        # ~8 s axon tunnel handshake — which this gate exists to avoid;
+        # explicitly CPU-pinned runs keep the parity kernel/engine path)
+        import jax as _jax
+
+        if (
+            self.mesh is None
+            and use_shared_pool
+            and (_jax.config.jax_platforms or "") != "cpu"
+            and not _pallas_overlap_warm()
+        ):
+            budget = int(
+                os.environ.get("QUAFF_NATIVE_SMALL_CELLS", "40000000")
+            )
+            kernel_cells = 0
+            for job in jobs:
+                nx, ny = job[0], job[1]
+                if (nx, ny) in wide_pairs or (nx, ny) in single_set:
+                    continue
+                member1, _, _, _, _, rows1 = packed[(nx, ny)]
+                # multi-strip pairs pay strip-score fills + the path
+                # fill: ~2x their member cells
+                kernel_cells += 2 * int(np.count_nonzero(member1)) * rows1
+            if budget and kernel_cells <= budget:
+                for job in jobs:
+                    nx, ny = job[0], job[1]
+                    if (nx, ny) not in wide_pairs:
+                        single_set.add((nx, ny))
 
         by_tier: dict = {}
         for job in jobs:

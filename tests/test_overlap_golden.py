@@ -128,7 +128,8 @@ def test_batched_exact_pass_matches_per_pair():
 
     seg_scores = {}
     for nx, ny, yc, env in jobs:
-        tables, tdev = aligner._tables(yc)
+        tables = aligner._tables(yc)[0]
+        tdev = aligner._tdev(yc)  # engine device tables build lazily
         segs = pack_strips(env, MAX_SEGS)
         sm = np.full(MAX_SEGS, -np.inf)
         for k, s in enumerate(segs):
