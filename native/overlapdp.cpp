@@ -119,7 +119,10 @@ void overlap_fill_impl(
     if (w_max > W) w_max = W;
 
     double del_prev = NEG_INF;  // in-row carry
-    if (jt > 1) {
+    // W < 16: the one-pass scalar loop below beats the multi-pass
+    // vector scaffolding (see qdp_overlap_viterbi_path's fill_row —
+    // same cutoff, bitwise-equal cells either way)
+    if (jt > 1 && W >= 16) {
       // Vectorised row (round 4): emission gather, pre-emit match max,
       // and the insert state's lse2 (quaff_lse::lse2_row) run as
       // lane-parallel passes with per-cell op sequences IDENTICAL to

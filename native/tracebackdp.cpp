@@ -556,7 +556,13 @@ int64_t qdp_overlap_viterbi_path(
     if (w_max > W) w_max = W;
 
     double del_prev = NEG_INF;
-    if (jt > 1) {
+    // Narrow strips (W < 16, e.g. the 3-wide diagonal-0 winner of a
+    // non-overlapping pair — 2/3 of all-vs-all path fills) take the
+    // one-pass scalar loop below: the vector path's ~6 separate row
+    // passes + lse2_row call are pure per-row overhead at 3 lanes
+    // (measured ~2x the whole fill).  Cells are bitwise equal either
+    // way (the vector path replicates the scalar op order).
+    if (jt > 1 && W >= 16) {
       // vectorised row (round 4): mirrors overlap_fill_impl's fast path
       // (overlapdp.cpp) — emission gather, pre-emit match max and the
       // insert state's lse2_row as lane-parallel passes with per-cell

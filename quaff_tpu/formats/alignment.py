@@ -135,9 +135,15 @@ class Alignment:
             self.revcomp().write_sam(out)
             return
         flag = 16 if self.gapped_seq[1].source.rev else 0
+        # The reference's SeqIdx is uint32 (fastseq.h:14): the coord
+        # compose chain for a reverse-strand SAM row can go "negative"
+        # and the reference prints the WRAPPED value (e.g. -391 →
+        # 4294966905, qmodel.cpp:614).  +/- commute with mod 2^32, so
+        # wrapping the final signed value reproduces it bit-for-bit.
+        pos = self.gapped_seq[0].source.start % (1 << 32)
         out.write(
             f"{self.gapped_seq[1].source.name}\t{flag}\t"
-            f"{self.gapped_seq[0].source.name}\t{self.gapped_seq[0].source.start}"
+            f"{self.gapped_seq[0].source.name}\t{pos}"
             f"\t0\t{self.cigar_string()}\t*\t0\t0\t*\t*\t"
             f"AS:i:{int(_cpp_round(self.score))}\n"
         )

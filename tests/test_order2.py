@@ -84,3 +84,62 @@ def test_mesh_align_order2_matches_oracle(data_dir):
     )
     assert rc == 0
     assert out == (data_dir / "synth12-align-order2.oracle.stk").read_text()
+
+
+def test_overlap_order2_self_consistency(data_dir, monkeypatch):
+    """Overlap at -suborder 2 (matchOrder 3, Km=64): the REFERENCE
+    cannot run this config in practice — it rebuilds the
+    (Km*Q)^2-entry pair emission table PER PAIR (qoverlap.cpp:53-74,
+    ~36M entries) and does not finish; the repo hoists the build once
+    per params object, making order-2 overlap tractable.  No oracle
+    exists, so pin path self-consistency instead: the production
+    pipeline (kernel-scored winnowing + native exact pass), the
+    kernel-scored pipeline WITHOUT the early-exact split, and the pure
+    XLA matrix path (native disabled) must emit byte-identical
+    Stockholm."""
+    import io
+    import json
+
+    from quaff_tpu import native as natmod
+    from quaff_tpu.aligner import DPConfig
+    from quaff_tpu.formats.alignment import AlignmentPrinter
+    from quaff_tpu.io.fastseq import add_revcomps, read_fast_seqs
+    from quaff_tpu.model.params import QuaffNullParams, QuaffParams
+    from quaff_tpu.overlap import QuaffOverlapAligner
+
+    params = QuaffParams.from_json(
+        json.loads(
+            (data_dir / "synth12-train-order2.oracle.json").read_text()
+        )
+    )
+    assert params.match_kmer_len == 3  # suborder 2
+    # the oracle file's refBase carries the reference's uninitialised
+    # totalLen UB (see test_train_golden) — garbage values NaN the
+    # overlap null tables; replace with a valid distribution
+    import numpy as np
+
+    params.ref_base = np.full(4, 0.25)
+    reads = read_fast_seqs(str(data_dir / "synth12.fastq"))[:5]
+    null = QuaffNullParams.fit(reads)
+    seqs = add_revcomps(reads)
+    config = DPConfig(kmer_threshold=10)
+    printer = AlignmentPrinter()
+    printer.log_odds_threshold = float("-inf")
+
+    def run():
+        ov = QuaffOverlapAligner(params, null, config)
+        out = io.StringIO()
+        ov.align_all(out, seqs, len(reads), printer)
+        return out.getvalue()
+
+    a = run()  # production: kernel winnowing + native exact pass
+    assert a.count("#=GF Score") == len(reads) * (len(reads) - 1) * 3 // 2
+
+    monkeypatch.setenv("QUAFF_OV_EARLY_EXACT", "0")
+    b = run()  # every pair kernel-scored before the exact pass
+    assert b == a
+
+    monkeypatch.delenv("QUAFF_OV_EARLY_EXACT")
+    monkeypatch.setattr(natmod, "get_lib", lambda auto_build=False: None)
+    c = run()  # pure XLA matrix path (batched f64 fills + traceback)
+    assert c == a

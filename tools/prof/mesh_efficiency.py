@@ -29,6 +29,11 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the probe compiles ~15 distinct sharded
+# programs (3 variants x 3 mesh sizes x 2 paths) — cold that exceeds
+# the whole measurement wall
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
@@ -77,9 +82,18 @@ def make_reads(n, salt):
     return reads
 
 
-def time_estep(D):
+def time_estep(D, identical=False, fetch=True):
+    """Weak-scaling E-step wall at D devices — same decomposition
+    columns as time_align: identical=True replicates ONE shard's reads
+    to every device (isolates sharding machinery from load imbalance);
+    fetch=False keeps the psum'd counts device-resident (isolates the
+    device phase from the host gather)."""
     mesh = Mesh(np.array(jax.devices()[:D]).reshape(D, 1), ("dp", "mp"))
-    reads = make_reads(D * READS_PER_DEV, D)
+    if identical:
+        shard_reads = make_reads(READS_PER_DEV, 20)
+        reads = shard_reads * D
+    else:
+        reads = make_reads(D * READS_PER_DEV, D)
     grid, _ = build_pair_grid(refs, reads, tables, config, FWDBACK_CELL_SIZE)
     null_ll = jnp.full((len(reads),), -1e30, jnp.float32)
 
@@ -89,8 +103,11 @@ def time_estep(D):
             num_match_kmers=params.num_match_kmers,
             num_indel_kmers=params.num_indel_kmers,
         )
+        if fetch:
+            jax.block_until_ready(counts)
+            return counts, float(ll)
         jax.block_until_ready(counts)
-        return counts, float(ll)
+        return counts, None
 
     counts, _ = run()  # compile
     payload = sum(np.asarray(v).nbytes for v in counts.values())
@@ -164,9 +181,15 @@ def contention_probe(D):
         "import jax\n"
         "jax.config.update('jax_platforms','cpu')\n"
         "import tools.prof.mesh_efficiency as me\n"
-        "t = me.time_align(1, identical=True)\n"
+        "t = me.%s(1, identical=True)%s\n"
         "print('CHILD_WALL', t)\n"
-    ) % str(pathlib.Path(__file__).resolve().parents[2])
+    ) % (
+        str(pathlib.Path(__file__).resolve().parents[2]),
+        os.environ.get("QUAFF_MESH_EFF_CONTROL", "time_align"),
+        "[0]" if os.environ.get(
+            "QUAFF_MESH_EFF_CONTROL", "time_align"
+        ) == "time_estep" else "",
+    )
     procs = [
         subprocess.Popen(
             ["taskset", "-c", str(i), sys.executable, "-c", child],
@@ -189,14 +212,21 @@ def main():
     print(f"virtual CPU devices: {n_dev}, host cores: {os.cpu_count()}, "
           f"reads/device: {READS_PER_DEV}")
     ds = [d for d in (1, 2, 4) if d <= n_dev]
-    t1 = None
-    for D in ds:
-        t, payload = time_estep(D)
-        if D == 1:
-            t1 = t
-        eff = t1 / t
-        print(f"E-step  D={D}: {t:.3f}s  weak-scaling eff={eff*100:.0f}%  "
-              f"(psum payload {payload/1024:.0f} KiB)")
+    for label, kw in (
+        ("E-step (random shards, fetch)   ", {}),
+        ("E-step (identical shards, fetch)", {"identical": True}),
+        ("E-step (identical, device-only) ", {"identical": True,
+                                              "fetch": False}),
+    ):
+        t1 = None
+        for D in ds:
+            t, payload = time_estep(D, **kw)
+            if D == 1:
+                t1 = t
+            eff = t1 / t
+            print(f"{label} D={D}: {t:.3f}s  weak-scaling "
+                  f"eff={eff*100:.0f}%  "
+                  f"(psum payload {payload/1024:.0f} KiB)")
     for label, kw in (
         ("align (random shards, fetch)   ", {}),
         ("align (identical shards, fetch)", {"identical": True}),

@@ -50,6 +50,7 @@ def timed(mod, name, key=None):
 # so patch the source modules BEFORE the pass runs
 timed(natmod, "overlap_strip_score_native", "strip_score")
 timed(natmod, "overlap_viterbi_path_cols", "path_fill")
+timed(natmod, "overlap_viterbi_path_cols_batch", "path_fill_batch")
 timed(tbmod, "_cols_to_str", "cols_to_str")
 timed(AlignmentPrinter, "write_alignment", "write")
 timed(ovmod, "_insert_score_sum", "insert_score")
