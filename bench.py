@@ -293,12 +293,17 @@ def _main_accelerator():
 def _perturbed_reads(data, n, salt):
     """n distinct copies of c8f30 (quality strings perturbed per copy and
     per salt): the attached-device runtime caches identical executions,
-    so every timed pass must see fresh bytes."""
+    so every timed pass must see fresh bytes.  The gz is parsed ONCE
+    and copied (re-parsing per read cost minutes at n=4096+)."""
+    import copy
+
     from quaff_tpu.io.fastseq import read_fast_seqs
 
+    base = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
     reads = []
     for i in range(n):
-        r = read_fast_seqs(str(data / "c8f30.fastq.gz"))[0]
+        r = copy.copy(base)
+        r.__dict__.pop("_null_ll_cache", None)
         r.name = f"c8f30_{i}"
         j = (salt * n + i) % len(r.qual)
         q = 33 + (ord(r.qual[j]) - 33 + 1 + salt) % 40
