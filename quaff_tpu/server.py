@@ -148,9 +148,11 @@ class QuaffServer:
 
     # -- socket loop ------------------------------------------------------
 
-    def serve(self, port: int, n_ports: int = 1) -> None:
+    def serve(self, port: int, n_ports: int = 1, ready_out=None) -> None:
         """Listen on ports port..port+n_ports-1 (one thread each), print
-        the READY sentinel, serve until {"quit":1}."""
+        the READY sentinel (to ready_out when given — in-process hosts
+        like bench must keep their own stdout clean; default stdout is
+        the ssh-bootstrap handshake contract), serve until {"quit":1}."""
         quit_event = threading.Event()
         threads = []
         socks = []
@@ -166,7 +168,8 @@ class QuaffServer:
             threads.append(t)
         for t in threads:
             t.start()
-        print(READY, flush=True)
+        print(READY, flush=True, file=ready_out) if ready_out is not None \
+            else print(READY, flush=True)
         for t in threads:
             t.join()
 
