@@ -276,6 +276,65 @@ int64_t qio_diag_kmer_counts(const int32_t* x_tok, int64_t x_len,
   return n;
 }
 
+// Prebuilt-index variant for all-vs-all prep (k <= 12 only): each read
+// appears as the y side of ~N pairs, so rebuilding the counting-bucket
+// index per pair (qio_diag_kmer_counts above) repays its cost N times.
+// qio_diag_kmer_index writes the reusable index ONCE per read:
+//   bucket_count [4^k + 1]  (prefix sums; bucket c spans
+//                            [bucket_count[c], bucket_count[c+1]))
+//   y_pos        [y_len - k + 1]  (window starts, bucket-grouped)
+// qio_diag_kmer_counts_indexed then joins one x against it with zero
+// per-call allocation beyond a thread-local diagonal counter.
+void qio_diag_kmer_index(const int32_t* y_tok, int64_t y_len, int32_t k,
+                         int32_t* bucket_count, int32_t* y_pos) {
+  const int64_t nc = 1ll << (2 * k);
+  const uint64_t mask = (1ull << (2 * k)) - 1;
+  const int64_t ny = y_len - k + 1;
+  std::fill(bucket_count, bucket_count + nc + 1, 0);
+  if (ny <= 0) return;
+  std::vector<int32_t> y_code(ny);
+  uint64_t code = 0;
+  for (int64_t j = 0; j < y_len; ++j) {
+    code = ((code << 2) | (uint64_t)y_tok[j]) & mask;
+    if (j >= k - 1) {
+      y_code[j - k + 1] = (int32_t)code;
+      ++bucket_count[code + 1];
+    }
+  }
+  for (int64_t c = 0; c < nc; ++c) bucket_count[c + 1] += bucket_count[c];
+  std::vector<int32_t> fill(bucket_count, bucket_count + nc);
+  for (int64_t j = 0; j < ny; ++j) y_pos[fill[y_code[j]]++] = (int32_t)j;
+}
+
+int64_t qio_diag_kmer_counts_indexed(
+    const int32_t* x_tok, int64_t x_len, int64_t y_len, int32_t k,
+    const int32_t* bucket_count, const int32_t* y_pos,
+    int64_t* out_diags, int64_t* out_counts) {
+  if (x_len < k || y_len < k) return 0;
+  const uint64_t mask = (1ull << (2 * k)) - 1;
+  thread_local std::vector<int64_t> diag_count;
+  const int64_t nd = x_len + y_len - 1;
+  if ((int64_t)diag_count.size() < nd) diag_count.resize(nd);
+  std::fill(diag_count.begin(), diag_count.begin() + nd, 0);
+  uint64_t code = 0;
+  for (int64_t i = 0; i < x_len; ++i) {
+    code = ((code << 2) | (uint64_t)x_tok[i]) & mask;
+    if (i < k - 1) continue;
+    const int64_t xi = i - k + 1;
+    const int32_t lo = bucket_count[code], hi = bucket_count[code + 1];
+    for (int32_t t = lo; t < hi; ++t)
+      ++diag_count[xi - y_pos[t] + y_len - 1];
+  }
+  int64_t n = 0;
+  for (int64_t d = 0; d < nd; ++d)
+    if (diag_count[d]) {
+      out_diags[n] = d - (y_len - 1);
+      out_counts[n] = diag_count[d];
+      ++n;
+    }
+  return n;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -158,8 +158,18 @@ def diagonal_kmer_counts(
     """
     k = y_index.kmer_len
     if k < 32:
-        from .native import diag_kmer_counts_native
+        from .native import (
+            diag_kmer_counts_indexed_native,
+            diag_kmer_counts_native,
+        )
 
+        idx = y_index.native_index() if k <= 12 else None
+        if idx is not None:
+            res = diag_kmer_counts_indexed_native(
+                x_tokens, len(y_index.seq.seq), k, idx
+            )
+            if res is not None:
+                return res
         res = diag_kmer_counts_native(x_tokens, y_index.seq.tokens(), k)
         if res is not None:
             return res

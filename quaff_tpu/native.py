@@ -138,6 +138,18 @@ def get_lib(auto_build: bool = False) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "qio_diag_kmer_index"):
+        i32p_ = ctypes.POINTER(ctypes.c_int32)
+        i64p_ = ctypes.POINTER(ctypes.c_int64)
+        lib.qio_diag_kmer_index.restype = None
+        lib.qio_diag_kmer_index.argtypes = [
+            i32p_, ctypes.c_int64, ctypes.c_int32, i32p_, i32p_,
+        ]
+        lib.qio_diag_kmer_counts_indexed.restype = ctypes.c_int64
+        lib.qio_diag_kmer_counts_indexed.argtypes = [
+            i32p_, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            i32p_, i32p_, i64p_, i64p_,
+        ]
     if hasattr(lib, "qref_lse_chain"):
         lib.qref_lse_chain.restype = None
         lib.qref_lse_chain.argtypes = [
@@ -1211,6 +1223,49 @@ def overlap_traceback_cols(
         col_x[cap - n :], col_y[cap - n :],
         int(bounds[0]), int(bounds[1]), int(bounds[2]), int(bounds[3]),
     )
+
+
+def diag_kmer_index_native(y_tok: np.ndarray, k: int):
+    """Reusable counting-bucket k-mer index of y (k <= 12): returns
+    (bucket_count [4^k+1] int32, y_pos [ny] int32) for
+    diag_kmer_counts_native's y_index= fast path, or None.  All-vs-all
+    prep joins every x against the same y — building this once per
+    read repays the per-pair index build ~N times."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qio_diag_kmer_index") or k > 12:
+        return None
+    y = np.ascontiguousarray(y_tok, dtype=np.int32)
+    ny = max(len(y) - k + 1, 0)
+    bucket_count = np.empty((1 << (2 * k)) + 1, np.int32)
+    y_pos = np.empty(max(ny, 1), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.qio_diag_kmer_index(
+        y.ctypes.data_as(i32p), len(y), k,
+        bucket_count.ctypes.data_as(i32p), y_pos.ctypes.data_as(i32p),
+    )
+    return bucket_count, y_pos
+
+
+def diag_kmer_counts_indexed_native(
+    x_tok: np.ndarray, y_len: int, k: int, index
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Join x against a prebuilt diag_kmer_index_native index."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qio_diag_kmer_counts_indexed"):
+        return None
+    bucket_count, y_pos = index
+    x = np.ascontiguousarray(x_tok, dtype=np.int32)
+    cap = len(x) + int(y_len) + 2
+    diags = np.empty(cap, dtype=np.int64)
+    counts = np.empty(cap, dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.qio_diag_kmer_counts_indexed(
+        x.ctypes.data_as(i32p), len(x), int(y_len), k,
+        bucket_count.ctypes.data_as(i32p), y_pos.ctypes.data_as(i32p),
+        diags.ctypes.data_as(i64p), counts.ctypes.data_as(i64p),
+    )
+    return diags[:n].copy(), counts[:n].copy()
 
 
 def diag_kmer_counts_native(
