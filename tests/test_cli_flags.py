@@ -283,3 +283,52 @@ def test_sshkey_and_remotepath_parse():
     i = cmd.index("-i")
     assert cmd[i + 1] == "/tmp/id_quaff"
     assert cmd[-2:] == ["me@host", "echo hi"]
+
+
+def test_probe_platform_cache(tmp_path, monkeypatch):
+    """The CLI accelerator probe caches a successful platform result on
+    disk for QUAFF_TPU_PROBE_TTL seconds (round 5: the ~10 s subprocess
+    jax import dominated one-shot walls), and re-probes past the TTL."""
+    import json
+    import time as _time
+
+    import quaff_tpu.cli as cli
+
+    calls = []
+
+    class R:
+        returncode = 0
+        stdout = b"tpu\n"
+
+    def fake_run(*a, **kw):
+        calls.append(a)
+        return R()
+
+    import subprocess as _sp
+
+    monkeypatch.setattr(_sp, "run", fake_run)  # cli imports it lazily
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path)
+    )
+    monkeypatch.setenv("QUAFF_TPU_PROBE_TTL", "600")
+    monkeypatch.delenv("QUAFF_TPU_PROBE_TIMEOUT", raising=False)
+
+    assert cli._probe_platform() == "tpu"
+    assert len(calls) == 1
+    # second call hits the disk cache: no subprocess
+    assert cli._probe_platform() == "tpu"
+    assert len(calls) == 1
+    # expire the cache entry -> re-probe
+    import os as _os
+
+    cache = [p for p in tmp_path.iterdir() if "quaff_tpu_probe" in p.name]
+    assert len(cache) == 1
+    c = json.loads(cache[0].read_text())
+    c["time"] = _time.time() - 1200
+    cache[0].write_text(json.dumps(c))
+    assert cli._probe_platform() == "tpu"
+    assert len(calls) == 2
+    # TTL=0 disables the cache entirely
+    monkeypatch.setenv("QUAFF_TPU_PROBE_TTL", "0")
+    assert cli._probe_platform() == "tpu"
+    assert len(calls) == 3

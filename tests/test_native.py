@@ -480,3 +480,113 @@ def test_align_viterbi_path_matches_matrix_walk(data_dir):
             assert g.qual == w.qual
             assert g.comment == w.comment
     assert n_finite >= 8
+
+
+def test_overlap_viterbi_path_batch_matches_per_call():
+    """The batched exact-pass FFI driver (qdp_overlap_viterbi_path_batch:
+    one native call per task slice, round 5) must return exactly the
+    per-call wrapper's results — cols, bounds, end score — for every
+    task, across qual modes and strand tables, including no-alignment
+    (-2) tasks."""
+    from quaff_tpu.dp.overlap import OverlapScoreTables
+    from quaff_tpu.envelope import pack_strips, sparse_envelope
+    from quaff_tpu.io.fastseq import FastSeq, KmerIndex
+    from quaff_tpu.model.params import default_params
+    from quaff_tpu.native import (
+        overlap_viterbi_path_cols,
+        overlap_viterbi_path_cols_batch,
+    )
+    from quaff_tpu.overlap import _y_strand_arrays
+
+    if not native.overlap_path_available():
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(23)
+    base = "".join("acgt"[t] for t in rng.integers(0, 4, 1200))
+
+    def mkread(s0, ln, q):
+        seq = list(base[s0 : s0 + ln])
+        for _ in range(int(ln * 0.08)):
+            p = int(rng.integers(0, ln))
+            seq[p] = "acgt"[int(rng.integers(0, 4))]
+        return FastSeq(
+            name=f"r{s0}_{ln}", seq="".join(seq),
+            qual="".join(
+                chr(33 + int(v)) for v in rng.integers(3, 40, ln)
+            ) if q else "",
+        )
+
+    params = default_params()
+    tabs = {
+        False: OverlapScoreTables.from_params(params, False),
+        True: OverlapScoreTables.from_params(params, True),
+    }
+    tasks = []
+    for i in range(10):
+        xq, yq = bool(i % 2), bool((i // 2) % 2)
+        strand = bool(i % 3 == 0)
+        x = mkread(int(rng.integers(0, 400)), int(rng.integers(200, 600)), xq)
+        y = mkread(int(rng.integers(0, 400)), int(rng.integers(200, 600)), yq)
+        tables = tabs[strand]
+        env = sparse_envelope(
+            x, KmerIndex(y, 6), band_size=64, kmer_threshold=14
+        )
+        segs = pack_strips(env, 3)
+        s = segs[int(rng.integers(0, len(segs)))]
+        d1, d2 = int(s.diagonals[0]), int(s.diagonals[-1])
+        j0 = max(1, 1 - d2)
+        rows = max(min(len(y.seq), len(x.seq) - d1) - j0 + 1, 1)
+        x_tok = x.tokens()
+        x_q = x.qual_scores() if x.has_qual() else None
+        x_mk = x.kmers(tables.match_kmer_len)
+        x_ik_pad = np.concatenate([[0], x.kmers(tables.indel_kmer_len)])
+        y_tok, y_mk, y_ik_raw, y_q = _y_strand_arrays(y, tables)
+        y_ik_pad = np.concatenate([[0], y_ik_raw])
+        tasks.append((
+            x_mk, x_ik_pad, x_q, len(x.seq), x_q is not None,
+            y_mk, y_ik_pad, y_q, len(y.seq), y_q is not None,
+            j0 - 1, rows, s.band_lo, s.band_width, s.member_mask(),
+            tables,
+        ))
+
+    got = overlap_viterbi_path_cols_batch(tasks)
+    want = [overlap_viterbi_path_cols(*t) for t in tasks]
+    assert len(got) == len(want) == len(tasks)
+    for (gc, ge), (wc, we) in zip(got, want):
+        assert ge == we  # end scores bitwise equal
+        if wc is None:
+            assert gc is None
+            continue
+        for a, b in zip(gc[:2], wc[:2]):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert gc[2:] == wc[2:]  # bounds
+
+
+def test_diag_kmer_index_matches_per_pair_join():
+    """The prebuilt counting-bucket index join (round 5) returns the
+    same (diags, counts) as the per-pair join for random token pairs
+    across k values."""
+    from quaff_tpu.native import (
+        diag_kmer_counts_native,
+        diag_kmer_index_native,
+        diag_kmer_counts_indexed_native,
+    )
+
+    if native.get_lib() is None or not hasattr(
+        native.get_lib(), "qio_diag_kmer_index"
+    ):
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        xl = int(rng.integers(5, 700))
+        yl = int(rng.integers(5, 700))
+        k = int(rng.integers(3, 11))
+        x = rng.integers(0, 4, xl).astype(np.int32)
+        y = rng.integers(0, 4, yl).astype(np.int32)
+        idx = diag_kmer_index_native(y, k)
+        assert idx is not None
+        d1, c1 = diag_kmer_counts_indexed_native(x, yl, k, idx)
+        d2, c2 = diag_kmer_counts_native(x, y, k)
+        assert np.array_equal(d1, d2), trial
+        assert np.array_equal(c1, c2), trial
