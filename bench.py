@@ -185,6 +185,25 @@ def _first_result_metrics():
         "overlap_first_result_seconds": round(dt_ov, 3),
     }
 
+    # one-shot count (one read/ref pair): the trainer's small-workload
+    # gate routes this through the f64 CPU-device engine (local
+    # persistent-cache compiles) instead of the counts kernel's
+    # 10-130 s per-process axon recompile
+    try:
+        from quaff_tpu.trainer import QuaffCounter
+
+        counter = QuaffCounter(params, null, config, True)
+        t0 = time.perf_counter()
+        counts, ll, _ = counter.get_counts([ref], [read], [[0]])
+        metrics["count_first_result_seconds"] = round(
+            time.perf_counter() - t0, 3
+        )
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+
     # server-mode floor: a LONG-LIVED warm server answering a one-read
     # align request over the reference's framed loopback protocol —
     # the documented amortisation for one-shot walls.  Runs while this

@@ -723,12 +723,20 @@ def estep_fused(tables, v2tab: V2Tables, batch: dict, null_ll: float,
     )
 
 
+# True once this process has dispatched a fused E-step kernel (see
+# pallas_v2.KERNEL_WARM — same time-to-first-result gate: the trainer's
+# small-workload CPU-engine route is active only while this is False).
+KERNEL_WARM = False
+
+
 def estep_fused_multi(tables, v2tab: V2Tables, batch: dict, gid, null_lls,
                       local: bool = True, interpret: bool = False):
     """Multi-read E-step entry: pairs of several reads in ONE kernel
     dispatch.  gid [B] maps batch entries to read groups; null_lls [G]
     holds each group's null log-likelihood.  Returns
     (fwd [B], y_ll [G], counts summed over the whole batch)."""
+    global KERNEL_WARM
+    KERNEL_WARM = True
     Km = np.asarray(tables.match_score).shape[1]
     Ki = len(np.asarray(tables.m2m))
     Q = QUAL_SCORE_RANGE

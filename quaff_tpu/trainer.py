@@ -94,7 +94,17 @@ class QuaffCounter:
         self.use_null_model = use_null_model
         self.prefer_kernel = prefer_kernel
         self.tables = ScoreTables.from_params(params)
-        self._tdev = device_tables(self.tables)
+        self._tdev_cache = None
+        self._tdev_cpu64 = None
+
+    @property
+    def _tdev(self):
+        """Engine device tables, built on first use (an eager build at
+        construction initialised the backend + uploaded tables the
+        small-workload CPU route never touches)."""
+        if self._tdev_cache is None:
+            self._tdev_cache = device_tables(self.tables)
+        return self._tdev_cache
 
     def _use_kernel(self, y: FastSeq) -> bool:
         import jax
@@ -164,9 +174,40 @@ class QuaffCounter:
         ]
         return y_counts, y_loglike, new_order
 
+    def _small_cpu_estep_gate(self, refs, reads, sort_order) -> bool:
+        """Time-to-first-result: run a small E-step on the CPU-device
+        f64 engine (the parity path — compiles locally in seconds and
+        caches persistently) instead of paying this process's first
+        counts-kernel dispatch (axon server-side recompile, 10-130 s)
+        plus the backend init.  Active only while the counts kernel is
+        cold and the estimated workload is under the shared
+        QUAFF_NATIVE_SMALL_CELLS budget; warm processes and production
+        batches keep the fused TPU kernel."""
+        import os
+
+        import jax
+
+        from .dp import pallas_counts
+
+        budget = int(os.environ.get("QUAFF_NATIVE_SMALL_CELLS", "40000000"))
+        if (
+            not budget
+            or not self.prefer_kernel
+            or pallas_counts.KERNEL_WARM
+            or (jax.config.jax_platforms or "").split(",")[0] == "cpu"
+        ):
+            return False
+        # rough fwd+bwd cell estimate: default-band width x read length
+        # per candidate pair, x3 for the two passes + count reduction
+        est = sum(
+            3 * 420 * len(reads[ny].seq) * max(len(sort_order[ny]), 1)
+            for ny in range(len(reads))
+        )
+        return est <= budget
+
     def count_read(
         self, refs: List[FastSeq], y: FastSeq, sort_order: List[int],
-        force_engine: bool = False,
+        force_engine: bool = False, cpu_engine: bool = False,
     ) -> Tuple[QuaffParamCounts, float, List[int]]:
         """One read's posterior-weighted counts against all refs
         (QuaffCountingTask::run, qmodel.cpp:2238-2271).
@@ -187,7 +228,8 @@ class QuaffCounter:
         from .logger import logger
 
         if (
-            not force_engine
+            not cpu_engine  # first: _use_kernel would init the backend
+            and not force_engine
             and self._use_kernel(y)
             and not logger.logging_tag("postmatrix")
         ):
@@ -205,15 +247,43 @@ class QuaffCounter:
         from .logger import logger
 
         want_post = logger.logging_tag("postmatrix")
-        res = dp_forward_backward(
-            self._tdev,
-            device_batch(batch),
-            local=self.config.local,
-            dtype=self.config.resolve_dtype(),
-            num_match_kmers=self.params.num_match_kmers,
-            num_indel_kmers=self.params.num_indel_kmers,
-            return_post=want_post,
-        )
+        if cpu_engine:
+            # small-workload TTFR route (_small_cpu_estep_gate): the f64
+            # parity engine pinned to the host CPU device — compiles
+            # locally (persistent cache), never touches the accelerator
+            import jax
+            import jax.numpy as jnp
+
+            from .precision import x64_scope
+
+            cpu = jax.devices("cpu")[0]
+            with x64_scope(), jax.default_device(cpu):
+                if self._tdev_cpu64 is None:
+                    self._tdev_cpu64 = device_tables(self.tables)
+                bdev = {
+                    k: jax.device_put(v, cpu)
+                    for k, v in device_batch(batch).items()
+                }
+                res = dp_forward_backward(
+                    self._tdev_cpu64,
+                    bdev,
+                    local=self.config.local,
+                    dtype=jnp.float64,
+                    num_match_kmers=self.params.num_match_kmers,
+                    num_indel_kmers=self.params.num_indel_kmers,
+                    return_post=want_post,
+                )
+                res = {k: np.asarray(v) for k, v in res.items()}
+        else:
+            res = dp_forward_backward(
+                self._tdev,
+                device_batch(batch),
+                local=self.config.local,
+                dtype=self.config.resolve_dtype(),
+                num_match_kmers=self.params.num_match_kmers,
+                num_indel_kmers=self.params.num_indel_kmers,
+                return_post=want_post,
+            )
         fwd = np.asarray(res["fwd_score"], dtype=np.float64)
         back = np.asarray(res["back_score"], dtype=np.float64)
         # fwd/back self-check (MAX_FRACTIONAL_FWDBACK_ERROR,
@@ -286,6 +356,23 @@ class QuaffCounter:
 
         plog = ProgressLogger(level=2)
         plog.init_progress("Expected counts (E-step)")
+        if (
+            not logger.logging_tag("postmatrix")
+            and self._small_cpu_estep_gate(refs, reads, sort_order)
+        ):
+            # TTFR small route: f64 CPU-device engine, per read
+            total = QuaffParamCounts.zero(mk, ik)
+            loglike = 0.0
+            new_orders = []
+            for ny, y in enumerate(reads):
+                y_counts, y_ll, order = self.count_read(
+                    refs, y, sort_order[ny], cpu_engine=True
+                )
+                total.add_weighted(y_counts, 1.0)
+                loglike += y_ll
+                new_orders.append(order)
+            plog.done()
+            return total, loglike, new_orders
         if (
             len(reads) > 1
             and all(self._use_kernel(y) for y in reads)
