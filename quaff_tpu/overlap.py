@@ -762,7 +762,12 @@ class QuaffOverlapAligner:
             _stamp(f"exact_end {tag}")
             return r
 
-        def _submit_path_jobs(tag, cands_, seg_scores=None, chunk=12):
+        def _submit_path_jobs(tag, cands_, seg_scores=None, chunk=None):
+            if chunk is None:
+                # slice size: small enough for incremental flushing /
+                # load balance, large enough to amortise the batched
+                # FFI call (QUAFF_OV_EXACT_CHUNK to experiment)
+                chunk = int(os.environ.get("QUAFF_OV_EXACT_CHUNK", "12"))
             jobs_ = self._strip_jobs(seqs, cands_, seg_scores=seg_scores)
             # heaviest first: the pool drains FIFO, so an expensive pair
             # queued last becomes the wall-clock pole of the whole pass
